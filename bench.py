@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Method: one warmed SparkSession; each query executes twice and the second
+(warm-JIT) run is reported — matching BASELINE.md's interpretation that the
+comparable quantity is warmed batch throughput, not JVM startup. Results are
+materialized through the noop sink (full computation, no driver transfer
+noise).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from driftdb_spark.registry import query_map  # noqa: E402
+from driftdb_spark.session import get_spark  # noqa: E402
+
+# Representative slice of SURVEY §2: scan+agg, multi-join, window, temporal
+# reconstruction, dedup, similarity, text — the operator families a user
+# actually runs, each stressing a different physical plan shape.
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_group_having",
+    "join_multi_chain",
+    "join_left_agg",
+    "window_agg_frames",
+    "orderby_limit_offset",
+    "events_reconstruct_current",
+    "events_asof_sequence",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_token_df",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="driftdb_spark_bench")
+
+    qmap = query_map()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        _materialize(fn(spark, sf_dir))  # warm-up: JIT, parquet footer cache
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_suite_warm_sec",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

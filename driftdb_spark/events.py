@@ -1,0 +1,252 @@
+"""The event log — DriftDB's core identity, Spark-first.
+
+The reference stores every write as an immutable event
+``{sequence, timestamp, event_type: Insert|Patch|SoftDelete, primary_key,
+payload}`` and reconstructs table state by replay (reference
+crates/driftdb-core/src/events.rs:5-20, storage/table_storage.rs:344-428).
+
+Here the event log is an append-only parquet directory (stand-in for a Delta
+table — Delta isn't in this container, but the layout is identical: a
+sequence-ordered append log plus materialized snapshots). Reconstruction is
+declarative DataFrame code, so Catalyst plans it and it scales with
+partitions:
+
+1. last Insert per PK (``max(seq)`` over inserts),
+2. drop PKs whose last SoftDelete is at-or-after their last Insert,
+3. fold Patch payloads *after* the last Insert in sequence order —
+   field-level last-writer-wins merge, exactly the reference's
+   ``apply_event`` merge semantics (table_storage.rs:369-389) — via
+   ``aggregate(array_sort(collect_list(...)))``, bounded by per-key history.
+
+Scale notes (100 TB discipline):
+- Reconstruction shuffles once on PK; snapshots bound the replay tail the
+  same way the reference's snapshots do (snapshot.rs:19-43).
+- Sequence assignment is the one inherently serial point (same as the
+  reference's per-table AtomicU64); we assign ``row_number over a global
+  order + base`` per append batch. On a real cluster you'd use Delta commit
+  versions; the API shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from driftdb_spark.temporal import AsOf, apply_asof
+
+INSERT, PATCH, SOFT_DELETE = "INSERT", "PATCH", "SOFT_DELETE"
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("sequence", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("pk", T.StringType(), False),
+        # Payload as map<string,string>: the reference's rows are dynamic
+        # JSON objects (schemaless within a table — SURVEY §1.2); a string
+        # map is the faithful typed-Spark equivalent for the DML surface.
+        T.StructField("payload", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def _payload_map(df: DataFrame, pk_col: str) -> F.Column:
+    cols = []
+    for c in df.columns:
+        cols.append(F.lit(c))
+        cols.append(F.col(c).cast("string"))
+    return F.map_from_arrays(
+        F.array(*cols[::2]), F.array(*cols[1::2])
+    )
+
+
+class EventLog:
+    """Append-only event log for one logical table."""
+
+    def __init__(self, spark: SparkSession, path: str, pk_col: str = "id"):
+        self.spark = spark
+        self.path = path
+        self.pk_col = pk_col
+        self._events_dir = os.path.join(path, "events")
+        self._snap_dir = os.path.join(path, "snapshots")
+
+    # -- storage ------------------------------------------------------------
+
+    def events(self) -> DataFrame:
+        if not os.path.exists(self._events_dir):
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(self._events_dir)
+
+    def last_sequence(self) -> int:
+        if not os.path.exists(self._events_dir):
+            return 0
+        row = self.events().agg(F.max("sequence").alias("s")).first()
+        return int(row["s"] or 0)
+
+    def _append(self, batch: DataFrame, event_type: str, payload: F.Column | None) -> int:
+        """Assign contiguous sequences to the batch and append it."""
+        base = self.last_sequence()
+        w = W.orderBy(F.col(self.pk_col))  # deterministic intra-batch order
+        out = batch.select(
+            (F.row_number().over(w) + F.lit(base)).cast("long").alias("sequence"),
+            F.current_timestamp().alias("ts"),
+            F.lit(event_type).alias("event_type"),
+            F.col(self.pk_col).cast("string").alias("pk"),
+            (payload if payload is not None else F.lit(None).cast(EVENT_SCHEMA["payload"].dataType)).alias(
+                "payload"
+            ),
+        )
+        out.write.mode("append").parquet(self._events_dir)
+        return base + batch.count()
+
+    # -- DML as event appends (reference execute_sql_insert/update/delete,
+    # sql_bridge.rs:3388-3661, :5473-5669, :5981-6087) ----------------------
+
+    def insert(self, rows: DataFrame) -> int:
+        """Full-row Insert events. PK uniqueness against current state is an
+        anti-join check (reference checks committed state + txn buffer)."""
+        dup = rows.join(
+            self.state_at().select(F.col("pk")),
+            rows[self.pk_col].cast("string") == F.col("pk"),
+            "left_semi",
+        )
+        if not dup.isEmpty():
+            raise ValueError("duplicate primary key(s) in insert batch")
+        return self._append(rows, INSERT, _payload_map(rows, self.pk_col))
+
+    def upsert(self, rows: DataFrame) -> int:
+        """Insert without the PK-uniqueness gate (last writer wins)."""
+        return self._append(rows, INSERT, _payload_map(rows, self.pk_col))
+
+    def patch(self, partial_rows: DataFrame) -> int:
+        """Partial-row Patch events: only the provided columns are merged
+        field-by-field into existing rows at read time."""
+        return self._append(partial_rows, PATCH, _payload_map(partial_rows, self.pk_col))
+
+    def soft_delete(self, keys: DataFrame) -> int:
+        """SoftDelete events for the given PKs."""
+        return self._append(keys.select(self.pk_col), SOFT_DELETE, None)
+
+    # -- reconstruction (reference table_storage.rs:344-428) -----------------
+
+    def state_at(self, asof: AsOf | None = None) -> DataFrame:
+        """Reconstruct visible state: ``(pk, last_seq, row map)``.
+
+        Starts from the newest snapshot at-or-before the target sequence when
+        one exists (reference snapshot.rs:87-114 find_latest_before) and
+        replays only the tail.
+        """
+        ev = apply_asof(self.events(), asof or AsOf.now())
+
+        snap, snap_seq = self._usable_snapshot(asof)
+        if snap is not None:
+            tail = ev.filter(F.col("sequence") > snap_seq)
+            snap_as_inserts = snap.select(
+                F.col("last_seq").alias("sequence"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.lit(INSERT).alias("event_type"),
+                F.col("pk"),
+                F.col("row").alias("payload"),
+            )
+            ev = snap_as_inserts.unionByName(tail)
+
+        ins = (
+            ev.filter(F.col("event_type") == INSERT)
+            .groupBy("pk")
+            .agg(F.max("sequence").alias("ins_seq"))
+        )
+        dels = (
+            ev.filter(F.col("event_type") == SOFT_DELETE)
+            .groupBy("pk")
+            .agg(F.max("sequence").alias("del_seq"))
+        )
+        live = ins.join(dels, "pk", "left").filter(
+            F.col("del_seq").isNull() | (F.col("del_seq") < F.col("ins_seq"))
+        )
+        tail = ev.join(live, "pk").filter(
+            (F.col("sequence") >= F.col("ins_seq"))
+            & (F.col("event_type") != SOFT_DELETE)
+        )
+        # Field-level LWW fold of Insert + Patches in sequence order.
+        merge = "(acc, e) -> map_concat(map_filter(acc, (k, v) -> NOT map_contains_key(e.payload, k)), e.payload)"
+        return tail.groupBy("pk").agg(
+            F.max("sequence").alias("last_seq"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(sequence, payload))), "
+                f"cast(map() as map<string,string>), {merge})"
+            ).alias("row"),
+        )
+
+    def state_df(self, schema_cols: dict[str, str], asof: AsOf | None = None) -> DataFrame:
+        """State with the row map projected back to typed columns."""
+        st = self.state_at(asof)
+        return st.select(
+            "pk",
+            "last_seq",
+            *[F.col("row").getItem(c).cast(t).alias(c) for c, t in schema_cols.items()],
+        )
+
+    # -- drift history (reference SHOW DRIFT, query/executor.rs:327-354) -----
+
+    def drift_history(self, pk=None) -> DataFrame:
+        ev = self.events()
+        if pk is not None:
+            ev = ev.filter(F.col("pk") == str(pk))
+        return ev.orderBy("sequence")
+
+    # -- snapshot / compaction (reference snapshot.rs:19-43,
+    # engine.rs:758-845) ------------------------------------------------------
+
+    def snapshot(self) -> int:
+        """Materialize current state at the current max sequence."""
+        seq = self.last_sequence()
+        out = os.path.join(self._snap_dir, f"seq={seq}")
+        self.state_at().write.mode("overwrite").parquet(out)
+        return seq
+
+    def _snapshot_seqs(self) -> list[int]:
+        if not os.path.exists(self._snap_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._snap_dir)
+            if d.startswith("seq=")
+        )
+
+    def _usable_snapshot(self, asof: AsOf | None):
+        target = asof.sequence if asof and asof.sequence is not None else None
+        candidates = [
+            s for s in self._snapshot_seqs() if target is None or s <= target
+        ]
+        if not candidates:
+            return None, None
+        seq = candidates[-1]
+        snap = self.spark.read.parquet(os.path.join(self._snap_dir, f"seq={seq}"))
+        return snap, seq
+
+    def compact(self) -> None:
+        """Rewrite the log as (latest snapshot as Inserts) + post-snapshot
+        tail — the reference's COMPACT (engine.rs:758-845)."""
+        seq = self.snapshot()
+        snap = self.spark.read.parquet(os.path.join(self._snap_dir, f"seq={seq}"))
+        tail = self.events().filter(F.col("sequence") > seq)
+        rebuilt = snap.select(
+            F.col("last_seq").alias("sequence"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(INSERT).alias("event_type"),
+            "pk",
+            F.col("row").alias("payload"),
+        ).unionByName(tail)
+        tmp = self._events_dir + ".compact"
+        rebuilt.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self._events_dir + ".new")
+        import shutil
+
+        shutil.rmtree(self._events_dir)
+        os.rename(self._events_dir + ".new", self._events_dir)
+        shutil.rmtree(tmp)

@@ -1,0 +1,244 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact dedup is a hash-groupBy (one shuffle on the content hash — fully
+SQL-expressible, oracle-checked). Near-dup detection is MinHash + LSH:
+shingle → per-permutation min-hash signature → band buckets → bucket-join
+for candidate pairs — the standard scale recipe (band join replaces the
+O(n²) pairwise comparison; at 100 TB only co-bucketed docs ever meet).
+
+Hashes are Spark's xxhash64 (deterministic across runs/partitions), which
+DuckDB lacks — so the MinHash/SimHash entries are registered without an
+oracle and the driver records a rows-only check; the Jaccard verification
+math itself is tested in pytest against a NumPy reimplementation.
+
+No Python UDFs anywhere: signatures are built with ``transform`` /
+``array_min`` higher-order functions over the shingle array, entirely
+JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from driftdb_spark.catalog import load_tables
+from driftdb_spark.registry import register
+
+N_PERMS = 32
+BAND_SIZE = 4
+N_BANDS = N_PERMS // BAND_SIZE  # 8
+SHINGLE_WORDS = 3
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) t
+    WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself (window LWW on the content hash)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir)["documents"]
+    w = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def _shingles(text: F.Column) -> F.Column:
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    return F.expr(
+        f"""
+        array_distinct(
+          transform(
+            sequence(0, greatest(size(split(text, ' ')) - {SHINGLE_WORDS}, 0)),
+            i -> concat_ws(' ', slice(split(text, ' '), i + 1, {SHINGLE_WORDS}))
+          )
+        )
+        """
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sig array<long>) — per-permutation min of xxhash64(seed_j ++ shingle).
+
+    The permutation family is xxhash64 with a per-permutation prefix; min is
+    taken inside the row via array functions, so building signatures is a
+    single narrow map stage — no explode, no shuffle.
+    """
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(shingles, s -> xxhash64(concat('p{j}:', s))))"
+        ).alias(f"mh_{j}")
+        for j in range(N_PERMS)
+    ]
+    with_sig = docs.withColumn("shingles", _shingles(F.col("text"))).select(
+        F.col(id_col), *sig_cols
+    )
+    return with_sig.select(
+        id_col, F.array(*[F.col(f"mh_{j}") for j in range(N_PERMS)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs (a < b)."""
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * {BAND_SIZE} + 1, {BAND_SIZE}))) AS bh))"
+            )
+        ).alias("band"),
+    ).select(id_col, F.col("band.band").alias("band"), F.col("band.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "no-oracle"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs, verified with exact Jaccard
+    over shingle sets and filtered at 0.5 — the full near-dedup pipeline.
+    Deterministic (xxhash64), but not DuckDB-expressible → rows-only check."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sigs = minhash_signatures(d)
+    pairs = lsh_candidate_pairs(sigs)
+
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 25
+        ) d
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.05
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity via an inverted-index join (explode
+    shingles → equi-join on shingle → |A∩B| / (|A|+|B|-|A∩B|)). Bounded to a
+    doc_id<25 slice so the oracle's pairwise join stays tractable; the
+    unbounded scale path is dedup_minhash_lsh."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 25)
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.05)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "no-oracle"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token hashes,
+    computed as 64 conditional aggregations after one token explode.
+    Deterministic xxhash64 → rows-only check (no DuckDB equivalent)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    # Reassemble the sign bits into one BIGINT (bit 63 kept clear to stay
+    # positive — a 63-bit fingerprint is ample).
+    sim_expr = None
+    for b in range(63):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
+        sim_expr = term if sim_expr is None else sim_expr + term
+    return bit_sums.select("doc_id", sim_expr.alias("simhash"))

@@ -1,0 +1,177 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+Brute-force cosine top-k is the oracle-checked baseline: one broadcast of the
+query vector + a narrow map stage + TakeOrderedAndProject — no shuffle of the
+corpus at all, so even the "brute force" path scales linearly. The LSH
+(random-hyperplane) variant is the 100 TB path: bucket the corpus once, probe
+only the query's bucket.
+
+Determinism: all arithmetic is promoted to float64 *before* any sum on both
+engines, sums fold sequentially (``aggregate``/``list_sum`` over 64 elements),
+and the final similarity is ROUND(...,6) so last-ulp accumulation-order
+differences cannot flip the hash or the top-k cut (tie-break by vec_id on the
+rounded value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from driftdb_spark.catalog import load_tables
+from driftdb_spark.registry import register
+
+DIM = 64
+# 6 planes → 64 buckets: sized so buckets hold ~1/64 of the corpus. At real
+# scale you'd grow planes with log2(corpus) and multi-probe neighboring
+# buckets; recall vs exact top-k is asserted in tests.
+N_PLANES = 6
+
+
+def _dots(v: str, q: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({v}, {q}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 20
+) -> DataFrame:
+    """Exact top-k by cosine similarity against one stored vector."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dots("embedding", "qe")
+                / (F.sqrt(_dots("embedding", "embedding")) * F.sqrt(_dots("qe", "qe"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+
+
+_COSINE_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+        SELECT e.vec_id, e.label,
+          list_sum(list_transform(range(1, {DIM + 1}),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+          sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS na,
+          sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nq
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, ROUND(dot / (na * nq), 6) AS cos_sim
+    FROM s
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+"""
+
+
+@register("sim_cosine_topk", oracle=_COSINE_ORACLE, tags=("similarity",))
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 for the vec_id=0 query vector."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return cosine_topk(emb, query_vec_id=0, k=20)
+
+
+@register(
+    "sim_label_centroid_norm",
+    oracle=f"""
+    WITH e AS (
+        SELECT label,
+          list_sum(list_transform(range(1, {DIM + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS sq_norm
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(SUM(ROUND(sq_norm, 8)), 4) AS sum_sq_norm,
+           ROUND(MIN(sq_norm), 6) AS min_sq_norm,
+           ROUND(MAX(sq_norm), 6) AS max_sq_norm
+    FROM e GROUP BY label
+    """,
+    tags=("similarity", "agg"),
+)
+def sim_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics — the aggregation shape of centroid
+    computation (sum over group of per-row reductions). Per-row norms are
+    rounded to 8dp before the group sum so the cross-engine sum stays exact."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sq = _dots("embedding", "embedding")
+    return (
+        emb.select("label", F.round(sq, 8).alias("sq_norm_r"), sq.alias("sq_norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("sq_norm_r").cast("decimal(20,8)")).cast("double"), 4).alias(
+                "sum_sq_norm"
+            ),
+            F.round(F.min("sq_norm"), 6).alias("min_sq_norm"),
+            F.round(F.max("sq_norm"), 6).alias("max_sq_norm"),
+        )
+    )
+
+
+def lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign bits of dot(v, r_j) for
+    deterministic pseudo-random ±1 planes r_j (xxhash64-derived). One narrow
+    map stage; at scale the corpus is written bucketed-by so probes touch one
+    bucket."""
+    bits = []
+    for j in range(n_planes):
+        dot_j = F.expr(
+            "aggregate(zip_with(embedding, sequence(0, {d}), "
+            "(x, i) -> CAST(x AS DOUBLE) * CAST(pmod(xxhash64(concat('plane{j}:', i)), 2) * 2 - 1 AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)".format(d=DIM - 1, j=j)
+        )
+        bits.append(F.when(dot_j > 0, F.lit(1 << j)).otherwise(0))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return emb.select("vec_id", "label", "embedding", bucket.cast("long").alias("bucket"))
+
+
+@register("sim_ann_lsh_probe", oracle=None, tags=("similarity", "no-oracle"))
+def sim_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via LSH: bucket the corpus, multi-probe the query's bucket plus
+    all Hamming-distance-1 neighbors (the standard multi-probe LSH recall
+    fix), exact cosine within the probed buckets only. Deterministic but
+    hash-based → rows-only check; recall vs exact top-k asserted in pytest."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bucketed = lsh_bucket(emb)
+    probes = (
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {N_PLANES}), "
+                    f"j -> CASE WHEN j = {N_PLANES} THEN bucket "
+                    "ELSE CAST(bucket AS BIGINT) ^ shiftleft(1L, j) END)"
+                )
+            ).alias("qbucket"),
+        )
+    )
+    cand = bucketed.join(
+        F.broadcast(probes), F.col("bucket") == F.col("qbucket")
+    ).filter(F.col("vec_id") != 0)
+    scored = cand.select(
+        "vec_id",
+        "label",
+        F.round(
+            _dots("embedding", "qe")
+            / (F.sqrt(_dots("embedding", "embedding")) * F.sqrt(_dots("qe", "qe"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)

@@ -1,0 +1,206 @@
+"""Text analysis operators over the ``documents`` table.
+
+The reference ships a TF-IDF full-text engine (tokenizer, inverted index,
+Text/Boolean/Phrase queries — reference crates/driftdb-core/src/fulltext.rs:
+120-135, TF-IDF :541-551) that is API-only, never SQL-exposed. Here the same
+capabilities — tokenization, document frequency, quality scoring, language-ID
+heuristics, fingerprinting — are expressed as DataFrame programs that stay
+entirely JVM-side (built-in functions, whole-stage codegen; no Python UDFs in
+the hot path), so they hold at 100 TB.
+
+Cross-engine determinism: counts/lengths are exact integers; the only floats
+are divisions of identical integers (IEEE-deterministic) and ROUND(LN(x), 6)
+where rounding absorbs libm last-ulp differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from driftdb_spark.catalog import load_tables
+from driftdb_spark.registry import register
+
+
+def _occurrences(text: F.Column, needle: str) -> F.Column:
+    """Non-overlapping occurrence count via the length/replace identity —
+    same algorithm on both engines."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def _occurrences_sql(expr: str, needle: str) -> str:
+    return (
+        f"CAST((LENGTH({expr}) - LENGTH(REPLACE({expr}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars,
+           LENGTH(text) AS text_len,
+           {_occurrences_sql("text", " ")} + 1 AS n_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / ({_occurrences_sql("text", " ")} + 1) AS avg_token_len,
+           {_occurrences_sql("text", "the")} AS the_count
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/length statistics (token counting from SURVEY's
+    pipeline mandate; whitespace tokenization matches the testdata's
+    single-space word stream)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    text = F.col("text")
+    n_tokens = _occurrences(text, " ") + 1
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length(text).cast("bigint").alias("text_len"),
+        n_tokens.alias("n_tokens"),
+        (F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double") / n_tokens).alias(
+            "avg_token_len"
+        ),
+        _occurrences(text, "the").alias("the_count"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+             + (CASE WHEN text LIKE '%the%' THEN 0.25 ELSE 0.0 END)
+             + LEAST(CAST(n_chars AS DOUBLE) / 1000.0, 1.0) * 0.25 AS quality,
+           CASE WHEN LENGTH(text) < 50 THEN 'short'
+                WHEN LENGTH(text) < 400 THEN 'medium'
+                ELSE 'long' END AS length_band
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring (length saturation + stopword
+    presence), the filter stage of a training-data pipeline."""
+    d = load_tables(spark, sf_dir)["documents"]
+    text = F.col("text")
+    quality = (
+        F.least(F.length(text).cast("double") / 500.0, F.lit(1.0)) * 0.5
+        + F.when(text.like("%the%"), 0.25).otherwise(0.0)
+        + F.least(F.col("n_chars").cast("double") / 1000.0, F.lit(1.0)) * 0.25
+    )
+    band = (
+        F.when(F.length(text) < 50, "short")
+        .when(F.length(text) < 400, "medium")
+        .otherwise("long")
+    )
+    return d.select("doc_id", quality.alias("quality"), band.alias("length_band"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               {_occurrences_sql("' ' || text || ' '", " the ")} AS c_en,
+               {_occurrences_sql("' ' || text || ' '", " le ")} AS c_fr,
+               {_occurrences_sql("' ' || text || ' '", " der ")} AS c_de
+        FROM documents
+    )
+    SELECT doc_id, lang, c_en, c_fr, c_de,
+           CASE WHEN c_en >= c_fr AND c_en >= c_de THEN 'en'
+                WHEN c_fr >= c_de THEN 'fr'
+                ELSE 'de' END AS predicted_lang
+    FROM m
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-marker frequency (n-gram heuristic from the
+    pipeline mandate). The testdata vocabulary is synthetic, so the label is
+    not expected to match ``lang`` — the operator contract (deterministic
+    marker counts + argmax) is what's under test."""
+    d = load_tables(spark, sf_dir)["documents"]
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    c_en = _occurrences(padded, " the ")
+    c_fr = _occurrences(padded, " le ")
+    c_de = _occurrences(padded, " der ")
+    return d.select(
+        "doc_id",
+        "lang",
+        c_en.alias("c_en"),
+        c_fr.alias("c_fr"),
+        c_de.alias("c_de"),
+        F.when((c_en >= c_fr) & (c_en >= c_de), "en")
+        .when(c_fr >= c_de, "fr")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_token_df",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token,
+           COUNT(*) AS tf,
+           COUNT(DISTINCT doc_id) AS df,
+           ROUND(LN(CAST(n.n_docs AS DOUBLE) / COUNT(DISTINCT doc_id)), 6) AS idf
+    FROM tok, n
+    GROUP BY token, n.n_docs
+    """,
+    tags=("text",),
+)
+def text_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency + IDF — the inverted-index statistics
+    behind the reference's TF-IDF ranking (fulltext.rs:541-551), as one
+    explode + aggregate (map-side partials keep the shuffle narrow)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return (
+        tok.crossJoin(F.broadcast(n_docs))
+        .groupBy("token", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias("idf"),
+        )
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp,
+           md5(SUBSTR(text, 1, 64)) AS prefix_fp,
+           SUBSTR(md5(lower(text)), 1, 8) AS short_fp
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (content hash + prefix hash) — the exact-dup
+    key and a cheap clustering key. md5 hex is identical across engines."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_fp"),
+        F.substring(F.md5(F.lower(F.col("text"))), 1, 8).alias("short_fp"),
+    )

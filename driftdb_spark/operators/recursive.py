@@ -1,0 +1,98 @@
+"""Recursive CTE support via a driver-side fixpoint loop.
+
+Spark SQL has no native ``WITH RECURSIVE``; the reference implements it as an
+anchor + iterated recursive arm over the previous iteration's working set,
+with UNION dedup vs UNION ALL accumulation and a 1000-iteration cap
+(reference crates/driftdb-core/src/sql_bridge.rs:785-904). We implement the
+same working-set algorithm over DataFrames.
+
+Scale note: each iteration's frontier is a DataFrame — the loop only adds
+plan nodes, so a deep recursion builds a deep plan. We checkpoint the frontier
+via ``localCheckpoint`` every few iterations to cut lineage, which is the
+standard Spark idiom for iterative algorithms (same reason GraphX/ALS do it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from driftdb_spark.catalog import load_tables
+from driftdb_spark.registry import register
+
+MAX_ITERATIONS = 1000  # reference cap: sql_bridge.rs:827
+_CHECKPOINT_EVERY = 8
+
+
+def recursive_cte(
+    anchor: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    distinct: bool = False,
+    max_iterations: int = MAX_ITERATIONS,
+) -> DataFrame:
+    """Fixpoint-iterate ``step`` from ``anchor`` (UNION ALL semantics by
+    default; ``distinct=True`` gives UNION semantics where already-seen rows
+    do not re-enter the working set, exactly the reference's algorithm)."""
+    acc = anchor
+    frontier = anchor
+    for i in range(max_iterations):
+        nxt = step(frontier)
+        if distinct:
+            nxt = nxt.distinct().subtract(acc)
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        # Driver-side emptiness check: cheap (limit-1 scan of the frontier),
+        # and unavoidable — the fixpoint condition is inherently iterative.
+        if nxt.isEmpty():
+            break
+        acc = acc.unionByName(nxt)
+        frontier = nxt
+    return acc
+
+
+@register(
+    "cte_recursive_walk",
+    oracle="""
+    WITH RECURSIVE walk(nk, running) AS (
+        SELECT CAST(0 AS INTEGER) AS nk, CAST(0 AS BIGINT) AS running
+        UNION ALL
+        SELECT walk.nk + 1,
+               walk.running + COALESCE(cnt.n, 0)
+        FROM walk
+        LEFT JOIN (SELECT c_nationkey AS nk2, COUNT(*) AS n
+                   FROM customer GROUP BY c_nationkey) cnt
+          ON cnt.nk2 = walk.nk
+        WHERE walk.nk < 25
+    )
+    SELECT nk, running FROM walk
+    """,
+    tags=("cte", "recursive"),
+)
+def cte_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE: walk nationkeys 0..25 accumulating a running customer
+    count — anchor + recursive arm with a join, UNION ALL accumulation.
+    DuckDB runs the equivalent WITH RECURSIVE as the oracle."""
+    t = load_tables(spark, sf_dir)
+    cnt = (
+        t["customer"]
+        .groupBy(F.col("c_nationkey").alias("nk2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    anchor = spark.range(1).select(
+        F.lit(0).cast("int").alias("nk"), F.lit(0).cast("bigint").alias("running")
+    )
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.filter(F.col("nk") < 25)
+            .join(F.broadcast(cnt), frontier.nk == cnt.nk2, "left")
+            .select(
+                (F.col("nk") + 1).cast("int").alias("nk"),
+                (F.col("running") + F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("running"),
+            )
+        )
+
+    return recursive_cte(anchor, step)
