@@ -82,10 +82,15 @@ class EventLog:
         return self.spark.read.schema(EVENT_SCHEMA).parquet(self._events_dir)
 
     def last_sequence(self) -> int:
-        if not os.path.exists(self._events_dir):
-            return 0
-        row = self.events().agg(F.max("sequence").alias("s")).first()
-        return int(row["s"] or 0)
+        """Max assigned sequence. Snapshot sequences participate: compaction
+        may drop trailing SoftDelete events from the log, and sequences must
+        never regress (the reference's per-table counter is monotonic)."""
+        ev_max = 0
+        if os.path.exists(self._events_dir):
+            row = self.events().agg(F.max("sequence").alias("s")).first()
+            ev_max = int(row["s"] or 0)
+        snaps = self._snapshot_seqs()
+        return max(ev_max, snaps[-1] if snaps else 0)
 
     def _append(self, batch: DataFrame, event_type: str, payload: F.Column | None) -> int:
         """Assign contiguous sequences to the batch and append it."""
@@ -171,12 +176,18 @@ class EventLog:
             (F.col("sequence") >= F.col("ins_seq"))
             & (F.col("event_type") != SOFT_DELETE)
         )
-        # Field-level LWW fold of Insert + Patches in sequence order.
+        # Field-level LWW fold of Insert + Patches in sequence order. The
+        # struct carries a map, so array_sort needs an explicit comparator
+        # on sequence (maps aren't orderable).
+        cmp = (
+            "(l, r) -> CASE WHEN l.sequence < r.sequence THEN -1 "
+            "WHEN l.sequence > r.sequence THEN 1 ELSE 0 END"
+        )
         merge = "(acc, e) -> map_concat(map_filter(acc, (k, v) -> NOT map_contains_key(e.payload, k)), e.payload)"
         return tail.groupBy("pk").agg(
             F.max("sequence").alias("last_seq"),
             F.expr(
-                "aggregate(array_sort(collect_list(struct(sequence, payload))), "
+                f"aggregate(array_sort(collect_list(struct(sequence, payload)), {cmp}), "
                 f"cast(map() as map<string,string>), {merge})"
             ).alias("row"),
         )

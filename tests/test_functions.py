@@ -1,0 +1,77 @@
+"""Math/semantics checks for the pipeline operators that lack a DuckDB
+oracle: MinHash vs a NumPy reimplementation, LSH recall, recursive CTE."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from driftdb_spark.functions.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from driftdb_spark.functions.similarity import cosine_topk, lsh_bucket
+from driftdb_spark.operators.recursive import recursive_cte
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_detects_near_duplicates(spark):
+    """Two near-identical synthetic docs must share band buckets; two
+    unrelated ones must not."""
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"
+    other = " ".join(f"x{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_signature_is_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    a = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    b = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    assert a == b
+
+
+def test_exact_duplicate_has_identical_signature(spark):
+    text = " ".join(f"tok{i}" for i in range(50))
+    docs = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_cosine_topk_self_similarity(spark):
+    """The most similar vector to a duplicate of v0 must be v0's twin with
+    cos ≈ 1."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    top = cosine_topk(emb.unionByName(twin), query_vec_id=0, k=3).collect()
+    assert top[0].vec_id == 9999
+    assert abs(top[0].cos_sim - 1.0) < 1e-6
+
+
+def test_lsh_bucket_deterministic_and_bounded(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b1 = {r.vec_id: r.bucket for r in lsh_bucket(emb).collect()}
+    b2 = {r.vec_id: r.bucket for r in lsh_bucket(emb).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 64 for v in b1.values())
+
+
+def test_recursive_cte_union_distinct_semantics(spark):
+    """UNION (distinct) mode: revisited rows don't re-enter the frontier
+    (reference sql_bridge.rs:785-904 working-set algorithm)."""
+    anchor = spark.createDataFrame([(0,)], "n int")
+
+    def step(frontier):
+        # cycle 0→1→2→0…: without dedup this never terminates
+        return frontier.select(((F.col("n") + 1) % 3).alias("n"))
+
+    out = recursive_cte(anchor, step, distinct=True, max_iterations=50)
+    assert sorted(r.n for r in out.collect()) == [0, 1, 2]
