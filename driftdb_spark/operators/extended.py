@@ -1,0 +1,247 @@
+"""Extended operator surface: scalar function library, date/time rollups,
+sessionization, and SQL-exposed full-text search.
+
+The reference's scalar function library is essentially empty — an
+``Expr::Function`` outside aggregates falls through to a warning + NULL
+(reference sql_bridge.rs:4746-4753) — but SURVEY §2.2 directs exposing a
+curated set since Spark provides them JVM-side for free. Its full-text
+engine (fulltext.rs:120-135, TF-IDF :541-551) exists only as a Rust API,
+never reachable from SQL; here search is an ordinary query.
+
+Determinism notes: ROUND to integer is exact at .5 (both engines round away
+from zero, and .5 is binary-exact); fractional ROUND of data-born doubles is
+avoided. Session gaps compare epoch-millis integers, not intervals, so
+DuckDB's ns timestamps and Spark's µs agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from driftdb_spark.catalog import load_tables
+from driftdb_spark.registry import register
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           c_name || '-' || c_mktsegment AS name_seg,
+           LPAD(c_name, 14, '*') AS name_padded,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           TRIM('  pad  ') AS trimmed,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS seg_nb,
+           ROUND(c_acctbal) AS bal_round,
+           ABS(c_acctbal - 5000.0) AS bal_dist,
+           GREATEST(c_acctbal, 0.0) AS bal_floor0,
+           LENGTH(c_name) AS name_len
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+    tags=("functions",),
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated scalar-function surface: string case/substring/concat/pad/
+    replace/trim, COALESCE/NULLIF, ROUND/ABS/GREATEST (SURVEY §2.2 —
+    the reference returns NULL for all of these)."""
+    c = load_tables(spark, sf_dir)["customer"].filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_name"), F.lit("-"), F.col("c_mktsegment")).alias("name_seg"),
+        F.lpad("c_name", 14, "*").alias("name_padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("N/A")).alias(
+            "seg_nb"
+        ),
+        F.round("c_acctbal").alias("bal_round"),
+        F.abs(F.col("c_acctbal") - 5000.0).alias("bal_dist"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS order_day,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date
+    FROM orders
+    WHERE o_orderkey <= 400
+    """,
+    tags=("functions",),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface — the reference stores timestamps as
+    opaque strings with no date functions at all (SURVEY §1.2)."""
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") <= 400)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+    )
+
+
+@register(
+    "events_daily_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "agg"),
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling calendar-window rollup of the event stream — the batch form
+    of the streaming windowed aggregation (streaming/ingest.py)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(event_id) AS first_event, MAX(event_id) AS last_event
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("temporal", "window"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    running sum → per-session aggregate. The batch equivalent of a session
+    window; gaps compare epoch-millis so both engines do integer math."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    new_sess = F.when(gap_ms > 1800000, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "session_id"
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+_SEARCH_TERMS = ("spark", "join", "window")
+_TERMS_SQL = "('spark', 'join', 'window')"
+
+
+@register(
+    "fulltext_tfidf_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE token IN {_TERMS_SQL} GROUP BY token
+    ),
+    tfreq AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token IN {_TERMS_SQL} GROUP BY doc_id, token
+    )
+    SELECT t.doc_id,
+           ROUND(SUM(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df)), 6) AS score,
+           COUNT(*) AS n_terms
+    FROM tfreq t JOIN dfreq d ON t.token = d.token, n
+    GROUP BY t.doc_id
+    HAVING COUNT(*) = {len(_SEARCH_TERMS)}
+    ORDER BY score DESC, t.doc_id
+    LIMIT 15
+    """,
+    tags=("text", "fulltext"),
+)
+def fulltext_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND multi-term search ranked by TF-IDF — the reference's
+    full-text capability (fulltext.rs TF-IDF :541-551, Boolean queries
+    :120-135) exposed as a query. Inverted index = explode + aggregate;
+    document frequencies broadcast to the scorer."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token").isin(*_SEARCH_TERMS)
+    )
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tfreq = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tfreq.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))), 6
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(_SEARCH_TERMS))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@register(
+    "fulltext_phrase_search",
+    oracle="""
+    SELECT doc_id, CAST(strpos(text, 'the fast') AS BIGINT) AS pos
+    FROM documents
+    WHERE text LIKE '%the fast%'
+    """,
+    tags=("text", "fulltext"),
+)
+def fulltext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search with position (reference PhraseQuery, fulltext.rs)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.filter(F.col("text").like("%the fast%")).select(
+        "doc_id", F.instr(F.col("text"), "the fast").cast("bigint").alias("pos")
+    )

@@ -50,8 +50,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def _ensure_loaded() -> None:
     # Import for side effects: each operators/functions module registers its
     # queries at import time.
-    from driftdb_spark.operators import relational, temporal_queries, recursive  # noqa: F401
-    from driftdb_spark.functions import text, dedup, similarity  # noqa: F401
+    from driftdb_spark.operators import (  # noqa: F401
+        extended,
+        recursive,
+        relational,
+        temporal_queries,
+    )
+    from driftdb_spark.functions import dedup, similarity, text  # noqa: F401
 
 
 def query_map() -> dict[str, QueryFn]:
