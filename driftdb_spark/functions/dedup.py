@@ -88,29 +88,74 @@ def _shingles(text: F.Column) -> F.Column:
     )
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, sig array<long>) — per-permutation min of xxhash64(seed_j ++ shingle).
+HASHED_SHINGLES_EXPR = f"""
+    CASE WHEN size(th) >= {SHINGLE_WORDS} THEN
+      array_distinct(transform(
+        sequence(0, size(th) - {SHINGLE_WORDS}),
+        i -> pmod(th[i] * 1048573 + th[i + 1] * 8191 + th[i + 2], 4294967291)))
+    ELSE array()
+    END
+"""
 
-    The permutation family is xxhash64 with a per-permutation prefix; min is
-    taken inside the row via array functions, so building signatures is a
-    single narrow map stage — no explode, no shuffle.
+
+def hashed_shingles(docs: DataFrame) -> DataFrame:
+    """Add an ``hshingles`` array<long> column: distinct word n-gram shingles
+    as 32-bit hashes. Tokens are xxhash64'd once; a shingle hash combines
+    the n consecutive token hashes arithmetically — no per-shingle string
+    building (the string-concat shingle pipeline costs ~3× this one).
+    The CASE guards ANSI out-of-bounds indexing on short docs."""
+    return docs.withColumn(
+        "th", F.expr("transform(split(text, ' '), t -> xxhash64(t) & 4294967295)")
+    ).withColumn("hshingles", F.expr(HASHED_SHINGLES_EXPR)).drop("th")
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", shingle_col: str | None = None
+) -> DataFrame:
+    """(id, sig array<long>) — MinHash signature per document.
+
+    A single narrow map stage — no explode, no shuffle. Design for scale:
+
+    - tokens are hashed ONCE (xxhash64 → 32 bits); shingle hashes combine
+      consecutive token hashes arithmetically; the permutation family is
+      universal hashing (a_j * h + b_j mod p). Zero string building after
+      tokenization.
+    - the whole signature is ONE fold over the shingle-hash array updating
+      all N_PERMS minima per step, so the heavy work appears exactly once in
+      the expression tree — Catalyst's projection collapse cannot duplicate
+      it (per-permutation columns get the pipeline inlined N_PERMS times).
+    - all products stay < 2^57, so ANSI overflow checking never fires.
+
+    Pass ``shingle_col`` (array<long> hashed shingles) to reuse a
+    materialized shingle column.
     """
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(shingles, s -> xxhash64(concat('p{j}:', s))))"
-        ).alias(f"mh_{j}")
-        for j in range(N_PERMS)
-    ]
-    with_sig = docs.withColumn("shingles", _shingles(F.col("text"))).select(
-        F.col(id_col), *sig_cols
+    p = 2_147_483_647  # 2^31 - 1
+    sig = F.expr(
+        f"""
+        aggregate(
+          hshingles,
+          array_repeat(CAST({p} AS BIGINT), {N_PERMS}),
+          (acc, h) -> zip_with(acc, sequence(0, {N_PERMS - 1}),
+            (m, j) -> least(m, pmod(h * (1000003 * j + 12345)
+                                    + (999983 * j + 7919), {p}))))
+        """
     )
-    return with_sig.select(
-        id_col, F.array(*[F.col(f"mh_{j}") for j in range(N_PERMS)]).alias("sig")
-    )
+    if shingle_col is None:
+        docs = hashed_shingles(docs)
+    else:
+        docs = docs.withColumn("hshingles", F.col(shingle_col))
+    return docs.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signatures and self-join buckets → candidate pairs (a < b)."""
+    """Band the signatures and self-join buckets → candidate pairs (a < b).
+
+    The signature frame feeds BOTH sides of the join — materialize it once
+    (persist) or every candidate probe recomputes the shingle+hash pipeline
+    twice. At corpus scale you'd write signatures to storage bucketed by
+    band hash; persist is the in-session equivalent.
+    """
+    sigs = sigs.persist()
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -142,12 +187,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     over shingle sets and filtered at 0.5 — the full near-dedup pipeline.
     Deterministic (xxhash64), but not DuckDB-expressible → rows-only check."""
     d = load_tables(spark, sf_dir)["documents"]
-    sigs = minhash_signatures(d)
+    # Hashed shingles feed the signature stage AND both sides of the Jaccard
+    # verify join — materialize them once (eagerly: the band self-join and
+    # the verify both fan out from this frame, and a lazy persist would race
+    # both branches through the uncached pipeline in a single job).
+    sh = hashed_shingles(d).select("doc_id", "hshingles").persist()
+    sh.count()
+    sigs = minhash_signatures(sh, shingle_col="hshingles")
     pairs = lsh_candidate_pairs(sigs)
 
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("hshingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("hshingles").alias("sh_b"))
     verified = (
         pairs.join(a, "id_a")
         .join(b, "id_b")

@@ -60,26 +60,34 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _reconstruct(e: DataFrame) -> DataFrame:
-    """Last-writer-wins state reconstruction (see module docstring)."""
-    ins = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("pk")
-        .agg(F.max("seq").alias("ins_seq"))
+    """Last-writer-wins state reconstruction (see module docstring).
+
+    Plan shape: ONE hash-partitioning on pk. The last-Insert / last-Delete
+    sequences are unordered analytic maxes over the pk window, the survivor
+    pick is a row_number over the same partitioning (Spark reuses the
+    exchange and only adds a sort) — vs. the naive 2-groupBy + join
+    formulation, which shuffles three times. At 100 TB the exchange is the
+    whole cost of this operator.
+    """
+    w = W.partitionBy("pk")
+    annotated = e.select(
+        "pk",
+        "seq",
+        "event_type",
+        "value",
+        "props",
+        F.max(F.when(F.col("event_type") == "signup", F.col("seq"))).over(w).alias("ins_seq"),
+        F.max(F.when(F.col("event_type") == "error", F.col("seq"))).over(w).alias("del_seq"),
     )
-    dels = (
-        e.filter(F.col("event_type") == "error")
-        .groupBy("pk")
-        .agg(F.max("seq").alias("del_seq"))
+    tail = annotated.filter(
+        F.col("ins_seq").isNotNull()
+        & (F.col("del_seq").isNull() | (F.col("del_seq") < F.col("ins_seq")))
+        & (F.col("seq") >= F.col("ins_seq"))
+        & (F.col("event_type") != "error")
     )
-    live = ins.join(dels, "pk", "left").filter(
-        F.col("del_seq").isNull() | (F.col("del_seq") < F.col("ins_seq"))
-    )
-    tail = e.join(live, "pk").filter(
-        (F.col("seq") >= F.col("ins_seq")) & (F.col("event_type") != "error")
-    )
-    w = W.partitionBy("pk").orderBy(F.col("seq").desc())
+    w_desc = W.partitionBy("pk").orderBy(F.col("seq").desc())
     return (
-        tail.withColumn("rn", F.row_number().over(w))
+        tail.withColumn("rn", F.row_number().over(w_desc))
         .filter(F.col("rn") == 1)
         .select(
             F.col("pk").alias("user_id"),
