@@ -136,6 +136,31 @@ class EventLog:
         """SoftDelete events for the given PKs."""
         return self._append(keys.select(self.pk_col), SOFT_DELETE, None)
 
+    def update_where(
+        self, schema_cols: dict[str, str], condition: str, assignments: dict[str, object]
+    ) -> int:
+        """UPDATE ... WHERE as Patch events (reference execute_sql_update,
+        sql_bridge.rs:5473-5669): select matching current-state rows,
+        evaluate assignment expressions against the OLD row, append one
+        Patch per match. Assignment values are SQL expression strings —
+        they may reference existing columns."""
+        matching = self.state_df(schema_cols).filter(condition)
+        patch = matching.select(
+            self.pk_col, *[F.expr(str(expr)).alias(col) for col, expr in assignments.items()]
+        )
+        return self._append(patch, PATCH, _payload_map(patch, self.pk_col))
+
+    def delete_where(self, schema_cols: dict[str, str], condition: str) -> int:
+        """DELETE ... WHERE as SoftDelete events (reference
+        execute_sql_delete, sql_bridge.rs:5981-6087)."""
+        matching = self.state_df(schema_cols).filter(condition)
+        return self.soft_delete(matching.select(self.pk_col))
+
+    def truncate(self, schema_cols: dict[str, str]) -> int:
+        """TRUNCATE = soft-delete every visible row (reference
+        sql_bridge.rs:701-749 does exactly this)."""
+        return self.delete_where(schema_cols, "true")
+
     # -- reconstruction (reference table_storage.rs:344-428) -----------------
 
     def state_at(self, asof: AsOf | None = None) -> DataFrame:

@@ -122,6 +122,46 @@ def sim_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+          list_transform(range(1, {DIM + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS e,
+          sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(range(1, {DIM + 1}),
+                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, {DIM + 1}), i -> a.e[i] * b.e[i]))
+          / (a.nrm * b.nrm) >= 0.5
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup stage of a
+    training pipeline). Bounded to vec_id<300 so the oracle's O(n²) pairwise
+    join stays tractable; the unbounded scale path buckets by LSH first
+    (sim_ann_lsh_probe) so only co-bucketed vectors ever meet."""
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 300)
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).withColumn("nrm", F.sqrt(_dots("e", "e")))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dots("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """Random-hyperplane LSH: bucket id = sign bits of dot(v, r_j) for
     deterministic pseudo-random ±1 planes r_j (xxhash64-derived). One narrow

@@ -1,0 +1,192 @@
+"""Advanced join/set/subquery shapes.
+
+These go beyond the reference's surface: it supports only single-column
+equi-joins (extract_join_columns sql_bridge.rs:3341-3371 — non-equi ON
+errors or falls back) and its INTERSECT/EXCEPT are first-column-only.
+Spark expresses all of these natively; the as-of join is the composition
+pattern SURVEY §2.3 prescribes (union + window trick → here: range join +
+window survivor pick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from driftdb_spark.catalog import load_tables
+from driftdb_spark.registry import register
+
+
+@register(
+    "subquery_not_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 30000)
+      AND c_custkey <= 400
+    """,
+    tags=("subquery", "null"),
+)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) with standard three-valued-logic semantics (a NULL
+    in the subquery result would empty the output — Catalyst plans this as
+    null-aware anti join; the reference's row-interpreter treats it as plain
+    set-absence, sql_bridge.rs:4208-4219)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 30000)
+          AND c_custkey <= 400
+        """
+    )
+
+
+_SETA = "SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'"
+_SETB = "SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 7000"
+
+
+@register("setop_except_all", oracle=f"{_SETA} EXCEPT ALL {_SETB}", tags=("setop",))
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics, per-occurrence subtraction) — beyond the
+    reference's distinct-only, first-column-only EXCEPT."""
+    c = load_tables(spark, sf_dir)["customer"]
+    a = c.filter(F.col("c_mktsegment") == "MACHINERY").select(F.col("c_nationkey").alias("nationkey"))
+    b = c.filter(F.col("c_acctbal") > 7000).select(F.col("c_nationkey").alias("nationkey"))
+    return a.exceptAll(b)
+
+
+@register("setop_intersect_all", oracle=f"{_SETA} INTERSECT ALL {_SETB}", tags=("setop",))
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    a = c.filter(F.col("c_mktsegment") == "MACHINERY").select(F.col("c_nationkey").alias("nationkey"))
+    b = c.filter(F.col("c_acctbal") > 7000).select(F.col("c_nationkey").alias("nationkey"))
+    return a.intersectAll(b)
+
+
+@register(
+    "groupby_expression_keys",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CASE WHEN o_totalprice >= 50000 THEN 'big' ELSE 'small' END AS size_band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("agg",),
+)
+def groupby_expression_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY computed expressions (the reference groups only on plain
+    columns — group key is a stringified concat, sql_bridge.rs:3806-4002)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.when(F.col("o_totalprice") >= 50000, "big").otherwise("small").alias("size_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM part p JOIN lineitem l
+      ON p.p_partkey = l.l_partkey
+     AND l.l_quantity BETWEEN p.p_size AND p.p_size + 15
+    GROUP BY p.p_partkey, p.p_size
+    """,
+    tags=("join",),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range composite join condition (reference: equi-only). The
+    equi key carries the shuffle; the range predicate evaluates post-match,
+    so this stays a hash join — no O(n·m) blowup at scale."""
+    t = load_tables(spark, sf_dir)
+    p, li = t["part"], t["lineitem"]
+    return (
+        p.join(
+            li,
+            (p.p_partkey == li.l_partkey)
+            & li.l_quantity.between(p.p_size, p.p_size + 15),
+        )
+        .groupBy("p_partkey", "p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH scored AS (
+        SELECT o.o_orderkey, o.o_custkey, e.event_id, e.value,
+               ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY e.event_id DESC) AS rn
+        FROM orders o
+        JOIN events e
+          ON e.user_id = o.o_custkey % 20
+         AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate + INTERVAL 9000 DAY
+        WHERE o.o_orderkey <= 200
+    )
+    SELECT o_orderkey, o_custkey, event_id AS asof_event, value AS asof_value
+    FROM scored WHERE rn = 1
+    """,
+    tags=("join", "temporal"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each order, the latest event for its (mapped) user at
+    or before a horizon — the point-in-time enrichment join every temporal
+    store needs; the reference cannot express it (equi-only joins). Built as
+    equi+range join → row_number survivor pick; at scale the window
+    partitioning rides the join's existing hash partitioning.
+
+    (The testdata's event clock (2024) postdates order dates (1995-2001), so
+    the horizon shifts orders forward; the join keys are synthetic — the
+    *operator semantics* are what's exercised.)"""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 200)
+    e = t["events"]
+    joined = o.join(
+        e,
+        (e.user_id == o.o_custkey % 20)
+        & (e.ts <= F.col("o_orderdate") + F.expr("INTERVAL 9000 DAY")),
+    )
+    w = W.partitionBy("o_orderkey").orderBy(F.col("event_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("event_id").alias("asof_event"),
+            F.col("value").alias("asof_value"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,
+    tags=("agg", "approx", "no-oracle"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) next to the exact count — the sketch
+    path for 100 TB cardinality estimation. Approximate ⇒ rows-only check
+    (DuckDB's approx sketch differs by construction)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count(F.lit(1)).alias("n"),
+    )

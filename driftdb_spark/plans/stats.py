@@ -1,0 +1,62 @@
+"""EXPLAIN / ANALYZE surface (reference SURVEY §2.9).
+
+- ``explain_plan``: the physical plan as text (reference builds a PlanNode
+  tree with io/cpu/mem costs — explain.rs:71-600; Spark's formatted plan is
+  the same artifact, with real codegen/exchange/pushdown info).
+- ``plan_facts``: machine-checkable assertions about a plan (did the filter
+  push down? did the join broadcast?) — used by tests to pin the physical
+  shapes this engine promises at scale.
+- ``analyze_table``: per-column statistics (row count, distinct, nulls,
+  min/max) like the reference's ANALYZE (engine.rs:1422+, optimizer
+  histograms optimizer.rs:548-780). Emitted as data, and usable to feed
+  Spark CBO via ANALYZE TABLE when tables live in a real catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explain_plan(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def plan_facts(df: DataFrame) -> dict[str, bool]:
+    """Inspect the physical plan for the properties we design for."""
+    plan = explain_plan(df, "formatted")
+    return {
+        "has_pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
+        "has_broadcast_join": "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan,
+        "has_sort_merge_join": "SortMergeJoin" in plan,
+        "whole_stage_codegen": "WholeStageCodegen" in plan,
+        "has_exchange": "Exchange" in plan,
+        "aqe": "AdaptiveSparkPlan" in plan,
+    }
+
+
+def analyze_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column stats as one row per column: (column, n_rows, n_distinct,
+    n_nulls, min_str, max_str). One pass over the table — every stat is an
+    aggregate, so partial aggregation keeps the shuffle at |columns| rows."""
+    cols = columns or df.columns
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.approx_count_distinct(c).alias(f"_ad_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    data = [
+        (c, row["_n"], row[f"_ad_{c}"], row[f"_nn_{c}"], row[f"_min_{c}"], row[f"_max_{c}"])
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        data,
+        "column string, n_rows long, approx_distinct long, n_nulls long, min_str string, max_str string",
+    )

@@ -51,6 +51,7 @@ def _ensure_loaded() -> None:
     # Import for side effects: each operators/functions module registers its
     # queries at import time.
     from driftdb_spark.operators import (  # noqa: F401
+        advanced,
         extended,
         recursive,
         relational,
