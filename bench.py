@@ -56,9 +56,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = qmap[name]
         _materialize(fn(spark, sf_dir))  # warm-up: JIT, parquet footer cache
-        t0 = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     out = {
         "metric": "headline_suite_warm_sec",

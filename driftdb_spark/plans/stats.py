@@ -31,7 +31,7 @@ def plan_facts(df: DataFrame) -> dict[str, bool]:
         "has_pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
         "has_broadcast_join": "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan,
         "has_sort_merge_join": "SortMergeJoin" in plan,
-        "whole_stage_codegen": "WholeStageCodegen" in plan,
+        "whole_stage_codegen": "WholeStageCodegen" in plan or "[codegen id :" in plan,
         "has_exchange": "Exchange" in plan,
         "aqe": "AdaptiveSparkPlan" in plan,
     }

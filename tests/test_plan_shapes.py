@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the shapes this engine promises at scale
+(pushdown to the scan, broadcast for bounded dims, codegen) must not silently
+degrade. These are the checks SURVEY §7 prescribes after correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from driftdb_spark.plans.stats import explain_plan, plan_facts
+from driftdb_spark.registry import QUERIES, query_map
+
+SF = "/root/testdata/sf0.001"
+
+query_map()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    facts = plan_facts(QUERIES["filter_eq_range"].fn(spark, SF))
+    assert facts["has_pushed_filters"]
+    assert facts["whole_stage_codegen"]
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    df = QUERIES["q1_pricing_summary"].fn(spark, SF)
+    plan = explain_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+    # partial aggregation (map-side combine) before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_multi_join_broadcasts_dims(spark):
+    facts = plan_facts(QUERIES["join_multi_chain"].fn(spark, SF))
+    assert facts["has_broadcast_join"], "bounded dims must broadcast"
+
+
+def test_scan_prunes_columns(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 10)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = explain_plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, (
+        "projection must prune the scan to 2 columns"
+    )
+
+
+def test_semi_join_stays_semi(spark):
+    plan = explain_plan(QUERIES["join_semi"].fn(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_reconstruction_single_exchange(spark):
+    """The analytic-window reconstruction must shuffle exactly once on pk
+    (plus AQE wrappers) — the 2-groupBy+join formulation had three."""
+    import re
+
+    df = QUERIES["events_reconstruct_current"].fn(spark, SF)
+    plan = explain_plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 pk exchange, saw {n_exchanges}\n{plan}"
