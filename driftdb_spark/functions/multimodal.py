@@ -118,6 +118,44 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio twin of :func:`extract_image_features` — same Arrow-batched
+    ``mapInPandas`` contract; the decode is the same deterministic stub
+    boundary (no audio libs in this container)."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, durs, rms = [], [], []
+            for c in pdf["content"]:
+                c = c if c is not None else b""
+                digest = hashlib.sha256(c).digest()
+                rates.append(8000 * (1 + digest[0] % 6))
+                durs.append(round(len(c) / 1024.0, 6))
+                rms.append(digest[1] / 255.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": rates,
+                    "duration_s": durs,
+                    "rms": rms,
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "content").mapInPandas(
+        features, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def synthetic_media(spark, n: int = 8) -> DataFrame:
     """Deterministic in-memory media fixture (the testdata has no binary
     table); used by tests and demos."""
@@ -128,4 +166,91 @@ def synthetic_media(spark, n: int = 8) -> DataFrame:
         rows.append(
             (i, kind, content, (f"{kind}/x-fake", f"src{i % 3}", len(content)))
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # Tiny fixture: cap partition fan-out so a 24-row demo doesn't spin up
+    # 32 Python workers. Real media tables arrive already partitioned by size.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries — multimodal columns as first-class registry entries.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from driftdb_spark.catalog import load_tables  # noqa: E402
+from driftdb_spark.registry import register  # noqa: E402
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n,
+           SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+           MAX(octet_length(CAST(text AS BLOB))) AS max_bytes,
+           COUNT(DISTINCT md5(text)) AS distinct_digests
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("multimodal",),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling, oracle-checked end to end: document
+    text cast to a ``binary`` payload column (the exact shape image/audio
+    blobs take), then byte-length stats and content digests per source —
+    proving binary round-trips byte-identically through the engine. Spark
+    digests the binary; DuckDB digests the UTF-8 source string (same bytes).
+
+    Scale: pure JVM-side byte ops inside whole-stage codegen; the binary
+    column is never shipped to Python. Group-by on low-cardinality `source`
+    → map-side partial aggregation shrinks the shuffle to ~|sources| rows.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    payload = d.select(
+        "source", F.col("text").cast("binary").alias("content"), "text"
+    )
+    return payload.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.max(F.length("content")).alias("max_bytes"),
+        F.countDistinct(F.md5("content")).alias("distinct_digests"),
+    )
+
+
+@register("multimodal_image_features", oracle=None, tags=("multimodal",))
+def multimodal_image_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode → fixed-width feature vectors via Arrow-batched
+    ``mapInPandas`` (decode stubbed deterministically — no image libs here;
+    see ``_decode_image_stub``). Rows-only check: UDF output is not
+    SQL-expressible. Deterministic fixture, so stable across runs."""
+    media = synthetic_media(spark, n=24)
+    feats = extract_image_features(media)
+    return feats.orderBy("media_id").select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("channel_means", 1), 6).alias("mean_r"),
+        "phash",
+    )
+
+
+@register("multimodal_frame_sample", oracle=None, tags=("multimodal",))
+def multimodal_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: metadata-driven (media_id, frame_idx) work
+    units, exploded so each decode would land on its own task — the 100 TB
+    shape where a 2-hour video fans out across the cluster instead of pinning
+    one executor. Decode itself stays behind the stub boundary."""
+    media = synthetic_media(spark, n=24)
+    plan = frame_sample_plan(media, every_n=30)
+    return (
+        plan.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("frame_idx").alias("max_idx"))
+        .orderBy("media_id")
+    )
+
+
+@register("multimodal_audio_features", oracle=None, tags=("multimodal",))
+def multimodal_audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the same Arrow-batched stub boundary."""
+    media = synthetic_media(spark, n=24)
+    return extract_audio_features(media).orderBy("media_id")

@@ -57,7 +57,12 @@ def _ensure_loaded() -> None:
         relational,
         temporal_queries,
     )
-    from driftdb_spark.functions import dedup, similarity, text  # noqa: F401
+    from driftdb_spark.functions import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
 
 
 def query_map() -> dict[str, QueryFn]:

@@ -42,3 +42,28 @@ def test_frame_sample_plan(spark):
     rows = plan.collect()
     assert {r.media_id for r in rows} == {2, 5, 8}  # video rows
     assert all(r.frame_idx >= 0 for r in rows)
+
+def test_audio_features(spark):
+    from driftdb_spark.functions.multimodal import extract_audio_features
+
+    media = synthetic_media(spark, n=9)
+    rows = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert set(rows) == {1, 4, 7}  # audio rows
+    for r in rows.values():
+        assert r.sample_rate in {8000, 16000, 24000, 32000, 40000, 48000}
+        assert r.duration_s > 0 and 0.0 <= r.rms <= 1.0
+    again = {r.media_id: r.sample_rate for r in extract_audio_features(media).collect()}
+    assert again == {k: v.sample_rate for k, v in rows.items()}
+
+
+def test_registered_multimodal_queries(spark):
+    """The registry entries run and return stable shapes."""
+    from driftdb_spark.registry import query_map
+
+    qmap = query_map()
+    sf = "/root/testdata/sf0.001"
+    feats = qmap["multimodal_image_features"](spark, sf).collect()
+    assert len(feats) == 8 and feats[0].media_id == 0
+    stats = qmap["multimodal_binary_stats"](spark, sf)
+    got = {r.source: r.n for r in stats.collect()}
+    assert sum(got.values()) > 0
