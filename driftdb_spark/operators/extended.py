@@ -245,3 +245,80 @@ def fulltext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("text").like("%the fast%")).select(
         "doc_id", F.instr(F.col("text"), "the fast").cast("bigint").alias("pos")
     )
+
+
+@register(
+    "fulltext_fuzzy_search",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_fuzzy,
+           MIN(levenshtein(token, 'sprak')) AS best_dist
+    FROM tok
+    WHERE levenshtein(token, 'sprak') <= 2
+    GROUP BY doc_id
+    """,
+    tags=("text", "fulltext"),
+)
+def fulltext_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant (fuzzy) search — reference FuzzyQuery (fulltext.rs
+    query types :120-135) as edit-distance matching: tokens within
+    levenshtein ≤ 2 of the misspelled query term 'sprak'.
+
+    Scale: levenshtein runs JVM-side in codegen over the exploded tokens; a
+    100 TB corpus would pre-filter candidates by length band / first-char
+    bucket before the distance call, which composes as one extra filter here.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dist = F.levenshtein(F.col("token"), F.lit("sprak"))
+    return (
+        tok.withColumn("dist", dist)
+        .filter(F.col("dist") <= 2)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fuzzy"), F.min("dist").alias("best_dist"))
+    )
+
+
+@register(
+    "fulltext_proximity_search",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    )
+    SELECT a.doc_id,
+           COUNT(*) AS n_pairs,
+           MIN(ABS(a.pos - b.pos)) AS min_gap
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND ABS(a.pos - b.pos) <= 3
+    WHERE a.token = 'fast' AND b.token = 'query'
+    GROUP BY a.doc_id
+    """,
+    tags=("text", "fulltext"),
+)
+def fulltext_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search — reference ProximityQuery: 'fast' within 3 tokens
+    of 'query'. Positions via ``posexplode``; the self-join keys on doc_id
+    so it stays a co-partitioned equi-join with the band predicate applied
+    post-match (each side is pre-filtered to one term, so the join inputs
+    are tiny relative to the corpus — the 100 TB-safe shape)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    a = tok.filter(F.col("token") == "fast").select("doc_id", F.col("pos").alias("pa"))
+    b = tok.filter(F.col("token") == "query").select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= 3)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).alias("min_gap"),
+        )
+    )

@@ -980,3 +980,58 @@ def cte_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c JOIN repeat_customers r ON c.c_custkey = r.o_custkey
         """
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "extension"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE) — Spark-native extension;
+    the reference has none of the grouping-set family (SURVEY §2.4). One
+    shuffle: Spark expands the sets map-side, partial-aggregates, then does
+    a single exchange on the expanded grouping key."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice", "total"))
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal, rk FROM (
+        SELECT n.n_name, c.c_custkey, c.c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY c.c_acctbal DESC, c.c_custkey
+               ) AS rk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rk <= 3
+    """,
+    tags=("window", "join"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (top-3 customers by balance per nation): broadcast
+    dim join + rank-filter. At scale Spark pushes the k-filter into the
+    window sort (WindowGroupLimit) so each partition keeps only k rows
+    before the final sort — no full materialization of ranks."""
+    t = load_tables(spark, sf_dir)
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    w = W.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        joined.select("n_name", "c_custkey", "c_acctbal")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
