@@ -35,6 +35,14 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# DataFrame handles memoized per (session, sf_dir): ``spark.read.parquet``
+# does driver-side file listing + footer schema reads, which every query
+# function would otherwise repeat for all 10 tables. DataFrames are
+# immutable, so reuse is safe; views are (re-)registered on every call
+# because a different sf_dir may have claimed the bare names in between.
+_MEMO: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_CACHED: set[tuple[int, str]] = set()
+
 
 def load_tables(
     spark: SparkSession,
@@ -45,24 +53,31 @@ def load_tables(
     """Read every testdata table under ``sf_dir`` and (optionally) register
     each as a temp view under its bare name.
 
-    Reading is lazy — no job runs until an action; registering a view is
-    metadata-only, so calling this per-query is cheap.
+    Reading is lazy — no job runs until an action; repeat calls return the
+    memoized handles, so per-query catalog overhead is a dict lookup.
     """
-    dfs: dict[str, DataFrame] = {}
-    for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
-        # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
-        # arrives as long nanos — convert to TimestampType (µs, floor),
-        # matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation.
-        for field in df.schema.fields:
-            if field.name == "ts" and field.dataType.simpleString() == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if cache:
-            df = df.cache()
-        if register:
+    key = (id(spark), sf_dir)
+    dfs = _MEMO.get(key)
+    if dfs is None:
+        dfs = {}
+        for name in TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            df = spark.read.parquet(path)
+            # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
+            # arrives as long nanos — convert to TimestampType (µs, floor),
+            # matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation.
+            for field in df.schema.fields:
+                if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            dfs[name] = df
+        _MEMO[key] = dfs
+    if cache and key not in _CACHED:
+        for df in dfs.values():
+            df.cache()
+        _CACHED.add(key)
+    if register:
+        for name, df in dfs.items():
             df.createOrReplaceTempView(name)
-        dfs[name] = df
     return dfs
