@@ -27,6 +27,7 @@ class DriftSession:
         self.spark = spark
         self.storage_dir = storage_dir
         self._tables: dict[str, tuple[EventLog, dict[str, str]]] = {}
+        self._sequences: dict[str, tuple[int, int]] = {}
 
     # -- DDL -----------------------------------------------------------------
 
@@ -49,14 +50,58 @@ class DriftSession:
 
     # -- query ---------------------------------------------------------------
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, args=None) -> DataFrame:
         """Execute SQL with optional FOR SYSTEM_TIME clause. The temporal
         target applies to every event-backed table in the query — exactly
         the reference's semantics (joins included, sql_bridge.rs:1316-1321).
+
+        ``args`` enables parameterized SQL (reference ``$1``-style params,
+        sql_bridge.rs:183-226): a dict binds named ``:name`` markers, a
+        list binds positional ``?`` markers — Spark's native parameter
+        binding, so values never interpolate into the SQL text.
         """
         clean, asof = parse_system_time(query)
         self._register_states(asof)
-        return self.spark.sql(clean)
+        if args is None:
+            return self.spark.sql(clean)
+        return self.spark.sql(clean, args=args)
+
+    # -- sequences / auto-increment ------------------------------------------
+
+    def create_sequence(self, name: str, start: int = 1, increment: int = 1) -> None:
+        """CREATE SEQUENCE (reference sequences.rs:37-220). The counter is
+        session-scoped driver state — sequences are an inherently serial
+        contract, so they do not belong on the data path; distributed inserts
+        that only need *uniqueness* should use ``insert_auto_increment``."""
+        self._sequences[name] = (start, increment)
+
+    def nextval(self, name: str) -> int:
+        cur, inc = self._sequences[name]
+        self._sequences[name] = (cur + inc, inc)
+        return cur
+
+    def insert_auto_increment(self, table: str, rows: DataFrame) -> int:
+        """Auto-increment PK assignment for a batch insert (reference
+        per-table-column auto-increment, sequences.rs). The next id is
+        ``max(existing pk) + row_number within the batch`` — one scalar agg
+        over current state plus a global row_number on the batch. Contiguity
+        requires the single-partition window; at 100 TB you'd trade
+        contiguity for ``monotonically_increasing_id``. Batches are the unit
+        of write here, so the serial window only sees the new rows."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window as W
+
+        log, schema_cols = self._tables[table]
+        state = log.state_df(schema_cols)
+        base = (
+            state.agg(F.max(F.col(log.pk_col).cast("long")).alias("m")).collect()[0].m
+            or 0
+        )
+        w = W.orderBy(F.monotonically_increasing_id())
+        with_pk = rows.withColumn(
+            log.pk_col, (F.lit(base) + F.row_number().over(w)).cast("long")
+        )
+        return log.insert(with_pk)
 
     def drift(self, table: str, pk=None) -> DataFrame:
         """SHOW DRIFT — event history (reference query/executor.rs:327-354)."""

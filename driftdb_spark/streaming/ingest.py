@@ -123,3 +123,57 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+RUNNING_TOTALS_SCHEMA = "pk string, total_events long, last_seq long, total_value double"
+RUNNING_TOTALS_STATE = "total_events long, last_seq long, total_value double"
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running totals that survive across micro-batches — the
+    arbitrary-state API the built-in windowed aggregations can't express
+    (reference has no streaming at all; this is the Spark-native extension
+    the north star asks for).
+
+    State per pk: (event count, max sequence, sum of payload.value). Each
+    micro-batch's groups arrive as Arrow-backed pandas frames; the update is
+    vectorized per group. State is bounded by key cardinality and sharded by
+    the shuffle on pk — at 100 TB state lives in the state store (RocksDB on
+    a real cluster), not the driver.
+    """
+    import pandas as pd  # local: only the streaming path needs it
+
+    def update(key, pdfs, state):
+        total, last_seq, total_value = (
+            state.get if state.exists else (0, -1, 0.0)
+        )
+        for pdf in pdfs:
+            total += len(pdf)
+            last_seq = max(last_seq, int(pdf["sequence"].max()))
+            vals = pd.to_numeric(
+                pdf["payload"].map(
+                    lambda m: (m or {}).get("value") if m is not None else None
+                ),
+                errors="coerce",
+            )
+            total_value += float(vals.fillna(0.0).sum())
+        state.update((total, last_seq, total_value))
+        yield pd.DataFrame(
+            {
+                "pk": [key[0]],
+                "total_events": [total],
+                "last_seq": [last_seq],
+                "total_value": [round(total_value, 6)],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("pk").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_SCHEMA,
+        RUNNING_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -82,3 +82,27 @@ def test_analyze_and_plan_facts(sess, spark):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     facts = plan_facts(li.filter(F.col("l_orderkey") == 7).select("l_orderkey", "l_quantity"))
     assert facts["has_pushed_filters"], "filter must reach the parquet scan"
+
+def test_parameterized_sql(sess):
+    named = sess.sql(
+        "SELECT name, qty FROM products WHERE qty > :minq ORDER BY id",
+        args={"minq": 4},
+    ).collect()
+    assert [r.name for r in named] == ["bolt", "nut"]
+    positional = sess.sql(
+        "SELECT COUNT(*) AS n FROM products WHERE qty BETWEEN ? AND ?", args=[2, 5]
+    ).first()
+    assert positional.n == 2
+
+
+def test_sequences_and_auto_increment(sess, spark):
+    sess.create_sequence("s1", start=10, increment=5)
+    assert [sess.nextval("s1") for _ in range(3)] == [10, 15, 20]
+
+    n = sess.insert_auto_increment(
+        "products",
+        spark.createDataFrame([("cog", 7), ("pin", 1)], "name string, qty int"),
+    )
+    assert n > 0
+    rows = sess.sql("SELECT id, name FROM products ORDER BY id").collect()
+    assert [(r.id, r.name) for r in rows][-2:] == [(4, "cog"), (5, "pin")]

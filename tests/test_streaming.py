@@ -74,3 +74,39 @@ def test_windowed_counts_stream_equals_batch(spark, log, tmp_path):
         for r in windowed_event_counts(log.events(), "1 hour").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+def test_stateful_running_totals_across_microbatches(spark, log, tmp_path):
+    """applyInPandasWithState: per-key state must accumulate across
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches per run)."""
+    from driftdb_spark.streaming.ingest import stateful_running_totals
+
+    # second write → second parquet file → second micro-batch
+    log.upsert(
+        spark.createDataFrame([(1, "a2", 15), (4, "d", 40)], "id int, name string, value int")
+    )
+    stream = (
+        spark.readStream.schema(log.events().schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log._events_dir)
+    )
+    totals = stateful_running_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(180)
+    # update-mode memory sink appends each batch's emissions; last row per pk
+    # is the final state
+    rows = spark.sql(
+        "SELECT * FROM running_totals ORDER BY last_seq"
+    ).collect()
+    final = {r.pk: r for r in rows}
+    # pk 1: insert(v=10) + upsert(v=15) → 2 events, total_value 25
+    assert final["1"].total_events == 2 and final["1"].total_value == 25.0
+    # pk 2: insert + soft_delete (delete has no value payload) → 2 events
+    assert final["2"].total_events == 2 and final["2"].total_value == 20.0
+    assert final["4"].total_events == 1 and final["4"].total_value == 40.0
