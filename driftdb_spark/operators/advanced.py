@@ -235,3 +235,38 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "scale"),
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed grouping keys.
+
+    ``l_returnflag`` has 3 values over 600 K+ rows — the worst-case shape
+    where a plain groupBy funnels each key through one reducer. Phase 1
+    groups by (key, salt) so partials spread across ``16 × |keys|``
+    reducers; phase 2 combines the per-salt partials. Decimal partial sums
+    re-add exactly, so the result is bit-identical to the direct group-by
+    (the oracle IS the direct group-by). AQE's skew handling covers joins;
+    salting is the aggregation-side equivalent, written once here as the
+    pattern for any hot-key rollup at 100 TB.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_sq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_sq").cast("double").alias("sum_qty"),
+    )

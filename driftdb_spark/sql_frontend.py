@@ -28,6 +28,7 @@ class DriftSession:
         self.storage_dir = storage_dir
         self._tables: dict[str, tuple[EventLog, dict[str, str]]] = {}
         self._sequences: dict[str, tuple[int, int]] = {}
+        self._fks: list[tuple[str, str, str, str]] = []
 
     # -- DDL -----------------------------------------------------------------
 
@@ -65,6 +66,65 @@ class DriftSession:
         if args is None:
             return self.spark.sql(clean)
         return self.spark.sql(clean, args=args)
+
+    # -- foreign keys ---------------------------------------------------------
+
+    def add_foreign_key(
+        self, child: str, child_col: str, parent: str, parent_col: str
+    ) -> None:
+        """Register a FK (reference inline/table-level FKs, fk.rs:20-150;
+        RESTRICT is the enforced action there too — CASCADE is parsed but
+        never executed)."""
+        self._fks.append((child, child_col, parent, parent_col))
+
+    def insert_checked(self, table: str, rows: DataFrame) -> int:
+        """INSERT with FK-RESTRICT validation: each referencing value must
+        exist in the parent's current state. The check is one anti-join per
+        FK — distributed, no driver-side row loop (reference validates
+        row-at-a-time, fk.rs:73-150)."""
+        from pyspark.sql import functions as F
+
+        log, _ = self._tables[table]
+        for child, child_col, parent, parent_col in self._fks:
+            if child != table:
+                continue
+            plog, pcols = self._tables[parent]
+            parent_keys = plog.state_df(pcols).select(
+                F.col(parent_col).cast("string").alias("_fk")
+            )
+            orphans = rows.filter(F.col(child_col).isNotNull()).join(
+                parent_keys,
+                F.col(child_col).cast("string") == F.col("_fk"),
+                "left_anti",
+            )
+            if not orphans.isEmpty():
+                raise ValueError(
+                    f"FK violation: {table}.{child_col} -> {parent}.{parent_col}"
+                )
+        return log.insert(rows)
+
+    def delete_checked(self, table: str, condition: str) -> int:
+        """DELETE with FK-RESTRICT on children: refuse if any child row still
+        references a to-be-deleted parent key (anti-join formulation of the
+        reference's RESTRICT walk)."""
+        from pyspark.sql import functions as F
+
+        log, schema_cols = self._tables[table]
+        doomed = log.state_df(schema_cols).filter(condition)
+        for child, child_col, parent, parent_col in self._fks:
+            if parent != table:
+                continue
+            clog, ccols = self._tables[child]
+            referencing = clog.state_df(ccols).join(
+                doomed.select(F.col(parent_col).cast("string").alias("_pk")),
+                F.col(child_col).cast("string") == F.col("_pk"),
+                "left_semi",
+            )
+            if not referencing.isEmpty():
+                raise ValueError(
+                    f"FK RESTRICT: {child}.{child_col} references {table}.{parent_col}"
+                )
+        return log.delete_where(schema_cols, condition)
 
     # -- sequences / auto-increment ------------------------------------------
 

@@ -106,3 +106,20 @@ def test_sequences_and_auto_increment(sess, spark):
     assert n > 0
     rows = sess.sql("SELECT id, name FROM products ORDER BY id").collect()
     assert [(r.id, r.name) for r in rows][-2:] == [(4, "cog"), (5, "pin")]
+
+def test_foreign_key_restrict(sess, spark):
+    sess.create_table("orders_t", {"oid": "int", "product_id": "int"}, pk="oid")
+    sess.add_foreign_key("orders_t", "product_id", "products", "id")
+
+    ok = spark.createDataFrame([(100, 1), (101, 3)], "oid int, product_id int")
+    assert sess.insert_checked("orders_t", ok) > 0
+
+    bad = spark.createDataFrame([(102, 99)], "oid int, product_id int")
+    with pytest.raises(ValueError, match="FK violation"):
+        sess.insert_checked("orders_t", bad)
+
+    # parent delete blocked while referenced; unreferenced parent deletes fine
+    with pytest.raises(ValueError, match="FK RESTRICT"):
+        sess.delete_checked("products", "id = 1")
+    assert sess.delete_checked("products", "id = 2") > 0
+    assert sess.sql("SELECT COUNT(*) AS n FROM products").first().n == 2
