@@ -59,3 +59,25 @@ def test_reconstruction_single_exchange(spark):
     plan = explain_plan(df)
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1, f"expected 1 pk exchange, saw {n_exchanges}\n{plan}"
+
+def test_topk_uses_window_group_limit(spark):
+    """Rank-filter top-k must compile to WindowGroupLimit (per-partition
+    k-row pre-pruning) rather than ranking every row then filtering."""
+    plan = explain_plan(QUERIES["topk_per_group"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_hot_paths_are_python_free(spark):
+    """Dedup/similarity/text operators promise JVM-side execution (SCALE.md
+    §4): no row-at-a-time or Arrow Python eval nodes in their plans."""
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "sim_cosine_topk",
+        "text_token_df",
+        "fulltext_fuzzy_search",
+        "agg_skew_salted",
+    ):
+        plan = explain_plan(QUERIES[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
