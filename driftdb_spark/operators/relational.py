@@ -1035,3 +1035,31 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "arith_div_zero_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity / NULLIF(l_linenumber - 1, 0) AS qty_ratio,
+           CAST(l_quantity AS BIGINT) % NULLIF(l_linenumber - 1, 0) AS qty_mod
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    """,
+    tags=("projection", "semantics"),
+)
+def arith_div_zero_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division/modulo by zero yields NULL — the reference's semantics
+    (evaluate_binary_op, reference sql_bridge.rs:4941-4989). Spark 4 runs
+    ANSI mode (div-by-zero errors), so the NULL-on-zero contract is written
+    explicitly with ``try_divide``/``try_mod`` rather than by disabling ANSI
+    session-wide; the oracle spells it NULLIF. Single IEEE division of
+    identical operands is bit-deterministic, so no rounding is needed."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    denom = F.col("l_linenumber") - F.lit(1)
+    return li.filter(F.col("l_orderkey") < 2000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_quantity"), denom).alias("qty_ratio"),
+        F.try_mod(F.col("l_quantity").cast("bigint"), denom).alias("qty_mod"),
+    )

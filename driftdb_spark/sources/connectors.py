@@ -1,0 +1,66 @@
+"""Sources & sinks (SURVEY §2.1).
+
+The reference's only source is its own segment storage and its only sink is
+JSON rows over pgwire (reference sql/executor.rs:25-60); Spark's DataSource
+API gives the rebuild a real connector surface for free. This module pins
+the engine's conventions on top of it:
+
+- **Typed reads.** CSV/JSON readers take an explicit DDL schema — schema
+  inference runs an extra scan of the data (prohibitive at 100 TB) and
+  yields unstable types across samples. Parquet/ORC carry their own schema.
+- **Pushdown-friendly.** All readers return plain DataFrames, so Catalyst
+  pushes filters/pruning into every format that supports it (parquet, ORC).
+- **Partitioned sinks.** ``write_table`` supports ``partition_by`` (hive
+  layout → partition pruning on read-back) and bounds file count via
+  ``repartition`` rather than coalesce-to-1 driver funnels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_READABLE = {"parquet", "csv", "json", "orc"}
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Read ``path`` as ``fmt``. Text formats require an explicit schema
+    (DDL string) — see module docstring. CSV defaults to header=true."""
+    if fmt not in _READABLE:
+        raise ValueError(f"unsupported source format: {fmt}")
+    reader = spark.read
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} source requires an explicit schema at scale")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_files: int | None = None,
+    **options,
+) -> None:
+    """Write ``df`` to ``path``. ``partition_by`` produces hive-layout
+    directories (partition-pruned on read-back); ``max_files`` caps output
+    file count with a repartition (a shuffle — intentional, it balances
+    writers instead of funneling through few tasks)."""
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if max_files is not None:
+        df = df.repartition(max_files)
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)

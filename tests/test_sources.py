@@ -1,0 +1,49 @@
+"""Sources & sinks: typed readers, partitioned writes, pruning on read-back."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftdb_spark.plans.stats import explain_plan
+from driftdb_spark.sources import read_table, write_table
+
+SCHEMA = "id int, grp string, val double"
+ROWS = [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5), (4, "b", 4.5)]
+
+
+@pytest.fixture
+def df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_formats(spark, df, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    write_table(df, path, fmt=fmt)
+    back = read_table(spark, path, fmt=fmt, schema=SCHEMA)
+    assert sorted((r.id, r.grp, r.val) for r in back.collect()) == sorted(ROWS)
+
+
+def test_text_formats_require_schema(spark, df, tmp_path):
+    path = str(tmp_path / "c")
+    write_table(df, path, fmt="csv")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, path, fmt="csv")
+
+
+def test_partitioned_write_prunes_on_readback(spark, df, tmp_path):
+    path = str(tmp_path / "part")
+    write_table(df, path, fmt="parquet", partition_by=["grp"])
+    back = read_table(spark, path).filter(F.col("grp") == "a")
+    assert {r.id for r in back.collect()} == {1, 3}
+    # partition filter must prune directories, not scan-and-filter
+    assert "PartitionFilters: [isnotnull(grp" in explain_plan(back)
+
+
+def test_max_files_caps_output(spark, df, tmp_path):
+    import glob
+
+    path = str(tmp_path / "capped")
+    write_table(df, path, fmt="parquet", max_files=2)
+    assert len(glob.glob(f"{path}/part-*")) == 2
