@@ -81,3 +81,15 @@ def test_hot_paths_are_python_free(spark):
     ):
         plan = explain_plan(QUERIES[name].fn(spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+def test_asof_literal_bound_pushes_to_scan(spark):
+    """The user-API time-travel path (apply_asof with a resolved sequence)
+    must reach the parquet scan as a pushed filter — SCALE.md §2. (The
+    benchmark AS OF queries compute an SF-relative cap, which is dynamic by
+    design and filters post-scan.)"""
+    from driftdb_spark.temporal import AsOf, apply_asof
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    bounded = apply_asof(ev, AsOf(sequence=500), seq_col="event_id")
+    plan = explain_plan(bounded)
+    assert "LessThanOrEqual(event_id,500)" in plan, plan[:800]
