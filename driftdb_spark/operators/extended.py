@@ -322,3 +322,65 @@ def fulltext_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.abs(F.col("pa") - F.col("pb"))).alias("min_gap"),
         )
     )
+
+
+@register(
+    "json_functions",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "json"),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON document columns (the reference's entire row model is JSON —
+    SURVEY §1.2; here JSON appears where it belongs, as a payload column
+    with path extraction). ``get_json_object`` runs JVM-side; integer sums
+    stay exact so no decimal routing is needed."""
+    e = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long,
+           array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3,
+           list_aggregate(list_transform(string_split(text, ' '),
+                                         x -> length(x)), 'sum') AS total_chars
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("functions", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array columns + higher-order functions (transform/filter/aggregate)
+    — all JVM-side lambda expressions, no UDFs (SURVEY §2.2's curated
+    function-library extension)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), ",").alias("first3"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
