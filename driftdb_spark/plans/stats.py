@@ -60,3 +60,47 @@ def analyze_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         data,
         "column string, n_rows long, approx_distinct long, n_nulls long, min_str string, max_str string",
     )
+
+
+def explain_analyze(df: DataFrame) -> list[dict]:
+    """EXPLAIN ANALYZE (reference sql_bridge.rs:580-670 + explain.rs —
+    measured rows/time per plan node): execute the query, then walk the
+    final physical plan collecting each operator's runtime metrics
+    (rows output, time spent, spill, shuffle bytes — whatever the node
+    recorded).
+
+    Returns one dict per operator: {node, depth, metrics:{name: value}}.
+    The walk unwraps AQE (AdaptiveSparkPlanExec → final plan) and
+    whole-stage-codegen wrappers, and descends into reused exchanges and
+    shuffle/broadcast query stages so the tree matches what actually ran.
+    """
+    # Execute THIS plan instance (a .count() or .write would build a
+    # different QueryExecution and leave these metrics empty): drive the
+    # physical plan's row RDD to completion without collecting rows.
+    root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    root.execute().count()
+
+    out: list[dict] = []
+
+    def walk(node, depth: int) -> None:
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan(), depth)
+            return
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[str(kv._1())] = int(kv._2().value())
+        out.append({"node": str(name), "depth": depth, "metrics": metrics})
+        # query stages (result/shuffle/broadcast) wrap their subtree in .plan()
+        cls = node.getClass().getSimpleName()
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan(), depth + 1)
+            return
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i), depth + 1)
+
+    walk(root, 0)
+    return out
