@@ -47,3 +47,35 @@ def test_max_files_caps_output(spark, df, tmp_path):
     path = str(tmp_path / "capped")
     write_table(df, path, fmt="parquet", max_files=2)
     assert len(glob.glob(f"{path}/part-*")) == 2
+
+
+def test_clustered_layout_prunes_scan(spark):
+    """write_clustered must enable row-group pruning: a point predicate on
+    the cluster key reads far fewer rows than the same predicate over a
+    randomly-laid-out copy (the data-skipping access path that replaces the
+    reference's secondary indexes)."""
+    import tempfile
+
+    from driftdb_spark.plans.stats import explain_analyze
+    from driftdb_spark.sources.connectors import write_clustered
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        clustered = f"{tmp}/clustered"
+        shuffled = f"{tmp}/shuffled"
+        write_clustered(events, clustered, ["user_id"], num_files=8)
+        # adversarial baseline: same data, random order
+        events.orderBy(F.rand(seed=7)).repartition(8).write.parquet(shuffled)
+
+        def rows_scanned(path):
+            df = spark.read.parquet(path).filter(F.col("user_id") == 5)
+            nodes = explain_analyze(df)
+            scan = next(n for n in nodes if "Scan" in n["node"])
+            return scan["metrics"]["numOutputRows"], df.count()
+
+        c_scanned, c_result = rows_scanned(clustered)
+        s_scanned, s_result = rows_scanned(shuffled)
+        assert c_result == s_result  # same answer
+        # clustered layout must scan dramatically less (row-group stats)
+        assert c_scanned < s_scanned / 2, (c_scanned, s_scanned)
