@@ -4,11 +4,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>}
 
-Method: one warmed SparkSession; each query executes twice and the second
-(warm-JIT) run is reported — matching BASELINE.md's interpretation that the
-comparable quantity is warmed batch throughput, not JVM startup. Results are
-materialized through the noop sink (full computation, no driver transfer
-noise).
+Method: one warmed SparkSession; each query runs twice as warm-up (C2 JIT
+settling) and the best of three timed runs is reported — matching
+BASELINE.md's interpretation that the comparable quantity is warmed batch
+throughput, not JVM startup. Results are materialized through the noop sink
+(full computation, no driver transfer noise).
 """
 
 from __future__ import annotations
@@ -55,9 +55,13 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
-        _materialize(fn(spark, sf_dir))  # warm-up: JIT, parquet footer cache
-        best = float("inf")
+        # two warm-ups: C2 JIT compilation of codegen'd stages needs more
+        # than one pass to settle, and decimal-heavy queries showed ±50%
+        # run-to-run swings with a single warm-up
         for _ in range(2):
+            _materialize(fn(spark, sf_dir))
+        best = float("inf")
+        for _ in range(3):
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
