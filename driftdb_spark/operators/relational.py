@@ -1068,3 +1068,117 @@ def arith_div_zero_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("l_quantity"), denom).alias("qty_ratio"),
         F.try_mod(F.col("l_quantity").cast("bigint"), denom).alias("qty_mod"),
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables pushed to the
+    scans, customer reduced then broadcast, top-10 via
+    TakeOrderedAndProject (no full sort). Unique tie-breaker (l_orderkey)
+    makes the LIMIT cut deterministic for the oracle hash."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < "1995-03-15")
+    li = t["lineitem"].filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over an aggregated subquery → semi-join against
+    the pre-aggregated key set. The HAVING filter runs before the semi-join,
+    so only qualifying keys shuffle — at 100 TB the candidate set is tiny
+    relative to lineitem and Spark broadcasts it into the probe."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    li = t["lineitem"].join(big.withColumnRenamed("l_orderkey", "bk"),
+                            F.col("l_orderkey") == F.col("bk"), "left_semi")
+    return (
+        li.join(t["orders"].hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(_dsum("l_quantity", "total_qty"))
+    )
+
+
+@register(
+    "left_join_filter_semantics",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name,
+           COUNT(s.s_suppkey) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM nation n
+    LEFT JOIN supplier s
+      ON n.n_nationkey = s.s_nationkey AND s.s_acctbal > 5000
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+    tags=("join", "semantics"),
+)
+def left_join_filter_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join predicate-placement semantics: a condition on the
+    null-producing side belongs in ON (pre-join filter of the right side,
+    preserved rows survive), not WHERE (which would silently convert the
+    join to inner). COUNT(col) vs COUNT(*) shows the NULL padding. The
+    reference pushes predicates only into the preserving side for LEFT
+    joins (sql_bridge.rs:2072-2108) — same rule Catalyst applies."""
+    t = load_tables(spark, sf_dir)
+    n = t["nation"]
+    s = t["supplier"].filter(F.col("s_acctbal") > 5000)
+    joined = n.join(s, F.col("n_nationkey") == F.col("s_nationkey"), "left")
+    return joined.groupBy("n_nationkey", "n_name").agg(
+        F.count("s_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
