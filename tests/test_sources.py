@@ -79,3 +79,40 @@ def test_clustered_layout_prunes_scan(spark):
         assert c_result == s_result  # same answer
         # clustered layout must scan dramatically less (row-group stats)
         assert c_scanned < s_scanned / 2, (c_scanned, s_scanned)
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Two tables bucketed on the join key must hash-join with NO Exchange
+    in the plan (the shuffle was paid at write time)."""
+    from driftdb_spark.sources.connectors import write_bucketed
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(o.select("o_orderkey", "o_custkey"), "b_orders", ["o_orderkey"], 4)
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"], 4
+    )
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .hint("merge")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = explain_plan(joined)
+        import re
+
+        joins = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+        assert joins, plan[:500]
+        # the join inputs must not be re-shuffled: only the final groupBy
+        # (o_custkey is not the bucket key) may exchange
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+        assert n_exchanges == 1, f"expected only the agg exchange, got {n_exchanges}\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
