@@ -177,3 +177,32 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (dynamic, gap-closed) per user — Spark's native
+    ``session_window`` merges adjacent events within ``gap`` into one
+    variable-length window, the streaming-native form of the batch
+    sessionization in ``events_sessionize``. State per open session is
+    bounded by the watermark. Works on streaming and batch frames alike."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("pk").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("sequence").alias("first_seq"),
+            F.max("sequence").alias("last_seq"),
+        )
+        .select(
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "first_seq",
+            "last_seq",
+        )
+    )

@@ -110,3 +110,29 @@ def test_stateful_running_totals_across_microbatches(spark, log, tmp_path):
     # pk 2: insert + soft_delete (delete has no value payload) → 2 events
     assert final["2"].total_events == 2 and final["2"].total_value == 20.0
     assert final["4"].total_events == 1 and final["4"].total_value == 40.0
+
+
+def test_session_window_stream_equals_batch(spark, log, tmp_path):
+    """Native session windows: streaming (availableNow, complete mode) and
+    batch evaluation of the same session_window aggregation agree."""
+    from driftdb_spark.streaming.ingest import session_window_stats
+
+    stream = session_window_stats(read_event_stream(spark, log._events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.sess_start): (r.n_events, r.first_seq, r.last_seq)
+        for r in spark.sql("SELECT * FROM sess_stats").collect()
+    }
+    batch = {
+        (r.user_id, r.sess_start): (r.n_events, r.first_seq, r.last_seq)
+        for r in session_window_stats(log.events()).collect()
+    }
+    assert streamed == batch and len(batch) > 0
