@@ -215,3 +215,134 @@ def sim_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+# Coarse quantizer: K seed vectors (vec_id < K) act as list centroids; every
+# vector is assigned to its nearest list (cosine argmax), the query probes the
+# N_PROBE nearest lists, exact cosine runs only inside probed lists. At 100 TB
+# the corpus is written PARTITIONED BY list_id, so a probe is partition
+# pruning: nprobe/K of the data is read, everything else never leaves disk.
+K_LISTS = 16
+N_PROBE = 4
+
+_SIM = (
+    "round(aggregate(zip_with({v}, {c}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e) / ({nv} * {nc}), 6)"
+)
+
+
+def ivf_assign(emb: DataFrame, cent_row: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid — row-local argmax over the
+    broadcast quantizer (array_max on (sim, cid) structs: ties take the higher
+    cid). No shuffle: one narrow map stage over the corpus."""
+    best = F.expr(
+        "array_max(transform(cents, c -> struct("
+        + _SIM.format(v="embedding", c="c.ce", nv="enrm", nc="c.cnrm")
+        + " AS s, c.cid AS cid))).cid"
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent_row))
+        .withColumn("enrm", F.sqrt(_dots("embedding", "embedding")))
+        .withColumn("list_id", best)
+    )
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH cn AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+        FROM embeddings WHERE vec_id < {K_LISTS}
+    ),
+    en AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS enrm
+        FROM embeddings
+    ),
+    assign AS (
+        SELECT vec_id, cid AS list_id FROM (
+            SELECT en.vec_id, cn.cid,
+                   ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+                       ROUND(list_sum(list_transform(range(1, {DIM + 1}),
+                            i -> en.ee[i] * cn.ce[i])) / (en.enrm * cn.cnrm), 6) DESC,
+                       cn.cid DESC) AS rk
+            FROM en CROSS JOIN cn
+        ) ranked WHERE rk = 1
+    ),
+    q AS (SELECT ee AS qe, enrm AS qnrm FROM en WHERE vec_id = 0),
+    probes AS (
+        SELECT cn.cid FROM cn CROSS JOIN q
+        ORDER BY ROUND(list_sum(list_transform(range(1, {DIM + 1}),
+                     i -> q.qe[i] * cn.ce[i])) / (q.qnrm * cn.cnrm), 6) DESC,
+                 cn.cid DESC
+        LIMIT {N_PROBE}
+    )
+    SELECT en.vec_id, en.label,
+           ROUND(list_sum(list_transform(range(1, {DIM + 1}),
+                i -> en.ee[i] * q.qe[i])) / (en.enrm * q.qnrm), 6) AS cos_sim
+    FROM en
+    JOIN assign a ON en.vec_id = a.vec_id
+    CROSS JOIN q
+    WHERE a.list_id IN (SELECT cid FROM probes) AND en.vec_id <> 0
+    ORDER BY cos_sim DESC, en.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted file, Faiss-style coarse quantization): K=16
+    centroid lists, nprobe=4. Unlike the LSH variant this one is fully
+    SQL-expressible — both engines compute bit-identical IEEE sums (same
+    sequential fold over 64 doubles) so the argmax assignment, the probe
+    choice, and the final top-k all match the DuckDB oracle exactly.
+    Spark plan: quantizer is a 1-row broadcast (collect_list of 16
+    centroids), assignment + scoring are narrow map stages, final top-10 is
+    TakeOrderedAndProject — the only wide operation at any scale."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent_row = (
+        emb.filter(F.col("vec_id") < K_LISTS)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"),
+            ).alias("c")
+        )
+        .withColumn("c", F.struct("c.cid", "c.ce", F.sqrt(_dots("c.ce", "c.ce")).alias("cnrm")))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    assigned = ivf_assign(emb, cent_row)
+
+    qrow = (
+        assigned.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qe"),
+            F.col("enrm").alias("qnrm"),
+            F.col("cents").alias("qcents"),
+        )
+    )
+    probe_sim = _SIM.format(v="qe", c="c.ce", nv="qnrm", nc="c.cnrm")
+    probes = qrow.select(
+        "qe",
+        "qnrm",
+        F.explode(
+            F.expr(
+                "transform(slice(reverse(array_sort(transform(qcents, c -> "
+                f"struct({probe_sim} AS s, c.cid AS cid)))), 1, {N_PROBE}), p -> p.cid)"
+            )
+        ).alias("pcid"),
+    )
+    cand = assigned.join(
+        F.broadcast(probes), F.col("list_id") == F.col("pcid")
+    ).filter(F.col("vec_id") != 0)
+    cos = F.expr(_SIM.format(v="embedding", c="qe", nv="enrm", nc="qnrm"))
+    return (
+        cand.select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -75,3 +75,16 @@ def test_recursive_cte_union_distinct_semantics(spark):
 
     out = recursive_cte(anchor, step, distinct=True, max_iterations=50)
     assert sorted(r.n for r in out.collect()) == [0, 1, 2]
+
+def test_ivf_probe_recall_vs_exact(spark):
+    """IVF with nprobe=4 of 16 lists must recover most of the exact top-10
+    (structural recall check: the probed lists are the ones nearest the
+    query, so its true neighbors' lists are likely probed)."""
+    from driftdb_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    exact = {r.vec_id for r in cosine_topk(
+        spark.read.parquet(f"{SF}/embeddings.parquet"), query_vec_id=0, k=10
+    ).collect()}
+    approx = {r.vec_id for r in QUERIES["sim_ann_ivf"].fn(spark, SF).collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
