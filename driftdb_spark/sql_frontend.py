@@ -49,6 +49,29 @@ class DriftSession:
     def drop_table(self, name: str) -> None:
         self._tables.pop(name, None)
 
+    def alter_table_add_column(
+        self, table: str, col: str, coltype: str, default=None
+    ) -> None:
+        """ALTER TABLE ADD COLUMN (reference sql_bridge.rs:6106-6170).
+
+        The event payload is a schemaless map, so adding a column is pure
+        schema registration — historic rows simply project NULL, which is
+        also what the reference's dynamic JSON rows yield for a missing
+        field. A DEFAULT is event-sourced honestly: one Patch event per
+        live row backfills the value, so ``FOR SYSTEM_TIME AS OF`` a
+        pre-ALTER sequence still shows NULL (the default did not exist
+        then). The backfill is a single distributed append, not a rewrite
+        of history — O(live rows), no touch of prior events."""
+        from pyspark.sql import functions as F
+
+        log, schema_cols = self._tables[table]
+        if col in schema_cols:
+            raise ValueError(f"column {col} already exists on {table}")
+        if default is not None:
+            live = log.state_df(schema_cols).select(log.pk_col)
+            log.patch(live.withColumn(col, F.lit(default).cast(coltype)))
+        schema_cols[col] = coltype
+
     # -- query ---------------------------------------------------------------
 
     def sql(self, query: str, args=None) -> DataFrame:

@@ -141,3 +141,28 @@ def test_explain_analyze_reports_runtime_metrics(spark):
     assert scan["metrics"].get("numOutputRows") == 25
     final_agg = next(n for n in nodes if "HashAggregate" in n["node"])
     assert final_agg["metrics"].get("numOutputRows") == 5
+
+
+def test_alter_table_add_column(sess):
+    """ADD COLUMN is schema registration; DEFAULT backfills via Patch events
+    so time travel before the ALTER shows NULL, after shows the default."""
+    seq_before = sess.table("products").last_sequence()
+    sess.alter_table_add_column("products", "grade", "string", default="B")
+    cur = {r.id: r.grade for r in sess.sql("SELECT id, grade FROM products").collect()}
+    assert cur == {1: "B", 2: "B", 3: "B"}
+    # the column exists in the current schema projection, but its value did
+    # not exist at the pre-ALTER sequence
+    old = {
+        r.id: r.grade
+        for r in sess.sql(
+            f"SELECT id, grade FROM products FOR SYSTEM_TIME AS OF @SEQ:{seq_before}"
+        ).collect()
+    }
+    assert old == {1: None, 2: None, 3: None}
+    # normal DML on the new column works
+    sess.table("products").update_where(
+        {"id": "int", "grade": "string"}, "id = 1", {"grade": "'A'"}
+    )
+    assert sess.sql("SELECT grade FROM products WHERE id = 1").first()["grade"] == "A"
+    with pytest.raises(ValueError):
+        sess.alter_table_add_column("products", "grade", "string")
