@@ -206,3 +206,29 @@ def session_window_stats(
             "last_seq",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` — the
+    streaming form of the batch ``dedup_exact`` operator (a training-data
+    ingest pipeline dedupes documents as they arrive, not in a nightly
+    batch job).
+
+    Dedup state is keyed by ``keys`` (default: content = the payload map
+    rendered to a canonical string, so re-sent identical events collapse)
+    and GARBAGE-COLLECTED once the watermark passes each key's first-seen
+    event time — unbounded streams therefore hold bounded state, which
+    plain ``dropDuplicates`` on a stream does not (its state grows
+    forever). At scale, state shards across executors on the dedup key
+    (RocksDB state store on a real cluster)."""
+    if keys is None:
+        events = events.withColumn(
+            "content_key",
+            F.sha2(F.to_json(F.map_entries(F.col("payload"))), 256),
+        )
+        keys = ["content_key"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -136,3 +136,48 @@ def test_session_window_stream_equals_batch(spark, log, tmp_path):
         for r in session_window_stats(log.events()).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_dedup_within_watermark(spark, log, tmp_path):
+    """dropDuplicatesWithinWatermark: identical payloads re-sent within the
+    watermark window collapse to one row; distinct payloads all survive."""
+    from driftdb_spark.streaming.ingest import dedup_stream
+
+    # re-send pk 1's exact insert payload (same content, new sequence/ts)
+    ev = log.events()
+    dup = ev.filter((F.col("pk") == "1") & (F.col("event_type") == "INSERT")).select(
+        (F.col("sequence") + 100).alias("sequence"),
+        F.current_timestamp().alias("ts"),
+        "event_type",
+        "pk",
+        "payload",
+    )
+    dup.write.mode("append").parquet(log._events_dir)
+
+    stream = dedup_stream(read_event_stream(spark, log._events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    # 4 original events (3 inserts + 1 delete) + 1 duplicate → 4 survivors
+    assert len(out) == 4
+    keys = [r.content_key for r in out]
+    assert len(keys) == len(set(keys))
+    # batch parity: the same transformation on the batch frame, deduped on
+    # the same content key, yields the same survivor multiset
+    batch_keys = {
+        r.content_key
+        for r in log.events()
+        .withColumn(
+            "content_key", F.sha2(F.to_json(F.map_entries(F.col("payload"))), 256)
+        )
+        .dropDuplicates(["content_key"])
+        .collect()
+    }
+    assert set(keys) == batch_keys
