@@ -43,6 +43,52 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _MEMO: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _CACHED: set[tuple[int, str]] = set()
 
+# Ingest-time layout fix: the synthetic testdata ships each table as ONE
+# parquet file with ONE row group — an unsplittable scan, so every query's
+# read + partial aggregation runs on a single core no matter how many are
+# available. Any engine owns its storage layout (the reference ingests into
+# its event-log segments; Delta has OPTIMIZE): on first load we rewrite such
+# tables once into a multi-file copy under the repo warehouse, fingerprinted
+# against the source file so edits invalidate. Values are byte-identical
+# (parquet→parquet roundtrip); correctness checks still compare against
+# DuckDB reading the ORIGINAL files. Disable with SPARK_GRAFT_RECHUNK=0.
+_CHUNK_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "_chunked")
+# Partition sizing is by ROWS, not cores: a fact table gets ~one split per
+# _RECHUNK_ROWS_PER_SPLIT rows (capped at defaultParallelism), while small
+# tables keep their single partition — at bench scale, per-task scheduling
+# overhead on a 5k-row dimension costs more than the parallelism buys.
+_RECHUNK_MIN_ROWS = 200_000
+_RECHUNK_ROWS_PER_SPLIT = 75_000
+
+
+def _rechunked_path(spark: SparkSession, name: str, path: str, sf_dir: str) -> str | None:
+    """Return the path of a splittable copy of ``path``, building it if
+    needed; None when the source is already parallelizable or too small."""
+    if os.environ.get("SPARK_GRAFT_RECHUNK", "1") == "0":
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    cpus = int(spark.sparkContext.defaultParallelism)
+    splits = min(cpus, meta.num_rows // _RECHUNK_ROWS_PER_SPLIT)
+    if meta.num_rows < _RECHUNK_MIN_ROWS or meta.num_row_groups >= splits:
+        return None
+    st = os.stat(path)
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}:{splits}"
+    out_dir = os.path.join(_CHUNK_DIR, os.path.basename(sf_dir.rstrip("/")), name)
+    marker = os.path.join(out_dir, "_FINGERPRINT")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fingerprint:
+                return out_dir
+    spark.read.parquet(path).repartition(splits).write.mode("overwrite").parquet(out_dir)
+    with open(marker, "w") as fh:
+        fh.write(fingerprint)
+    return out_dir
+
 
 def load_tables(
     spark: SparkSession,
@@ -64,7 +110,8 @@ def load_tables(
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):
                 continue
-            df = spark.read.parquet(path)
+            chunked = _rechunked_path(spark, name, path, sf_dir)
+            df = spark.read.parquet(chunked or path)
             # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
             # arrives as long nanos — convert to TimestampType (µs, floor),
             # matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation.
