@@ -1,0 +1,195 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines carve out samples,
+strata, and train/val/test splits. Random sampling (``df.sample``) is not
+reproducible across engines or re-runs, so production pipelines key sampling
+off a content hash instead — the same row lands in the same split on every
+engine, every run, every re-shard. That hash-based discipline is what makes
+these operators fully DuckDB-oracle-checkable despite being "sampling".
+
+The reference has no sampling surface (its SELECT path is exhaustive scan —
+reference crates/driftdb-core/src/query/executor.rs:109-235); these extend
+the engine for the pipeline mandate.
+
+Scale notes:
+- Hash-threshold sampling is a narrow map + filter — no shuffle, fully
+  pushdown-friendly, and the selectivity is uniform across partitions, so it
+  never skews downstream stages.
+- Stratified top-N uses one shuffle on the stratum key; Spark's
+  WindowGroupLimit pushes the rank cutoff below the sort so each partition
+  keeps only N rows before the exchange.
+- The above-mean filter is the canonical "aggregate then rejoin" shape: the
+  per-group means are a tiny aggregate broadcast back to the fact scan, so
+  the big side is read exactly once with no self-shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from driftdb_spark.catalog import load_tables
+from driftdb_spark.registry import register
+
+# First two hex chars of md5 as the sampling key: 256 buckets, uniform on
+# digests, identical lowercase-hex text on both engines.
+_HASH2 = "substr(md5(cast(doc_id as varchar)), 1, 2)"
+
+
+def _hash2(col: str = "doc_id") -> F.Column:
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+
+
+@register(
+    "sample_hash_pct",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_HASH2} < '1a'
+    """,
+    tags=("sampling",),
+)
+def sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: keep rows whose md5(doc_id) prefix
+    falls under 0x1a/0x100 ≈ 10.2%. Content-addressed, so membership is
+    stable under re-partitioning, engine changes, and incremental re-runs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.where(_hash2() < F.lit("1a")).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "sample_stratified_topn",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_HASH2}, doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    """,
+    tags=("sampling",),
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly 20 documents per language, chosen by hash
+    order (not file order), so every stratum is a uniform, reproducible
+    draw. The rank cutoff plan-compiles to WindowGroupLimit."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("lang").orderBy(_hash2(), F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "sample_train_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_HASH2} < 'cc' THEN 'train'
+                WHEN {_HASH2} < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("sampling",),
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-range train/val/test split (≈80/10/10: 0x00-0xcb / 0xcc-0xe5 /
+    0xe6-0xff) with per-language audit counts. Split assignment is a pure
+    row-local expression — at scale it tags a write-partition column with
+    zero shuffle; the audit aggregate here is the verification surface."""
+    d = load_tables(spark, sf_dir)["documents"]
+    h = _hash2()
+    split = (
+        F.when(h < F.lit("cc"), F.lit("train"))
+        .when(h < F.lit("e6"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "pack_token_budget",
+    oracle="""
+    SELECT lang, doc_id, n_tokens,
+           (cum_tokens - n_tokens) // 4096 AS bin_id
+    FROM (
+        SELECT lang, doc_id,
+               CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
+                   AS n_tokens,
+               SUM(CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT))
+                   OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM documents
+    )
+    """,
+    tags=("sampling", "text"),
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to ~4096-token training bins by
+    running token count in deterministic (doc_id) order, one independent
+    bin stream per language. The window is partitioned on the stream key,
+    so packing parallelizes across strata — there is no global sequential
+    scan, which is what makes greedy packing viable at corpus scale.
+    (Boundary docs may straddle bins; trainers truncate/continue — the
+    contract is deterministic assignment, not perfect bin fill.)"""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            F.expr("(cum_tokens - n_tokens) div 4096").alias("bin_id"),
+        )
+    )
+
+
+@register(
+    "filter_above_group_mean",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN (
+        SELECT lang, AVG(n_chars) AS lang_mean
+        FROM documents
+        GROUP BY lang
+    ) m ON d.lang = m.lang
+    WHERE CAST(d.n_chars AS DOUBLE) > m.lang_mean
+    """,
+    tags=("sampling",),
+)
+def filter_above_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate shape: keep documents longer than their language's mean
+    length. Aggregate-then-rejoin with the tiny per-group means broadcast
+    back, so the corpus is scanned once and never self-shuffled. AVG over
+    int64 is sum-then-one-divide — deterministic on both engines."""
+    d = load_tables(spark, sf_dir)["documents"]
+    means = d.groupBy("lang").agg(F.avg("n_chars").alias("lang_mean"))
+    return (
+        d.join(F.broadcast(means), "lang")
+        .where(F.col("n_chars").cast("double") > F.col("lang_mean"))
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -60,9 +60,11 @@ def _ensure_loaded() -> None:
     from driftdb_spark.functions import (  # noqa: F401
         dedup,
         multimodal,
+        sampling,
         similarity,
         text,
     )
+    from driftdb_spark.streaming import joins  # noqa: F401
 
 
 def query_map() -> dict[str, QueryFn]:

@@ -93,3 +93,28 @@ def test_asof_literal_bound_pushes_to_scan(spark):
     bounded = apply_asof(ev, AsOf(sequence=500), seq_col="event_id")
     plan = explain_plan(bounded)
     assert "LessThanOrEqual(event_id,500)" in plan, plan[:800]
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """Hash-ordered stratified sampling must pre-prune to N rows per
+    partition (WindowGroupLimit) before the stratum shuffle, and stay
+    entirely JVM-side."""
+    plan = explain_plan(QUERIES["sample_stratified_topn"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_sample_is_narrow(spark):
+    """Hash-threshold sampling is a map-only plan: no Exchange anywhere —
+    the filter is row-local so the corpus is never shuffled."""
+    import re
+
+    plan = explain_plan(QUERIES["sample_hash_pct"].fn(spark, SF))
+    assert not re.search(r"^\(\d+\) Exchange", plan, re.MULTILINE), plan
+
+
+def test_above_group_mean_broadcasts_means(spark):
+    """Aggregate-then-rejoin quality gate: the tiny per-group means must
+    broadcast back to the corpus scan, not trigger a sort-merge self-join."""
+    facts = plan_facts(QUERIES["filter_above_group_mean"].fn(spark, SF))
+    assert facts["has_broadcast_join"]

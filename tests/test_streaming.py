@@ -181,3 +181,41 @@ def test_stream_dedup_within_watermark(spark, log, tmp_path):
         .collect()
     }
     assert set(keys) == batch_keys
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream attribution join (watermarked, range-bounded state)
+    must emit exactly the batch interval-join result."""
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.streaming.joins import interval_join
+
+    e = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    src = str(tmp_path / "events_src")
+    e.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+
+    joined = interval_join(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "purchase"),
+        within="30 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM attrib_stream").collect()
+    }
+    batch = interval_join(
+        e.where(F.col("event_type") == "view"),
+        e.where(F.col("event_type") == "purchase"),
+        within="30 minutes",
+    )
+    want = {(r.view_id, r.purchase_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
