@@ -384,3 +384,90 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("total_chars"),
     )
+
+
+@register(
+    "events_hopping_window",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM (
+        SELECT unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws, event_type, value
+        FROM (
+            SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS tb,
+                   event_type, value
+            FROM events
+        )
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "agg", "streaming"),
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour windows every 30 minutes, so each
+    event lands in exactly two overlapping windows. ``F.window`` with a
+    slide is the native form — the same expression runs unchanged on a
+    watermarked stream (streaming/ingest.py uses the tumbling variant).
+    The oracle expands the two covering window-starts per event by hand;
+    both engines' buckets are epoch-aligned at :00/:30."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+    FROM (
+        UNPIVOT (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS l_quantity,
+                   CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                   CAST(l_discount AS DOUBLE) AS l_discount,
+                   CAST(l_tax AS DOUBLE) AS l_tax
+            FROM lineitem WHERE l_orderkey < 200
+        ) ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME measure VALUE value
+    )
+    """,
+    tags=("agg",),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide measures to long (name, value) pairs, the inverse
+    of ``agg_pivot``. ``DataFrame.unpivot`` compiles to a single Expand
+    node: row-local fan-out, no shuffle, no UDF."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.where(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+            F.col("l_tax").cast("double"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+    )
