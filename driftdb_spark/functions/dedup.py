@@ -292,3 +292,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
         sim_expr = term if sim_expr is None else sim_expr + term
     return bit_sums.select("doc_id", sim_expr.alias("simhash"))
+
+
+from driftdb_spark.registry import QUERIES as _QUERIES  # noqa: E402
+
+_NGRAM_PAIRS_ORACLE = _QUERIES["dedup_ngram_jaccard"].oracle
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_ORACLE}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, q.r FROM edges e JOIN reach q ON e.dst = q.node
+    )
+    SELECT node AS doc_id, MIN(r) AS component
+    FROM reach
+    GROUP BY node
+    """,
+    tags=("dedup",),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the verified near-dup
+    pair graph, labeling every member with the cluster's minimum doc_id —
+    the step that turns pairwise similarity into "keep one canonical doc
+    per cluster". Iterative min-label propagation: each round is one
+    shuffle (join + groupBy-min) and the round count is the graph
+    DIAMETER, not the node count — near-dup graphs are dense little
+    cliques, so this converges in 2-3 rounds regardless of corpus size.
+    The driver-side loop only checks a scalar convergence count, mirroring
+    ``cte_recursive_walk``; the oracle is the same fixpoint as a recursive
+    CTE transitive closure (viable for DuckDB at test scale only)."""
+    pairs = _QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).select("id_a", "id_b")
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(20):
+        propagated = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(propagated).groupBy("node").agg(F.min("label").alias("label"))
+        ).persist()
+        new_labels.count()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
