@@ -193,3 +193,83 @@ def filter_above_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_chars").cast("double") > F.col("lang_mean"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, text,
+               CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM toks WHERE n_tokens >= 20 AND lang IS NOT NULL
+    ),
+    deduped AS (
+        SELECT doc_id, lang, n_tokens
+        FROM (
+            SELECT doc_id, lang, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM quality
+        )
+        WHERE rn = 1
+    ),
+    sampled AS (
+        SELECT * FROM deduped
+        WHERE substr(md5(cast(doc_id as varchar)), 1, 2) < '80'
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tokens,
+               (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) // 4096 AS bin_id
+        FROM sampled
+    )
+    SELECT lang, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed
+    GROUP BY lang, bin_id
+    """,
+    tags=("sampling", "pipeline"),
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus pipeline as ONE declarative program:
+    quality gate → exact dedup (content-hash survivor pick) → deterministic
+    50% hash sample → per-language sequence packing → bin audit rollup.
+    Catalyst fuses the whole chain: one scan of documents, the dedup window
+    and the packing window are the only two shuffles (both on bounded
+    keys), and every intermediate stays columnar — no materialization
+    between "stages" because there are no stages, just one plan. This is
+    the shape a 100 TB corpus build actually runs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    ).cast("bigint")
+    quality = (
+        d.select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
+        .where((F.col("n_tokens") >= 20) & F.col("lang").isNotNull())
+    )
+    dedup_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(dedup_w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    sampled = deduped.where(_hash2() < F.lit("80"))
+    pack_w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sampled.withColumn("cum", F.sum("n_tokens").over(pack_w)).withColumn(
+        "bin_id", F.expr("(cum - n_tokens) div 4096")
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

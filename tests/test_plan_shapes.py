@@ -118,3 +118,17 @@ def test_above_group_mean_broadcasts_means(spark):
     broadcast back to the corpus scan, not trigger a sort-merge self-join."""
     facts = plan_facts(QUERIES["filter_above_group_mean"].fn(spark, SF))
     assert facts["has_broadcast_join"]
+
+
+def test_pipeline_fuses_into_two_shuffles(spark):
+    """The end-to-end corpus pipeline (quality -> dedup -> sample -> pack ->
+    rollup) must compile to ONE scan and TWO exchanges: the dedup window and
+    the packing window. The final rollup reuses the packing window's lang
+    partitioning, and the dedup survivor-pick gets WindowGroupLimit
+    pre-pruning."""
+    import re
+
+    plan = explain_plan(QUERIES["pipeline_training_corpus"].fn(spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 2, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1, plan
+    assert "WindowGroupLimit" in plan
