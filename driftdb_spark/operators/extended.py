@@ -471,3 +471,55 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    tags=("temporal", "agg"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, each stage counts
+    only if it happens strictly AFTER the previous stage's first
+    occurrence. Three stage-aggregates chained by per-user min-timestamps;
+    each stage input shrinks, and all three aggregate on the same user_id
+    key so AQE reuses the partitioning. The strict ordering is what a
+    bare COUNT(DISTINCT ...) per event type gets wrong."""
+    e = load_tables(spark, sf_dir)["events"]
+
+    def first_after(event_type: str, prev, prev_ts_col: str, out: str):
+        base = e.where(F.col("event_type") == event_type)
+        if prev is not None:
+            base = base.join(prev, "user_id").where(F.col("ts") > F.col(prev_ts_col))
+        return base.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, "", "v_ts")
+    c = first_after("click", v, "v_ts", "c_ts")
+    p = first_after("purchase", c, "c_ts", "p_ts")
+    # Single declarative plan: three scalar aggregates cross-joined (each is
+    # one row, so the joins are broadcast-trivial). No driver-side .count().
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
