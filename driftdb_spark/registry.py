@@ -56,6 +56,7 @@ def _ensure_loaded() -> None:
         recursive,
         relational,
         temporal_queries,
+        tpch_extra,
     )
     from driftdb_spark.functions import (  # noqa: F401
         dedup,
