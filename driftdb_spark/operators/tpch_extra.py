@@ -314,6 +314,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         t["lineitem"]
         .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        # explicit, so BOTH consumers of rev (row source and scalar MAX) see
+        # identical scan predicates — otherwise the supplier join infers
+        # IsNotNull(l_suppkey) into only one branch and the canonicalized
+        # exchanges stop matching, defeating ReuseExchange (two full scans).
+        .filter(F.col("l_suppkey").isNotNull())
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
@@ -392,38 +397,58 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
-    EXISTS + NOT-EXISTS pair over the same fact. Instead of two more
-    orderkey-joins (the naive decorrelation), both quantifiers collapse
-    into ONE per-order aggregate — distinct suppliers, distinct LATE
-    suppliers — computed over the already-joined lineitem⋈orders rows and
-    joined back on orderkey: EXISTS(other supplier) ⇔ n_supp > 1, and
-    NOT EXISTS(other late supplier) given l1 is late ⇔ n_late_supp = 1.
-    Three shuffles total on one key, all reusable partitionings. Lateness =
-    shipped >60 days after order (no receipt/commit dates in the driver
-    schema); ORDER BY (numwait DESC, s_name) makes the LIMIT cut
-    deterministic."""
+    EXISTS + NOT-EXISTS pair over the same fact. The naive decorrelation
+    joins lineitem two more times on orderkey; instead BOTH quantifiers
+    derive from one per-(order, supplier) late-line count:
+    EXISTS(other supplier) ⇔ n_supp > 1, NOT EXISTS(other late supplier)
+    given l1 late ⇔ exactly one supplier has n_late_lines > 0, and l1's
+    line count IS n_late_lines — so numwait = SUM(n_late_lines).
+    Every derived aggregate/join keys on orderkey, so the sort-merge
+    join's partitioning is reused with ZERO further fact shuffles (the
+    (order,supplier) groupBy clusters by a superset of the partition key,
+    and the per_supp exchange feeding both the per-order rollup and the
+    late-supplier row source is a ReusedExchange); no distinct-expand
+    either. Three exchanges total: two SMJ inputs + the final s_name
+    rollup. Lateness = shipped >60 days after order (no receipt/commit
+    dates in the driver schema); ORDER BY (numwait DESC, s_name) makes
+    the LIMIT cut deterministic."""
     t = load_tables(spark, sf_dir)
     o = (
         t["orders"]
         .filter(F.col("o_orderstatus") == "F")
+        .filter(F.col("o_orderkey").isNotNull())
         .select("o_orderkey", "o_orderdate")
     )
-    lo = t["lineitem"].join(
-        o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
-    ).withColumn(
-        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    # explicit not-nulls keep both consumers' scan predicates identical so
+    # ReuseExchange canonicalization holds (same trick as q15_top_supplier)
+    li = (
+        t["lineitem"]
+        .filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    per_supp = (
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(late, 1)).alias("n_late_lines"))
     )
-    qualifying = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("n_late_lines") > 0, 1)).alias("n_late_supp"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("g_orderkey")
     return (
-        lo.filter(F.col("is_late"))
+        per_supp.filter(F.col("n_late_lines") > 0)
         .join(qualifying, F.col("l_orderkey") == F.col("g_orderkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

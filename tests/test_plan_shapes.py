@@ -132,3 +132,61 @@ def test_pipeline_fuses_into_two_shuffles(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 2, plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1, plan
     assert "WindowGroupLimit" in plan
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    """Q6 is THE scan-bound query: every predicate (date range, discount
+    range, quantity cap) must reach the parquet reader as a pushed filter —
+    at 100 TB these become row-group min/max prunes."""
+    plan = explain_plan(QUERIES["q6_forecast_revenue"].fn(spark, SF))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}"
+    assert plan.count("HashAggregate") >= 2  # map-side partial sum
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """The correlated EXISTS must plan as LeftSemi (probe-side short
+    circuit), never as an inner join + distinct."""
+    plan = explain_plan(QUERIES["q4_order_priority"].fn(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q8_single_shuffled_join_edge(spark):
+    """8-table tree: every dim edge broadcasts; the only shuffled join is
+    the lineitem⋈orders fact edge (merge-hinted)."""
+    import re
+
+    plan = explain_plan(QUERIES["q8_market_share"].fn(spark, SF))
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", plan, re.MULTILINE)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) >= 5, plan
+
+
+def test_q15_aggregate_reused_not_recomputed(spark):
+    """The per-supplier revenue aggregate feeds both the row source and the
+    scalar MAX; the second consumer must read the first's shuffle output
+    (ReusedExchange), not rescan+reshuffle lineitem."""
+    df = QUERIES["q15_top_supplier"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
+def test_q21_single_fact_pass(spark):
+    """EXISTS + NOT EXISTS over the same fact must not re-scan it: one
+    lineitem scan, one orders scan, one supplier scan; both quantifier
+    branches read ReusedExchanges; no distinct-Expand; exactly three real
+    shuffles (two SMJ inputs + final s_name rollup)."""
+    df = QUERIES["q21_waiting_supplier"].fn(spark, SF)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan") == 3, final
+    assert final.count("ReusedExchange") == 2, final
+    assert "Expand" not in final
