@@ -273,3 +273,57 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+_HASH4 = "substr(md5(cast(doc_id as varchar)), 1, 4)"
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE WHEN CAST(SUBSTR(source, 4) AS INTEGER) < 10 THEN 'web'
+                    WHEN CAST(SUBSTR(source, 4) AS INTEGER) < 15 THEN 'books'
+                    ELSE 'code' END AS domain,
+               n_chars, {_HASH4} AS h4
+        FROM documents
+    )
+    SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM tagged
+    WHERE h4 < CASE domain WHEN 'web' THEN '4000'
+                           WHEN 'books' THEN 'c000'
+                           ELSE 'g' END
+    GROUP BY domain
+    """,
+    tags=("sampling",),
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: re-weight a corpus toward target domain
+    proportions by giving each domain its own deterministic hash-keep rate
+    (web 25%, books 75%, code 100% — the usual up-weight-code,
+    down-weight-web shape). The rates live in a tiny config DataFrame
+    broadcast onto the corpus — mixture ratios are DATA, retunable without
+    code — and membership stays content-addressed (md5(doc_id), 65536
+    buckets), so a retuned rate only adds/removes the marginal band of
+    documents instead of reshuffling the whole sample. Row-local filter →
+    zero shuffle before the audit aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    rates = spark.createDataFrame(
+        [("web", "4000"), ("books", "c000"), ("code", "g")],
+        "domain string, keep_below string",
+    )
+    idx = F.expr("substring(source, 4)").cast("int")
+    domain = (
+        F.when(idx < 10, "web").when(idx < 15, "books").otherwise("code")
+    )
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        d.select(domain.alias("domain"), "n_chars", h4.alias("h4"))
+        .join(F.broadcast(rates), "domain")
+        .where(F.col("h4") < F.col("keep_below"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
