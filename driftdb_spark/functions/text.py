@@ -204,3 +204,93 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_fp"),
         F.substring(F.md5(F.lower(F.col("text"))), 1, 8).alias("short_fp"),
     )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang,
+               substr(md5(cast(doc_id as varchar)), 1, 2) AS h2,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(lower(text), ' ')) >= 5
+    ),
+    grams AS (
+        SELECT doc_id, lang, h2,
+               unnest(list_transform(generate_series(1, len(toks) - 4),
+                                     i -> array_to_string(toks[i:i+4], ' ')))
+                 AS gram
+        FROM base
+    ),
+    train_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE h2 < 'cc'
+    ),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams g JOIN train_grams t ON g.gram = t.gram
+        WHERE g.h2 >= 'cc'
+    )
+    SELECT b.lang,
+           COUNT(*) AS n_test_docs,
+           SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_contaminated
+    FROM base b LEFT JOIN contaminated c ON b.doc_id = c.doc_id
+    WHERE b.h2 >= 'cc'
+    GROUP BY b.lang
+    """,
+    tags=("text", "dedup", "sampling"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag evaluation-split documents sharing
+    any 5-token shingle with the training split (the standard benchmark-
+    leakage check run before every training job). Split membership is the
+    same md5 hash band as ``sample_train_split`` (train <0xcc ≈80%, test
+    ≥0xcc), so the check composes with the split op it audits. Shingles
+    stay JVM-side (split → sequence → slice inside one codegen span); the
+    overlap test is a LeftSemi against the DISTINCT train-shingle set —
+    at 100 TB both sides shuffle once on the shingle string (equivalently
+    its hash), contaminated doc-ids collapse by doc, and the verdict joins
+    back to the (much smaller) test-doc list. No Python, no driver state.
+
+    sequence(1, n) in Spark generates DESCENDING sequences when n < 1
+    (unlike DuckDB's empty range), so short docs are excluded explicitly
+    on BOTH engines rather than relying on generator emptiness."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("h2"),
+            F.split(F.lower("text"), " ").alias("toks"),
+        )
+        .where(F.size("toks") >= 5)
+    )
+    grams = base.select(
+        "doc_id",
+        "h2",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4),"
+                " i -> array_join(slice(toks, i, 5), ' '))"
+            )
+        ).alias("gram"),
+    )
+    train_grams = grams.where(F.col("h2") < "cc").select("gram").distinct()
+    contaminated = (
+        grams.where(F.col("h2") >= "cc")
+        .join(train_grams, "gram", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        base.where(F.col("h2") >= "cc")
+        .select("doc_id", "lang")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
