@@ -89,3 +89,82 @@ def test_random_predicates_agree(engines, pred):
     got = spark.sql(sql).first()
     want = con.sql(sql).fetchone()
     assert (got.n, got.s) == (want[0], want[1]), pred
+
+
+# ---------------------------------------------------------------------------
+# Join fuzz: random join type × ON/WHERE predicate placement × quantifier
+# forms, same SQL text on both engines (the reference's proptest has no join
+# coverage at all — sql_bridge join tests are hand-enumerated).
+
+C_NUM = ["c_acctbal", "c_nationkey", "c_custkey"]
+O_NUM = ["o_totalprice", "o_orderkey"]
+
+
+def _cust_leaf(draw):
+    kind = draw(st.integers(0, 2))
+    if kind == 0:
+        col = draw(st.sampled_from(C_NUM))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "<>"]))
+        val = draw(st.sampled_from([0, 3, 12, 500.0, 4999.5, 100000]))
+        return f"{col} {op} {val}"
+    if kind == 1:
+        seg = draw(st.sampled_from(["BUILDING", "AUTOMOBILE", "MACHINERY", ""]))
+        return f"c_mktsegment = '{seg}'"
+    return "c_name LIKE '%1%'"
+
+
+def _ord_leaf(draw):
+    kind = draw(st.integers(0, 2))
+    if kind == 0:
+        col = draw(st.sampled_from(O_NUM))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "<>"]))
+        val = draw(st.sampled_from([0, 100, 5000.5, 200000.0]))
+        return f"{col} {op} {val}"
+    if kind == 1:
+        pri = draw(st.sampled_from(["1-URGENT", "5-LOW", ""]))
+        return f"o_orderpriority = '{pri}'"
+    return draw(st.sampled_from(["o_orderstatus IN ('F', 'P')", "o_orderstatus = 'O'"]))
+
+
+@st.composite
+def join_query(draw):
+    cpred = _cust_leaf(draw)
+    opred = _ord_leaf(draw)
+    form = draw(st.integers(0, 2))
+    if form == 0:  # plain join, orders predicate randomly in ON or WHERE
+        jt = draw(st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]))
+        in_on = draw(st.booleans())
+        on = f"c_custkey = o_custkey{f' AND ({opred})' if in_on else ''}"
+        where = f"({cpred})" + ("" if in_on else f" AND ({opred})")
+        return (
+            "SELECT COUNT(*) AS n, SUM(c_custkey) AS s1, SUM(o_orderkey) AS s2 "
+            f"FROM customer {jt} orders ON {on} WHERE {where}"
+        )
+    neg = "NOT " if form == 2 else ""
+    return (
+        "SELECT COUNT(*) AS n, SUM(c_custkey) AS s1, NULL AS s2 "
+        f"FROM customer WHERE ({cpred}) AND {neg}EXISTS "
+        f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND ({opred}))"
+    )
+
+
+@pytest.fixture(scope="module")
+def join_engines(spark):
+    load_tables(spark, SF)  # registers customer/orders views
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return spark, con
+
+
+@given(q=join_query())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_joins_agree(join_engines, q):
+    spark, con = join_engines
+    got = spark.sql(q).first()
+    want = con.sql(q).fetchone()
+    assert (got.n, got.s1, got.s2) == (want[0], want[1], want[2]), q
