@@ -270,3 +270,31 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n"),
         F.sum("_sq").cast("double").alias("sum_qty"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+"""
+
+
+@register(
+    "join_lateral_topn",
+    oracle=_LATERAL_SQL,
+    tags=("join", "subquery", "limit"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (each
+    customer's 3 priciest orders) — identical SQL text on both engines.
+    The naive execution is a nested loop re-sorting orders per customer;
+    Catalyst decorrelates it into a window rank over o_custkey with
+    WindowGroupLimit pruning (plan-asserted), i.e. the correlated LIMIT
+    costs one shuffle of orders, not |customer| sorted probes. The
+    reference has no lateral support at all (sql_bridge.rs FROM-clause
+    grammar binds plain table refs only). Tie-break on o_orderkey keeps
+    the cut deterministic for the oracle hash."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -224,3 +224,12 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_lateral_topn_decorrelates_to_window_limit(spark):
+    """The correlated LATERAL (ORDER BY ... LIMIT 3) must NOT plan as a
+    per-row nested loop: Catalyst rewrites it to a window rank with
+    WindowGroupLimit, so orders is shuffled once on the correlation key."""
+    plan = explain_plan(QUERIES["join_lateral_topn"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
