@@ -523,3 +523,53 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS activity_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.activity_week) // 7 AS INTEGER)
+             AS weeks_since,
+           COUNT(*) AS n_active_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "agg"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their first
+    event, counted as active in each later week (the triangle matrix every
+    product-analytics stack computes). Both the first-seen aggregate and
+    the distinct-activity set hash on user_id, so the cohort join reuses
+    one partitioning with no extra exchange; only the final (cohort, week)
+    rollup — already reduced to |users|·|weeks| rows — reshuffles. Week
+    offsets are exact day-arithmetic on week-truncated timestamps (Monday
+    start on both engines), never float date math."""
+    e = load_tables(spark, sf_dir)["events"]
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("activity_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
