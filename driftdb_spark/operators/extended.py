@@ -573,3 +573,74 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "regex_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS adj,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CASE WHEN regexp_matches(p_name, '^(red|blue) ')
+                THEN 1 ELSE 0 END AS is_red_or_blue
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+    tags=("functions",),
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: capture-group extraction, global replace, anchored
+    match (the reference has no regex functions at all — any Expr::Function
+    degrades to NULL, sql_bridge.rs:4746-4753). Dialect note that the
+    oracle encodes: DuckDB's regexp_replace replaces only the FIRST match
+    unless given the 'g' flag, while Spark's always replaces globally —
+    patterns here stay in the RE2 ∩ java.util.regex common subset."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 500)
+    pat = "([a-z]+) ([a-z]+)"
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", pat, 1).alias("adj"),
+        F.regexp_extract("p_name", pat, 2).alias("noun"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike("^(red|blue) "), 1)
+        .otherwise(0)
+        .alias("is_red_or_blue"),
+    )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1995-01-01',
+                                  CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 89 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_90d_spend
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: each order's trailing-90-day customer
+    spend. Unlike the ROWS frames in window_agg_frames, a RANGE frame is
+    value-based — same-day orders are frame peers and always aggregate
+    together, which is what makes the result deterministic without a
+    unique tie-breaker. Day numbers are exact integers on both engines
+    (no interval arithmetic in the frame spec); the sum routes through
+    DECIMAL(12,2). One shuffle on o_custkey, sort within partitions."""
+    o = load_tables(spark, sf_dir)["orders"]
+    dayn = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1995-01-01"))
+    )
+    w = W.partitionBy("o_custkey").orderBy(dayn).rangeBetween(-89, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_90d_spend"),
+    )
