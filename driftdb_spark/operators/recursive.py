@@ -7,9 +7,14 @@ with UNION dedup vs UNION ALL accumulation and a 1000-iteration cap
 same working-set algorithm over DataFrames.
 
 Scale note: each iteration's frontier is a DataFrame — the loop only adds
-plan nodes, so a deep recursion builds a deep plan. We checkpoint the frontier
-via ``localCheckpoint`` every few iterations to cut lineage, which is the
-standard Spark idiom for iterative algorithms (same reason GraphX/ALS do it).
+plan nodes, so a deep recursion builds a deep plan. We checkpoint each
+frontier via ``localCheckpoint`` to cut lineage and pin the one execution the
+emptiness probe already forces, which is the standard Spark idiom for
+iterative algorithms (same reason GraphX/ALS do it). Static relations
+referenced by the recursive arm must be materialized ONCE by the caller
+(see ``cte_recursive_walk``) — real WITH RECURSIVE engines evaluate the
+non-recursive side once, and re-deriving it per iteration multiplies the
+scan count by the recursion depth.
 """
 
 from __future__ import annotations
@@ -23,7 +28,6 @@ from driftdb_spark.catalog import load_tables
 from driftdb_spark.registry import register
 
 MAX_ITERATIONS = 1000  # reference cap: sql_bridge.rs:827
-_CHECKPOINT_EVERY = 8
 
 
 def recursive_cte(
@@ -41,9 +45,14 @@ def recursive_cte(
         nxt = step(frontier)
         if distinct:
             nxt = nxt.distinct().subtract(acc)
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        # Driver-side emptiness check: cheap (limit-1 scan of the frontier),
+        # Checkpoint EVERY frontier: the emptiness probe below already forces
+        # one execution, and without the checkpoint that work re-runs — the
+        # probe re-derives from lineage, and the final materialization
+        # re-executes every iteration's chain end-to-end. With it, each
+        # iteration executes exactly once and the accumulated union reads
+        # checkpointed blocks.
+        nxt = nxt.localCheckpoint(eager=True)
+        # Driver-side emptiness check: cheap (limit-1 over the checkpoint),
         # and unavoidable — the fixpoint condition is inherently iterative.
         if nxt.isEmpty():
             break
@@ -75,10 +84,14 @@ def cte_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — anchor + recursive arm with a join, UNION ALL accumulation.
     DuckDB runs the equivalent WITH RECURSIVE as the oracle."""
     t = load_tables(spark, sf_dir)
+    # Static side of the recursive arm: evaluate ONCE (localCheckpoint), as
+    # WITH RECURSIVE engines do — otherwise every iteration re-runs the
+    # customer scan+aggregate, depth × full-table scans.
     cnt = (
         t["customer"]
         .groupBy(F.col("c_nationkey").alias("nk2"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
 
     anchor = spark.range(1).select(
