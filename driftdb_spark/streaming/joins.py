@@ -81,3 +81,16 @@ def join_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = e.where(F.col("event_type") == "view")
     purchases = e.where(F.col("event_type") == "purchase")
     return interval_join(views, purchases, within="30 minutes")
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: attach a batch-computed dimension
+    (user profile, document metadata, model features) to a live event
+    stream. Stream-static joins need no watermark — the static side is
+    re-resolved per micro-batch (so a refreshed dim table is picked up on
+    the next batch) and holds NO streaming state. The dim is broadcast:
+    each micro-batch is a map-side hash join, the stream never shuffles.
+    At 100 TB-of-stream scale that's the only shape that keeps up; a dim
+    too big to broadcast should be pre-bucketed on the key instead
+    (sources/connectors.write_bucketed)."""
+    return stream.join(F.broadcast(dim), key, "left")

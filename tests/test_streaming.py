@@ -219,3 +219,112 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     )
     want = {(r.view_id, r.purchase_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static broadcast join: live events enriched with a
+    batch-computed per-user profile must emit exactly the batch join
+    result, with no watermark and no streaming state."""
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.streaming.joins import enrich_with_dim
+
+    e = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    profile = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("lifetime_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("ltv"),
+    )
+    src = str(tmp_path / "events_src")
+    e.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+
+    q = (
+        enrich_with_dim(
+            stream.select("event_id", "user_id"), profile
+        )
+        .writeStream.format("memory")
+        .queryName("enriched_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.lifetime_events, r.ltv)
+        for r in spark.sql("SELECT * FROM enriched_stream").collect()
+    }
+    want = {
+        (r.event_id, r.lifetime_events, r.ltv)
+        for r in enrich_with_dim(e.select("event_id", "user_id"), profile).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stateful_operator_recovers_from_checkpoint(spark, tmp_path):
+    """Checkpoint recovery: a stateful query stopped and RESTARTED over the
+    same checkpoint must resume its per-key state, not recount — the final
+    totals over two runs (half the data each) must equal one batch pass
+    over everything. This is the property that makes streaming state
+    durable across executor loss / redeploys on a real cluster."""
+    import pyspark.sql.functions as SF
+
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.streaming.ingest import stateful_running_totals
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001")["events"]
+        .select(
+            SF.col("event_id").alias("sequence"),
+            SF.col("user_id").cast("string").alias("pk"),
+            SF.create_map(SF.lit("value"), SF.col("value").cast("string")).alias(
+                "payload"
+            ),
+        )
+    )
+    half1 = e.where(SF.col("sequence") % 2 == 0)
+    half2 = e.where(SF.col("sequence") % 2 == 1)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt_recover")
+    half1.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "emissions")
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch (the
+        # production sink shape) can — append every emission to parquet
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        q = (
+            stateful_running_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # processes half1, state checkpointed
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # NEW query instance, same checkpoint: must resume, not recount
+
+    # totals are monotone per key, so the final state is the max emission
+    latest = {
+        r.pk: (r.total_events, r.last_seq)
+        for r in spark.read.parquet(out)
+        .groupBy("pk")
+        .agg(
+            SF.max("total_events").alias("total_events"),
+            SF.max("last_seq").alias("last_seq"),
+        )
+        .collect()
+    }
+    want = {
+        r.pk: (r.total_events, r.last_seq)
+        for r in e.groupBy("pk").agg(
+            SF.count(SF.lit(1)).alias("total_events"),
+            SF.max("sequence").alias("last_seq"),
+        ).collect()
+    }
+    # every key's final emission reflects BOTH halves
+    mismatched = {k: (latest[k], want[k]) for k in want if latest.get(k) != want[k]}
+    assert not mismatched and len(want) > 0, str(list(mismatched.items())[:3])
