@@ -346,3 +346,61 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       v -> abs(CAST(v AS DOUBLE)))) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(embedding,
+                v -> CAST(round(CAST(v AS DOUBLE) / scale * 127) AS INTEGER)))
+             AS BIGINT) AS q_sum,
+           CAST(list_min(list_transform(embedding,
+                v -> CAST(round(CAST(v AS DOUBLE) / scale * 127) AS INTEGER)))
+             AS INTEGER) AS q_min,
+           CAST(list_max(list_transform(embedding,
+                v -> CAST(round(CAST(v AS DOUBLE) / scale * 127) AS INTEGER)))
+             AS INTEGER) AS q_max
+    FROM s
+    WHERE scale > 0
+    """,
+    tags=("similarity", "multimodal"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (absmax scaling:
+    q = round(x/scale·127), scale = max|x|) — the standard 4× compression
+    before shipping vectors to an ANN index or training shard. Entirely
+    row-local higher-order functions: no shuffle, no UDF, scales linearly.
+    The audit projects per-vector scalars (scale, q_sum/min/max) rather
+    than the int8 array so the oracle hash stays representation-agnostic;
+    arithmetic is pinned to double with one division then one multiply —
+    bit-identical on both engines, and exact-.5 rounding goes away from
+    zero in both. Zero vectors (scale=0) are excluded rather than mapped
+    to NULLs. Reference has no vector surface at all (SURVEY §2.2)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") / F.col("scale") * 127).cast("int"),
+    )
+    return (
+        emb.select("vec_id", scale.alias("scale"), "embedding")
+        .where(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            "scale",
+            F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias(
+                "q_sum"
+            ),
+            F.array_min(q).alias("q_min"),
+            F.array_max(q).alias("q_max"),
+        )
+    )
