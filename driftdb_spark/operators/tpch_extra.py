@@ -5,9 +5,10 @@ The reference engine ships no TPC-H harness (its benches are OLTP point ops,
 these queries exercise the same relational surface (reference
 ``crates/driftdb-core/src/sql_bridge.rs`` dispatch) at analytics shapes.
 
-Shapes needing a ``partsupp`` table (Q2/Q11/Q16/Q20) are out of scope: the
-driver's schema has no part-supplier association table, and synthesizing one
-would break the fixed-input contract. Q4/Q12/Q21 normally use
+Shapes needing a ``partsupp`` table (Q2/Q11/Q16/Q20) run over a DERIVED
+association table (see ``_PARTSUPP_CTE`` below) — the driver's schema has no
+partsupp, so it is built identically on both engines from lineitem, keeping
+the fixed-input contract. Q4/Q12/Q21 normally use
 ``l_commitdate``/``l_receiptdate``/``l_shipmode``; the driver's lineitem has
 none of those, so lateness is re-expressed as ``l_shipdate`` vs
 ``o_orderdate + INTERVAL`` and the Q12 "shipmode" class as ``l_returnflag``
@@ -451,4 +452,265 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# The four shapes that need TPC-H's partsupp association table (Q2/Q11/Q16/
+# Q20). The driver schema ships no partsupp, so it is DERIVED — identically
+# on both engines — from lineitem: one row per observed (part, supplier)
+# pair, supply cost = min observed unit price, availability = total quantity
+# ever shipped. The derivation is itself the canonical "build an association
+# table" aggregation; everything downstream is the authentic TPC-H shape.
+
+_PARTSUPP_CTE = """partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice) AS ps_supplycost,
+               CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+    )"""
+
+
+def _derived_partsupp(t) -> DataFrame:
+    """See _PARTSUPP_CTE. Supply cost = min observed line price: a 2-decimal
+    source value, so it round-trips EXACTLY through DECIMAL(12,2) on both
+    engines (a min of unit-price quotients would be an arbitrary-precision
+    double whose decimal rounding diverges at the last ulp between engines
+    — that bit Q11). MIN is order-independent; quantities are whole-valued
+    so the bigint availability is exact."""
+    return (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min("l_extendedprice").alias("ps_supplycost"),
+            F.sum("l_quantity").cast("bigint").alias("ps_availqty"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    costs AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+        FROM partsupp ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+        FROM costs GROUP BY ps_partkey
+    )
+    SELECT c.s_acctbal, c.s_name, c.n_name, p.p_partkey,
+           c.ps_supplycost AS supplycost
+    FROM costs c
+    JOIN best b ON c.ps_partkey = b.ps_partkey AND c.ps_supplycost = b.min_cost
+    JOIN part p ON p.p_partkey = c.ps_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "agg", "limit"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated MIN subquery over
+    the association table, decorrelated into a per-part MIN aggregate
+    joined back on (part, cost) — ties (several suppliers at the min cost)
+    all survive, exactly Q2's semantics. Region-filtered supplier+nation
+    broadcast into the association build; the float-equality join is safe
+    because both sides carry the SAME double (min of identical values).
+    The four-key ORDER BY is a total order, so LIMIT is deterministic."""
+    t = load_tables(spark, sf_dir)
+    n = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    s = t["supplier"].join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    costs = _derived_partsupp(t).join(
+        F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    best = costs.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        costs.join(
+            best,
+            (F.col("ps_partkey") == F.col("b_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    ps_n AS (
+        SELECT ps_partkey,
+               CAST(CAST(ps_supplycost AS DECIMAL(12,2)) * ps_availqty
+                    AS DECIMAL(28,2)) AS v
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+    )
+    SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS value
+    FROM ps_n
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(v) AS DOUBLE)
+           > (SELECT CAST(SUM(v) AS DOUBLE) * 0.0001 FROM ps_n)
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part inventory value filtered
+    against a fraction of the GLOBAL value — the same relation aggregated
+    at two granularities, with the scalar side broadcast back (same
+    exchange-reuse discipline as q15). Value routes through exact decimals
+    (supplycost is a 2-decimal source value, exact in DECIMAL(12,2);
+    quantity is exact bigint) so the group sums and the global threshold
+    are reproducible; the single ×0.0001 happens once in double."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].filter(F.col("n_name") == "NATION_1")
+    s = t["supplier"].join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+    ps_n = (
+        _derived_partsupp(t)
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost").cast("decimal(12,2)") * F.col("ps_availqty"))
+            .cast("decimal(28,2)")
+            .alias("v"),
+        )
+    )
+    per_part = ps_n.groupBy("ps_partkey").agg(F.sum("v").cast("double").alias("value"))
+    thr = ps_n.agg((F.sum("v").cast("double") * 0.0001).alias("thr"))
+    return (
+        per_part.join(F.broadcast(thr), F.col("value") > F.col("thr"))
+        .select("ps_partkey", "value")
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): negated dim predicates
+    + IN-list + NOT IN (subquery) feeding a COUNT(DISTINCT) grouped three
+    ways. The exclusion list (Q16's 'complaint' suppliers — proxied here as
+    low-balance since the schema has no comment column) is a broadcast
+    anti-join; suppkey is non-null so NOT IN ≡ anti-join without the
+    null-aware plan. Distinct-count shuffles once on the group keys with
+    partial distinct aggregation map-side."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23)
+    )
+    excluded = t["supplier"].filter(F.col("s_acctbal") < 500.0).select("s_suppkey")
+    return (
+        _derived_partsupp(t)
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(excluded), F.col("ps_suppkey") == F.col("s_suppkey"), "anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+          SELECT ps.ps_suppkey FROM partsupp ps
+          WHERE ps.ps_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND ps.ps_availqty > (
+                SELECT 0.5 * SUM(l.l_quantity) FROM lineitem l
+                WHERE l.l_partkey = ps.ps_partkey
+                  AND l.l_suppkey = ps.ps_suppkey
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            )
+      )
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): three nested quantifiers
+    — IN(parts by name), a correlated scalar aggregate threshold, IN
+    (suppliers) — decorrelated into: red parts broadcast-semi onto the
+    association table; the year's shipped quantity aggregated per
+    (part, supplier) and inner-joined (an empty correlated sum is NULL →
+    comparison false → inner join drops it, same as SQL); surviving
+    supplier keys semi-joined onto the nation-filtered suppliers. Both
+    association-table aggregates hash on (partkey, suppkey), so the
+    correlation join reuses the partitioning with no extra exchange.
+    availqty (bigint) > 0.5×sum promotes to double exactly."""
+    t = load_tables(spark, sf_dir)
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    ps_red = _derived_partsupp(t).join(
+        F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    year_qty = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("y_partkey"),
+            F.col("l_suppkey").alias("y_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("year_qty"))
+    )
+    qualifying = (
+        ps_red.join(
+            year_qty,
+            (F.col("ps_partkey") == F.col("y_partkey"))
+            & (F.col("ps_suppkey") == F.col("y_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("year_qty"))
+        .select("ps_suppkey")
+    )
+    n5 = t["nation"].filter(F.col("n_name") == "NATION_5")
+    return (
+        t["supplier"]
+        .join(F.broadcast(n5), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "semi")
+        .select("s_name", "s_acctbal")
     )
