@@ -39,6 +39,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_token_df",
+    # breadth markers added before BENCH_r1: widest join tree, quantifier
+    # collapse, the fused corpus pipeline, and cohort analytics
+    "q8_market_share",
+    "q21_waiting_supplier",
+    "pipeline_training_corpus",
+    "events_retention_cohorts",
 ]
 
 
