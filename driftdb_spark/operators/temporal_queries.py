@@ -226,3 +226,62 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seq").alias("first_seq"),
         F.max("seq").alias("last_seq"),
     )
+
+
+_CAP60 = (
+    "WHERE event_id <= "
+    "(SELECT CAST(FLOOR(MAX(event_id) * 0.6) AS BIGINT) FROM events)"
+)
+
+
+@register(
+    "events_state_diff",
+    oracle=f"""
+    WITH s_old AS ({_RECONSTRUCT_ORACLE.format(cap_filter=_CAP60)}),
+         s_new AS ({_RECONSTRUCT_ORACLE.format(cap_filter="")})
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           o.last_seq AS old_seq,
+           n.last_seq AS new_seq,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM s_old o FULL OUTER JOIN s_new n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.last_seq <> n.last_seq
+    """,
+    tags=("temporal", "join"),
+)
+def events_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal state diff: which PKs were added / removed / changed between
+    AS OF @SEQ:60% and now — the audit query the reference's time-travel
+    exists to answer but never ships as an operator (its drift surface is
+    per-PK history only, sql_bridge.rs:6494-6556; diffing two states needs
+    two client-side queries there). Both reconstructions partition on pk
+    and the FULL OUTER diff joins on the same key, so no third exchange is
+    introduced; the two scans are genuinely different AS OF slices and
+    cannot share (at cluster scale the old slice reads strictly less via
+    the pushed sequence cap)."""
+    e = _events(spark, sf_dir)
+    s_old = _reconstruct(_capped(e, F.floor(F.max("seq") * 0.6).cast("long"))).select(
+        F.col("user_id").alias("o_user"), F.col("last_seq").alias("old_seq")
+    )
+    s_new = _reconstruct(e).select(
+        F.col("user_id").alias("n_user"), F.col("last_seq").alias("new_seq")
+    )
+    return (
+        s_old.join(s_new, F.col("o_user") == F.col("n_user"), "full")
+        .where(
+            F.col("o_user").isNull()
+            | F.col("n_user").isNull()
+            | (F.col("old_seq") != F.col("new_seq"))
+        )
+        .select(
+            F.coalesce("o_user", "n_user").alias("user_id"),
+            "old_seq",
+            "new_seq",
+            F.when(F.col("o_user").isNull(), "added")
+            .when(F.col("n_user").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+        )
+    )
