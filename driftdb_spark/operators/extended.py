@@ -644,3 +644,69 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_90d_spend"),
     )
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    WITH li AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_qty,
+               COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+                 AS qty_out_of_range,
+               COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 END)
+                 AS discount_out_of_range,
+               COUNT(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01 00:00:00'
+                          THEN 1 END) AS shipdate_before_epoch
+        FROM lineitem
+    ),
+    orphans AS (
+        SELECT COUNT(*) AS orphan_lines
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+    ),
+    dup_pk AS (
+        SELECT COUNT(*) AS dup_order_pks FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+        )
+    )
+    SELECT li.*, orphans.orphan_lines, dup_pk.dup_order_pks
+    FROM li, orphans, dup_pk
+    """,
+    tags=("agg", "pipeline"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality gate: the expectations a pipeline checks before
+    ingesting a batch — null counts, domain-range violations, sentinel
+    dates, referential orphans (lineitem→orders anti-join), duplicate
+    primary keys. All the column expectations fold into ONE scan of the
+    fact (conditional counts in a single aggregate); the FK orphan check is
+    the only join and the PK-duplicate check reuses the orders scan. The
+    same shape backs `EventLog.insert_checked`'s FK RESTRICT enforcement
+    (sql_frontend.py) — this is the batch-audit form that reports instead
+    of rejecting."""
+    t = load_tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    cnt_if = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    col_checks = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt_if(F.col("l_quantity").isNull()).alias("null_qty"),
+        cnt_if((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "qty_out_of_range"
+        ),
+        cnt_if((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).alias(
+            "discount_out_of_range"
+        ),
+        cnt_if(F.col("l_shipdate") < "1990-01-01").alias("shipdate_before_epoch"),
+    )
+    orphans = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lines"))
+    )
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_order_pks"))
+    )
+    return col_checks.crossJoin(orphans).crossJoin(dup_pk)
