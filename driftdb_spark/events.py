@@ -286,3 +286,46 @@ class EventLog:
         shutil.rmtree(self._events_dir)
         os.rename(self._events_dir + ".new", self._events_dir)
         shutil.rmtree(tmp)
+
+    def purge(self, keys: DataFrame) -> int:
+        """Hard-delete ("right to be forgotten"): physically rewrite the log
+        with EVERY event for the given PKs removed — unlike ``soft_delete``,
+        which appends a tombstone and keeps history replayable. Time travel
+        for purged keys intentionally stops answering (the point of a
+        compliance purge); all other keys' history and sequences are
+        untouched, so existing AS OF reads stay valid. Snapshots are
+        rewritten too — a purge that leaves the data in a snapshot file has
+        deleted nothing. The reference has no hard-delete at all (SoftDelete
+        only, events.rs); at cluster scale this rewrite is the same
+        anti-join expressed over Delta `MERGE/DELETE` with vacuum.
+
+        Returns the number of events removed.
+        """
+        import shutil
+
+        pk_list = keys.select(
+            F.col(keys.columns[0]).cast("string").alias("pk")
+        ).distinct()
+        ev = self.events()
+        before = ev.count()
+        kept = ev.join(F.broadcast(pk_list), "pk", "anti")
+        tmp = self._events_dir + ".purge"
+        kept.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self._events_dir + ".new")
+        shutil.rmtree(self._events_dir)
+        os.rename(self._events_dir + ".new", self._events_dir)
+        shutil.rmtree(tmp)
+        removed = before - self.events().count()
+        for seq in self._snapshot_seqs():
+            snap_path = os.path.join(self._snap_dir, f"seq={seq}")
+            snap = self.spark.read.parquet(snap_path)
+            cleaned = snap.join(F.broadcast(pk_list), "pk", "anti")
+            tmp_s = snap_path + ".purge"
+            cleaned.write.mode("overwrite").parquet(tmp_s)
+            final_s = self.spark.read.parquet(tmp_s)
+            final_s.write.mode("overwrite").parquet(snap_path + ".new")
+            shutil.rmtree(snap_path)
+            os.rename(snap_path + ".new", snap_path)
+            shutil.rmtree(tmp_s)
+        return removed

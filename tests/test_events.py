@@ -102,3 +102,36 @@ def test_snapshot_bounds_replay(spark, log):
     log.patch(_rows(spark, [(1, "v2")], "id int, name string"))
     assert log.state_at().first()["row"]["name"] == "v2"
     assert log.state_at(AsOf(sequence=1)).first()["row"]["name"] == "v1"
+
+
+def test_purge_removes_all_history(spark, log):
+    """Hard delete: purged PKs vanish from current state, drift history,
+    AND pre-existing snapshots; other keys' history and time travel are
+    untouched."""
+    from driftdb_spark.temporal import AsOf
+
+    rows = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, name string, v int"
+    )
+    seq_insert = log.insert(rows)
+    log.snapshot()
+    log.patch(spark.createDataFrame([(2, 99)], "id int, v int"))
+
+    removed = log.purge(spark.createDataFrame([(2,)], "id int"))
+    assert removed == 2  # the insert and the patch
+
+    state = {r.pk: r for r in log.state_at().collect()}
+    assert set(state) == {"1", "3"}
+    assert log.drift_history(pk="2").count() == 0
+    # time travel for surviving keys still answers at the old sequence
+    old = {r.pk for r in log.state_at(AsOf(sequence=seq_insert)).collect()}
+    assert old == {"1", "3"}
+    # the snapshot file no longer holds the purged key either
+    snap_seqs = log._snapshot_seqs()
+    assert snap_seqs
+    import os as _os
+
+    snap = spark.read.parquet(
+        _os.path.join(log._snap_dir, f"seq={snap_seqs[-1]}")
+    )
+    assert {r.pk for r in snap.select("pk").collect()} == {"1", "3"}
