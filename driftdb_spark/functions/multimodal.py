@@ -254,3 +254,100 @@ def multimodal_audio_features_query(spark: SparkSession, sf_dir: str) -> DataFra
     """Audio feature extraction through the same Arrow-batched stub boundary."""
     media = synthetic_media(spark, n=24)
     return extract_audio_features(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: PPM (P6) needs no media library — pure bytes + numpy.
+# The stubbed JPEG/PNG boundary above shows the contract; this shows the
+# contract carrying REAL pixel math end-to-end through mapInPandas.
+# ---------------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+import numpy as _np  # noqa: E402
+
+PPM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType()), True),
+        T.StructField("thumb_2x2", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def ppm_bytes(media_id: int, width: int, height: int) -> bytes:
+    """A real binary P6 PPM image with a deterministic per-id gradient."""
+    x = _np.arange(width, dtype=_np.int64)[None, :]
+    y = _np.arange(height, dtype=_np.int64)[:, None]
+    r = (x * 3 + y * 5 + media_id) % 256
+    g = (x + 2 * y + 7 * media_id) % 256
+    b = (x * y + media_id) % 256
+    img = _np.stack(
+        [_np.broadcast_to(c, (height, width)) for c in (r, g, b)], axis=-1
+    ).astype(_np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(content: bytes) -> tuple[int, int, list[float], list[float]]:
+    """REAL image decode — header parse, pixel buffer, channel means, and a
+    2×2 block-mean thumbnail — no image library involved."""
+    m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+255\s", content)
+    if m is None:
+        return 0, 0, [], []
+    w, h = int(m.group(1)), int(m.group(2))
+    px = _np.frombuffer(content, dtype=_np.uint8, count=w * h * 3, offset=m.end())
+    img = px.reshape(h, w, 3).astype(_np.float64)
+    means = [float(v) for v in img.mean(axis=(0, 1))]
+    thumb = img.reshape(2, h // 2, 2, w // 2, 3).mean(axis=(1, 3))
+    return w, h, means, [float(v) for v in thumb.reshape(-1)]
+
+
+def extract_ppm_features(media: DataFrame) -> DataFrame:
+    """Same Arrow-batched ``mapInPandas`` contract as the stubbed decoders,
+    but the body does real pixel arithmetic (vectorized numpy per image)."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_ppm(c if c is not None else b"") for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channel_means": [d[2] for d in decoded],
+                    "thumb_2x2": [d[3] for d in decoded],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        features, PPM_FEATURES_SCHEMA
+    )
+
+
+def synthetic_ppm_media(spark, n: int = 6) -> DataFrame:
+    """Real PPM images as a binary-column DataFrame (even dims for the 2×2
+    thumbnail blocks)."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + 2 * (i % 5), 6 + 2 * (i % 4)
+        content = ppm_bytes(i, w, h)
+        rows.append((i, "image", content, ("image/x-portable-pixmap", f"src{i % 3}", len(content))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle=None,  # pixel decode is not SQL-expressible; exactness is pinned
+    # by tests/test_multimodal.py::test_ppm_decode_matches_numpy
+    tags=("multimodal",),
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding through the multimodal boundary: binary P6 PPM
+    payloads (library-free format) decoded to dimensions, channel means,
+    and a 2×2 block-mean thumbnail inside an Arrow-batched mapInPandas —
+    the same plumbing the stubbed JPEG path uses, proven with actual pixel
+    math. Deterministic, so the rows-only check is stable; the pytest
+    asserts bit-equality against an independent numpy decode."""
+    return extract_ppm_features(synthetic_ppm_media(spark)).orderBy("media_id")

@@ -67,3 +67,36 @@ def test_registered_multimodal_queries(spark):
     stats = qmap["multimodal_binary_stats"](spark, sf)
     got = {r.source: r.n for r in stats.collect()}
     assert sum(got.values()) > 0
+
+
+def test_ppm_decode_matches_numpy(spark):
+    """The distributed PPM decode must equal an independent local numpy
+    decode bit-for-bit (same float64 arithmetic): real pixels, real means,
+    real block thumbnail — no stub."""
+    import numpy as np
+
+    from driftdb_spark.functions.multimodal import (
+        decode_ppm,
+        extract_ppm_features,
+        ppm_bytes,
+        synthetic_ppm_media,
+    )
+
+    got = {
+        r.media_id: r
+        for r in extract_ppm_features(synthetic_ppm_media(spark)).collect()
+    }
+    assert len(got) == 6
+    for i in range(6):
+        w, h = 8 + 2 * (i % 5), 6 + 2 * (i % 4)
+        raw = ppm_bytes(i, w, h)
+        ew, eh, emeans, ethumb = decode_ppm(raw)
+        assert (got[i].width, got[i].height) == (ew, eh) == (w, h)
+        assert got[i].channel_means == emeans
+        assert got[i].thumb_2x2 == ethumb
+        # independent check: means computed straight from the byte buffer
+        px = np.frombuffer(raw[raw.index(b"255\n") + 4 :], dtype=np.uint8)
+        assert px.size == w * h * 3
+        assert got[i].channel_means == [
+            float(v) for v in px.reshape(h, w, 3).astype(np.float64).mean(axis=(0, 1))
+        ]
