@@ -298,3 +298,54 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cut deterministic for the oracle hash."""
     load_tables(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "scale"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted skew join — the join-side companion to
+    ``agg_skew_salted``. A hot join key funnels every matching probe row
+    through one reducer; the fix replicates each BUILD row S times (explode
+    over the salt range) and tags each PROBE row with a row-local salt, so
+    one hot key spreads across S reducers. The join condition becomes
+    (key, salt) — semantics are UNCHANGED (each probe row matches exactly
+    the one replica carrying its salt), which is why the oracle is the
+    plain join. AQE's skew-join splitter handles this automatically when
+    partition-size stats reveal the skew; the explicit pattern is for the
+    cases AQE can't see (skew inside one key, non-shuffle joins) and is
+    written once here for reuse. Cost: S× the build side — pick S ≈ the
+    hot key's excess factor, not shuffle-partition count."""
+    t = load_tables(spark, sf_dir)
+    s = 8
+    li = t["lineitem"].withColumn(
+        # row-local deterministic salt: spreads every key uniformly
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(s)).cast("int"),
+    )
+    o = t["orders"].withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    )
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["_salt"] == o["_salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -232,3 +232,25 @@ def dedup_stream(
         )
         keys = ["content_key"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def idempotent_parquet_sink(out_dir: str):
+    """Exactly-once foreachBatch sink: Structured Streaming guarantees
+    at-least-once delivery to foreachBatch — after a failure the SAME batch
+    id can be re-delivered — so the sink must be idempotent per batch_id.
+    Each batch commits to its own ``batch_id=N`` directory; a re-delivery
+    finds the _SUCCESS marker of the committed write and skips, and a
+    PARTIAL write (no marker) is safely overwritten. Combined with the
+    checkpoint this yields end-to-end exactly-once into parquet. At cluster
+    scale the same contract is Delta's idempotent writes (txnAppId/
+    txnVersion = query id/batch id); the directory-per-batch form is the
+    format-agnostic fallback."""
+    import os
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return
+        df.write.mode("overwrite").parquet(target)
+
+    return write
