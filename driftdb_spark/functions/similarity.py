@@ -404,3 +404,119 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(q).alias("q_max"),
         )
     )
+
+
+M_SUB = 8  # PQ subspaces (64 dims -> 8 x 8)
+K_SUB = 16  # codewords per subspace (seed vectors vec_id < 16)
+
+
+@register(
+    "sim_ann_pq_adc",
+    oracle=f"""
+    WITH cb AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        FROM embeddings WHERE vec_id < {K_SUB}
+    ),
+    en AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT en.vec_id, m.m, cb.cid,
+               CAST(ROUND(list_sum(list_transform(range(1, 9),
+                    i -> (en.ee[m.m * 8 + i] - cb.ce[m.m * 8 + i])
+                       * (en.ee[m.m * 8 + i] - cb.ce[m.m * 8 + i])))
+                    * 1000000.0) AS BIGINT) AS d_micro
+        FROM en CROSS JOIN range(0, {M_SUB}) m(m) CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d_micro, cid) AS rk
+            FROM sub
+        ) ranked WHERE rk = 1
+    ),
+    qtab AS (SELECT m, cid, d_micro FROM sub WHERE vec_id = 0),
+    approx AS (
+        SELECT c.vec_id,
+               CAST(SUM(q.d_micro) AS DOUBLE) / 1000000.0 AS approx_dist
+        FROM codes c JOIN qtab q ON c.m = q.m AND c.code = q.cid
+        WHERE c.vec_id <> 0
+        GROUP BY c.vec_id
+    )
+    SELECT a.vec_id, en.label, a.approx_dist
+    FROM approx a JOIN en ON en.vec_id = a.vec_id
+    ORDER BY a.approx_dist, a.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (Faiss IVFPQ's
+    compression half, deterministic variant): 64-dim vectors split into 8
+    subspaces, each encoded as its nearest of 16 codewords (seed vectors,
+    same discipline as sim_ann_ivf), query scored against CODES via a
+    per-subspace lookup table — 64 floats become 8 codes, a 32× memory
+    cut, and scoring touches the table, not the vectors. Determinism:
+    subspace distances round to exact MICRO-INTEGERS (bigint), so argmin
+    tie-breaks on (distance, codeword id) and the ADC total is an exact
+    integer sum on both engines — no float-summation-order exposure at
+    all. Spark side is pure higher-order functions over a broadcast
+    codebook: array_min over structs IS the argmin (struct ordering =
+    (d, cid)), encoding is a narrow map, and only the final top-10 is
+    wide (TakeOrderedAndProject). At 100 TB: codes live next to the
+    row (8 bytes), the codebook broadcasts, re-training is an offline
+    job — compose with sim_ann_ivf's partition-pruned lists for
+    IVF+PQ."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cb_row = (
+        emb.filter(F.col("vec_id") < K_SUB)
+        .select(
+            F.struct(
+                F.col("vec_id").cast("int").alias("cid"),
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    en = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ee"),
+    ).crossJoin(F.broadcast(cb_row))
+
+    d_micro = (
+        "CAST(ROUND(aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE),"
+        " (s, i) -> s + ({v}[m * 8 + i] - c.ce[m * 8 + i])"
+        " * ({v}[m * 8 + i] - c.ce[m * 8 + i])) * 1000000.0) AS BIGINT)"
+    )
+    codes = F.expr(
+        "transform(sequence(0, 7), m -> array_min(transform(cents, c -> "
+        f"struct({d_micro.format(v='ee')} AS d, c.cid AS cid))))"
+    )
+    encoded = en.select("vec_id", "label", codes.alias("codes"))
+
+    qtab = F.expr(
+        "transform(sequence(0, 7), m -> transform(cents, c -> "
+        f"{d_micro.format(v='ee')}))"
+    )
+    q_row = (
+        en.filter(F.col("vec_id") == 0).select(qtab.alias("qtab"))
+    )
+    adist = (
+        F.expr(
+            "aggregate(sequence(0, 7), CAST(0 AS BIGINT),"
+            " (s, m) -> s + qtab[m][codes[m].cid])"
+        ).cast("double")
+        / 1000000.0
+    )
+    return (
+        encoded.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q_row))
+        .select("vec_id", "label", adist.alias("approx_dist"))
+        .orderBy("approx_dist", "vec_id")
+        .limit(10)
+    )
