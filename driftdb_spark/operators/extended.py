@@ -710,3 +710,69 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_order_pks"))
     )
     return col_checks.crossJoin(orphans).crossJoin(dup_pk)
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+        FROM events WHERE user_id < 50
+        GROUP BY 1, 2
+    ),
+    calendar AS (
+        SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+    grid AS (SELECT u.user_id, c.day FROM users u CROSS JOIN calendar c)
+    SELECT g.user_id, g.day,
+           COALESCE(d.n, 0) AS n_events,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    tags=("temporal", "window"),
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward: every
+    (user, active day) cell exists even when the user was silent — silent
+    days get n_events = 0 and the previous observed daily value carried
+    forward (NULL before the first observation). The calendar is derived
+    from the data (every day with ANY activity — a trading-calendar fill,
+    which also sidesteps engines' non-constant series generators), the
+    user×calendar grid is a broadcast cross join (|users|·|days| rows —
+    tiny next to the fact), and LOCF is one IGNORE NULLS window per user.
+    The hypertable/timescale staple the reference's temporal model never
+    reaches (its time axis is the event sequence, not civil time)."""
+    e = load_tables(spark, sf_dir)["events"]
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    daily = (
+        e.filter(F.col("user_id") < 50)
+        .groupBy("user_id", day)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("day_value"),
+        )
+    )
+    calendar = e.select(day).distinct()
+    users = e.filter(F.col("user_id") < 50).select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(calendar))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
