@@ -776,3 +776,99 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+@register(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 60000.0 THEN 13
+                ELSE CAST(FLOOR(o_totalprice / 5000.0) AS INTEGER) + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+    tags=("agg",),
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the binning primitive behind
+    every distribution profile (quality dashboards, drift monitors).
+    Bucket assignment is pure row-local arithmetic on identical doubles
+    (12 buckets of width 5000 over [0, 60000), underflow 0 / overflow 13 —
+    width_bucket semantics spelled out, since DuckDB lacks the function),
+    so the whole histogram is one map + one aggregate shuffle of ≤14
+    rows."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.select(
+            F.when(F.col("o_totalprice") < 0, 0)
+            .when(F.col("o_totalprice") >= 60000.0, 13)
+            .otherwise(F.floor(F.col("o_totalprice") / 5000.0).cast("int") + 1)
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("lo"),
+            F.max(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_corr_exact",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS corr_qty_price
+    FROM m
+    """,
+    tags=("agg",),
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with EXACT moments: the five sums (Σx, Σy, Σx²,
+    Σy², Σxy) accumulate as decimals — order-independent, unlike the
+    built-in corr()'s streaming float covariance, which drifts with
+    partitioning — and the closed form evaluates in a fixed handful of
+    double ops, rounded to absorb the final sqrt/divide ulp. Same one-
+    shuffle partial-aggregate shape as any groupBy; this is how any moment
+    statistic (variance, skew, regression slopes) stays reproducible at
+    100 TB."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select("l_returnflag", F.round(corr, 9).alias("corr_qty_price"))
