@@ -327,3 +327,41 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "sample_weighted_topk",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           ROUND(ln((CAST(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))
+                          AS BIGINT) + 1) / 4294967296.0)
+                 / n_chars, 9) AS draw_key
+    FROM documents
+    ORDER BY draw_key DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("sampling",),
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-Res): each
+    document draws u ∈ (0,1] from its md5 (content-addressed, so the draw
+    is reproducible across engines and re-runs — the same discipline as
+    every sampler here) and ranks by ln(u)/weight; the global top-k IS a
+    weighted-without-replacement sample, here weighted by document length.
+    One narrow map + TakeOrderedAndProject: no shuffle of the corpus, the
+    same plan shape at any scale. The key rounds to 9 decimals so the two
+    engines' last-ulp ln() differences cannot reorder the cut; ties break
+    on doc_id."""
+    d = load_tables(spark, sf_dir)["documents"]
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("draw_key"))
+        .orderBy(F.desc("draw_key"), "doc_id")
+        .limit(100)
+    )
