@@ -233,3 +233,33 @@ def test_lateral_topn_decorrelates_to_window_limit(spark):
     plan = explain_plan(QUERIES["join_lateral_topn"].fn(spark, SF))
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_no_python_or_cartesian_in_any_registered_plan(spark):
+    """Global hot-path audit over EVERY registered query: no Python
+    evaluation nodes anywhere except the multimodal decode boundary (where
+    Arrow-batched pandas IS the design), and no CartesianProduct anywhere
+    (scalar broadcasts plan as 1-row BroadcastNestedLoopJoin, which is
+    fine). This is the engine-wide enforcement of SCALE.md §4 — a new
+    operator that accidentally drops into a Python UDF or an unkeyed join
+    fails here, not in production."""
+    PY_NODES = (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    )
+    PY_ALLOWED = {
+        "multimodal_audio_features",
+        "multimodal_image_features",
+        "multimodal_ppm_decode",
+    }
+    offenders_py, offenders_cart = [], []
+    for name, spec in sorted(QUERIES.items()):
+        plan = explain_plan(spec.fn(spark, SF))
+        if any(n in plan for n in PY_NODES) and name not in PY_ALLOWED:
+            offenders_py.append(name)
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+    assert not offenders_py, f"Python in hot path: {offenders_py}"
+    assert not offenders_cart, f"cartesian joins: {offenders_cart}"
