@@ -349,3 +349,102 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+_PR_EDGES = """
+    edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src)
+"""
+
+_PR_STEP = """
+    c{i} AS (
+        SELECT e.dst AS node,
+               SUM(CAST(ROUND(r.r * e.w / outw.ow, 12) AS DECIMAL(24,12))) AS s
+        FROM edges e
+        JOIN outw ON e.src = outw.src
+        JOIN r{prev} r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT n.n_nationkey AS node,
+               ROUND(CAST(0.006 AS DOUBLE)
+                     + CAST(0.85 AS DOUBLE)
+                     * CAST(COALESCE(c{i}.s, 0) AS DOUBLE), 12) AS r
+        FROM nation n LEFT JOIN c{i} ON c{i}.node = n.n_nationkey
+    )
+"""
+
+
+@register(
+    "graph_pagerank_nations",
+    oracle=(
+        "WITH "
+        + _PR_EDGES
+        + ", r0 AS (SELECT n_nationkey AS node, CAST(0.04 AS DOUBLE) AS r FROM nation),"
+        + ",".join(_PR_STEP.format(i=i, prev=i - 1) for i in (1, 2, 3))
+        + """
+    SELECT n.n_name AS nation, r3.r AS pagerank
+    FROM r3 JOIN nation n ON n.n_nationkey = r3.node
+    """
+    ),
+    tags=("graph", "agg"),
+)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the nation-level trade
+    graph — customer nation → supplier nation, edge weight = line count.
+    The iterative-message-passing shape beyond connected components: each
+    step is contribution-scatter (join ranks onto edges) + gather (sum per
+    destination), exactly two shuffles per iteration on the node key.
+    Determinism: each per-edge contribution does (rank·w)/out_w in double
+    then ROUNDS to 12 decimals and sums as EXACT decimals, and each new
+    rank is two double ops then a round — so both engines walk identical
+    rank vectors every iteration (the oracle unrolls the three steps as
+    chained CTEs). Dangling mass is dropped (simplified PR). At real graph
+    scale the loop is `recursive_cte`'s checkpointed driver iteration; 3
+    fixed rounds keep it SQL-expressible for the oracle."""
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .join(t["orders"].hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = t["nation"].select(F.col("n_nationkey").alias("node"))
+    ranks = nodes.select("node", F.lit(0.04).cast("double").alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("r") * F.col("w") / F.col("ow"), 12).cast(
+                        "decimal(24,12)"
+                    )
+                ).alias("s")
+            )
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(0.006).cast("double")
+                + F.lit(0.85).cast("double")
+                * F.coalesce(F.col("s"), F.lit(0)).cast("double"),
+                12,
+            ).alias("r"),
+        )
+    return ranks.join(
+        F.broadcast(t["nation"]), F.col("node") == F.col("n_nationkey")
+    ).select(F.col("n_name").alias("nation"), F.col("r").alias("pagerank"))
