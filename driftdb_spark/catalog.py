@@ -16,6 +16,7 @@ Scale notes (100 TB discipline):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,8 +41,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # function would otherwise repeat for all 10 tables. DataFrames are
 # immutable, so reuse is safe; views are (re-)registered on every call
 # because a different sf_dir may have claimed the bare names in between.
-_MEMO: dict[tuple[int, str], dict[str, DataFrame]] = {}
-_CACHED: set[tuple[int, str]] = set()
+# Keyed on a weakref to the session (not id()) so a stopped-and-collected
+# session can never alias a new one through CPython id reuse.
+_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_CACHED: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = weakref.WeakKeyDictionary()
 
 # Ingest-time layout fix: the synthetic testdata ships each table as ONE
 # parquet file with ONE row group — an unsplittable scan, so every query's
