@@ -48,6 +48,10 @@ _MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]
 )
 _CACHED: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = weakref.WeakKeyDictionary()
 
+# Tables skipped by per-table read isolation, keyed sf_dir -> {name: reason}.
+# Purely diagnostic: lets a query's KeyError explain WHY a table is absent.
+_SKIPPED: dict[str, dict[str, str]] = {}
+
 # Ingest-time layout fix: the synthetic testdata ships each table as ONE
 # parquet file with ONE row group — an unsplittable scan, so every query's
 # read + partial aggregation runs on a single core no matter how many are
@@ -107,28 +111,51 @@ def load_tables(
     Reading is lazy — no job runs until an action; repeat calls return the
     memoized handles, so per-query catalog overhead is a dict lookup.
     """
-    key = (id(spark), sf_dir)
-    dfs = _MEMO.get(key)
+    # Driver contract: queries run on an ARBITRARY SparkSession, not the one
+    # get_spark() builds — so every session-level conf a scan depends on must
+    # be (re)applied here at runtime. events.parquet carries TIMESTAMP(NANOS)
+    # which Spark 4 rejects by default; nanosAsLong is runtime-settable.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # a future Spark may make it static; per-table isolation below
+        # then skips events.parquet instead of failing the whole catalog.
+    per_session = _MEMO.setdefault(spark, {})
+    dfs = per_session.get(sf_dir)
     if dfs is None:
         dfs = {}
         for name in TABLES:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):
                 continue
-            chunked = _rechunked_path(spark, name, path, sf_dir)
-            df = spark.read.parquet(chunked or path)
-            # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
-            # arrives as long nanos — convert to TimestampType (µs, floor),
-            # matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation.
+            # One unreadable table must not zero out queries that never touch
+            # it: isolate per-table failures; consumers get a KeyError with
+            # the skip reason instead of a catalog-wide AnalysisException.
+            try:
+                chunked = _rechunked_path(spark, name, path, sf_dir)
+                df = spark.read.parquet(chunked or path)
+            except Exception as exc:  # noqa: BLE001 — deliberate isolation
+                _SKIPPED.setdefault(sf_dir, {})[name] = repr(exc)
+                continue
+            # Normalize events.ts to one stable type across testdata vintages:
+            # TIMESTAMP(NANOS) + nanosAsLong arrives as long nanos → floor to
+            # µs (matches DuckDB's CAST(ts_ns AS TIMESTAMP)); TIMESTAMP(MICROS,
+            # no-UTC) arrives as timestamp_ntz → cast to TimestampType, which
+            # is wall-clock-identical under the UTC session timezone.
             for field in df.schema.fields:
-                if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                if field.name != "ts":
+                    continue
+                kind = field.dataType.simpleString()
+                if kind == "bigint":
                     df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                elif kind == "timestamp_ntz":
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             dfs[name] = df
-        _MEMO[key] = dfs
-    if cache and key not in _CACHED:
+        per_session[sf_dir] = dfs
+    if cache and sf_dir not in _CACHED.setdefault(spark, set()):
         for df in dfs.values():
             df.cache()
-        _CACHED.add(key)
+        _CACHED[spark].add(sf_dir)
     if register:
         for name, df in dfs.items():
             df.createOrReplaceTempView(name)

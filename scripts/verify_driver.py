@@ -1,7 +1,10 @@
 """Mimic the driver's verify: import __spark_entry__, smoke entry(), then run
 every queries() entry at sf0.01 against its oracle_sql() via DuckDB.
 
-Usage: python scripts/verify_driver.py [sf_dir]
+Usage: python scripts/verify_driver.py [--plain-session] [sf_dir]
+
+--plain-session builds a bare SparkSession (no tuned confs) exactly like the
+driver does, proving the registry doesn't depend on session.get_spark().
 """
 
 from __future__ import annotations
@@ -12,13 +15,35 @@ import time
 sys.path.insert(0, ".")
 
 import __spark_entry__ as E  # noqa: E402
-from driftdb_spark.session import get_spark  # noqa: E402
 from tests.oracle import compare  # noqa: E402
 
 
+def _plain_session():
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("verify_driver_plain")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark()
+    args = [a for a in sys.argv[1:]]
+    plain = "--plain-session" in args
+    if plain:
+        args.remove("--plain-session")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if plain:
+        spark = _plain_session()
+    else:
+        from driftdb_spark.session import get_spark
+
+        spark = get_spark()
 
     t0 = time.time()
     n = len(E.entry(spark).collect())
