@@ -139,8 +139,9 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, event_id,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
         FROM ordered
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -329,7 +330,8 @@ def fulltext_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
                       THEN 1 END) AS n_high
@@ -360,8 +362,9 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split(text, ' ')) AS n_tokens,
            len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long,
            array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3,
-           list_aggregate(list_transform(string_split(text, ' '),
-                                         x -> length(x)), 'sum') AS total_chars
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                              x -> length(x)), 'sum')
+                AS BIGINT) AS total_chars
     FROM documents
     WHERE doc_id < 100
     """,
@@ -375,8 +378,8 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.filter(F.col("doc_id") < 100).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
         F.array_join(F.slice(F.array_sort(toks), 1, 3), ",").alias("first3"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("long")),
