@@ -22,14 +22,25 @@ Scale notes (100 TB discipline):
 - Reconstruction shuffles once on PK; snapshots bound the replay tail the
   same way the reference's snapshots do (snapshot.rs:19-43).
 - Sequence assignment is the one inherently serial point (same as the
-  reference's per-table AtomicU64); we assign ``row_number over a global
-  order + base`` per append batch. On a real cluster you'd use Delta commit
+  reference's per-table AtomicU64, table_storage.rs:212-261). We assign
+  ``base + per-partition offset + intra-partition row_number`` — the
+  zipWithIndex recipe expressed in DataFrame ops, so every partition
+  numbers its rows in parallel and only the #partitions-row offset table
+  passes through a single task. On a real cluster you'd use Delta commit
   versions; the API shape is unchanged.
+- Appends are batch-atomic (reference buffered-txn apply-at-COMMIT,
+  sql_bridge.rs:453-568, transaction.rs:25-120): the batch is staged under
+  ``events/_staging-*`` (a leading underscore makes it invisible to
+  Spark's file listing) and published with one directory rename. A write
+  that dies mid-flight leaves only hidden staging files — ``state_at``
+  never sees a torn batch.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,10 +78,22 @@ def _payload_map(df: DataFrame, pk_col: str) -> F.Column:
 class EventLog:
     """Append-only event log for one logical table."""
 
-    def __init__(self, spark: SparkSession, path: str, pk_col: str = "id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        pk_col: str = "id",
+        validate_fn=None,
+    ):
+        """``validate_fn(batch: DataFrame, event_type: str) -> DataFrame``
+        is the BEFORE-trigger analog (reference triggers.rs:30-145): it may
+        return the batch transformed (ModifyRow), return it filtered
+        (Skip), or raise (Abort). Applied to every write path before
+        sequence assignment."""
         self.spark = spark
         self.path = path
         self.pk_col = pk_col
+        self.validate_fn = validate_fn
         self._events_dir = os.path.join(path, "events")
         self._snap_dir = os.path.join(path, "snapshots")
 
@@ -79,7 +102,14 @@ class EventLog:
     def events(self) -> DataFrame:
         if not os.path.exists(self._events_dir):
             return self.spark.createDataFrame([], EVENT_SCHEMA)
-        return self.spark.read.schema(EVENT_SCHEMA).parquet(self._events_dir)
+        # Batches live in per-append subdirectories; recursive lookup skips
+        # `_staging-*` (underscore-prefixed = hidden to Spark's listing),
+        # which is exactly what makes a torn append invisible.
+        return (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(self._events_dir)
+        )
 
     def last_sequence(self) -> int:
         """Max assigned sequence. Snapshot sequences participate: compaction
@@ -93,20 +123,69 @@ class EventLog:
         return max(ev_max, snaps[-1] if snaps else 0)
 
     def _append(self, batch: DataFrame, event_type: str, payload: F.Column | None) -> int:
-        """Assign contiguous sequences to the batch and append it."""
+        """Assign contiguous sequences to the batch and publish it atomically.
+
+        Sequence assignment is the zipWithIndex recipe in DataFrame ops:
+        each partition numbers its own rows with a *partitioned* window
+        (parallel), and partition start offsets come from a cumulative sum
+        over the per-partition counts — a #partitions-row frame, the only
+        single-task step. No global sort, no ``batch.count()`` re-execution
+        (the row total falls out of the same counts frame).
+
+        Publication is staged-then-renamed: the batch is written under
+        ``events/_staging-<token>`` (hidden from Spark's file listing) and
+        one ``os.rename`` flips it to ``batch-<base>-<token>``. POSIX rename
+        is atomic, so readers see the whole batch or none of it — the
+        reference's buffered-transaction COMMIT (sql_bridge.rs:453-568).
+        """
+        if self.validate_fn is not None:
+            batch = self.validate_fn(batch, event_type)
         base = self.last_sequence()
-        w = W.orderBy(F.col(self.pk_col))  # deterministic intra-batch order
-        out = batch.select(
-            (F.row_number().over(w) + F.lit(base)).cast("long").alias("sequence"),
-            F.current_timestamp().alias("ts"),
-            F.lit(event_type).alias("event_type"),
-            F.col(self.pk_col).cast("string").alias("pk"),
-            (payload if payload is not None else F.lit(None).cast(EVENT_SCHEMA["payload"].dataType)).alias(
-                "payload"
-            ),
+        src = (
+            batch.select(
+                F.col(self.pk_col).cast("string").alias("pk"),
+                (
+                    payload
+                    if payload is not None
+                    else F.lit(None).cast(EVENT_SCHEMA["payload"].dataType)
+                ).alias("payload"),
+            )
+            .withColumn("_pid", F.spark_partition_id())
+            # Pin partition contents: the counts pass and the write pass
+            # must see identical partitioning or offsets would misalign.
+            .persist()
         )
-        out.write.mode("append").parquet(self._events_dir)
-        return base + batch.count()
+        try:
+            counts = src.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+            w_ofs = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            offsets = counts.select(
+                "_pid",
+                F.coalesce(F.sum("_n").over(w_ofs), F.lit(0)).alias("_ofs"),
+                F.col("_n"),
+            )
+            total = int(
+                offsets.agg(F.coalesce(F.max(F.col("_ofs") + F.col("_n")), F.lit(0))).first()[0]
+            )
+            w_loc = W.partitionBy("_pid").orderBy("pk")
+            out = src.join(F.broadcast(offsets.drop("_n")), "_pid").select(
+                (F.row_number().over(w_loc) + F.col("_ofs") + F.lit(base))
+                .cast("long")
+                .alias("sequence"),
+                F.current_timestamp().alias("ts"),
+                F.lit(event_type).alias("event_type"),
+                F.col("pk"),
+                F.col("payload"),
+            )
+            os.makedirs(self._events_dir, exist_ok=True)
+            token = uuid.uuid4().hex[:12]
+            staging = os.path.join(self._events_dir, f"_staging-{token}")
+            out.write.mode("overwrite").parquet(staging)
+            os.rename(
+                staging, os.path.join(self._events_dir, f"batch-{base + 1:020d}-{token}")
+            )
+        finally:
+            src.unpersist()
+        return base + total
 
     # -- DML as event appends (reference execute_sql_insert/update/delete,
     # sql_bridge.rs:3388-3661, :5473-5669, :5981-6087) ----------------------

@@ -135,3 +135,123 @@ def test_purge_removes_all_history(spark, log):
         _os.path.join(log._snap_dir, f"seq={snap_seqs[-1]}")
     )
     assert {r.pk for r in snap.select("pk").collect()} == {"1", "3"}
+
+
+# -- round-3 additions: atomic publication, parallel sequence assignment,
+# BEFORE-trigger analog (reference transaction.rs:25-120, triggers.rs:30-145)
+
+
+def test_append_sequences_contiguous_across_partitions(spark, log):
+    """A multi-partition batch gets unique, contiguous sequences starting
+    at last_sequence+1 — the per-partition-offset zipWithIndex recipe."""
+    batch = spark.range(1, 101).selectExpr(
+        "cast(id as int) as id", "concat('n', id) as name", "cast(id as int) as qty"
+    ).repartition(7)
+    end = log.insert(batch)
+    assert end == 100
+    seqs = sorted(r["sequence"] for r in log.events().collect())
+    assert seqs == list(range(1, 101))
+    # second batch continues the counter
+    more = spark.range(101, 111).selectExpr(
+        "cast(id as int) as id", "concat('n', id) as name", "cast(id as int) as qty"
+    ).repartition(3)
+    end2 = log.insert(more)
+    assert end2 == 110
+    assert log.last_sequence() == 110
+
+
+def test_torn_staging_batch_is_invisible(spark, log, tmp_path):
+    """A write that died mid-flight leaves only `_staging-*` files; reads
+    (events / state_at / last_sequence) must not see them."""
+    import os
+    import shutil
+
+    log.insert(_rows(spark, [(1, "a", 10)], "id int, name string, qty int"))
+    events_dir = log._events_dir
+    published = [d for d in os.listdir(events_dir) if d.startswith("batch-")]
+    assert len(published) == 1
+    # simulate a torn append: a staged batch that never got renamed
+    shutil.copytree(
+        os.path.join(events_dir, published[0]),
+        os.path.join(events_dir, "_staging-deadbeef"),
+    )
+    assert log.events().count() == 1
+    assert log.last_sequence() == 1
+    assert log.state_at().count() == 1
+
+
+def test_validate_fn_modify_row(spark, tmp_path):
+    """BEFORE-trigger ModifyRow: the hook rewrites the batch before append
+    (reference triggers.rs TriggerAction::ModifyRow)."""
+    from pyspark.sql import functions as F
+
+    def clamp_qty(batch, event_type):
+        if event_type == "INSERT" and "qty" in batch.columns:
+            return batch.withColumn("qty", F.least(F.col("qty"), F.lit(50)))
+        return batch
+
+    log = EventLog(spark, str(tmp_path / "mod"), pk_col="id", validate_fn=clamp_qty)
+    log.insert(_rows(spark, [(1, "a", 999)], "id int, name string, qty int"))
+    state = {r["pk"]: r["row"] for r in log.state_at().collect()}
+    assert state["1"]["qty"] == "50"
+
+
+def test_validate_fn_skip_rows(spark, tmp_path):
+    """BEFORE-trigger Skip: the hook filters rows out; survivors still get
+    contiguous sequences."""
+    from pyspark.sql import functions as F
+
+    def drop_negative(batch, event_type):
+        if "qty" in batch.columns:
+            return batch.filter(F.col("qty") >= 0)
+        return batch
+
+    log = EventLog(spark, str(tmp_path / "skip"), pk_col="id", validate_fn=drop_negative)
+    end = log.insert(
+        _rows(spark, [(1, "a", 10), (2, "b", -5), (3, "c", 30)], "id int, name string, qty int")
+    )
+    assert end == 2
+    assert sorted(r["pk"] for r in log.state_at().collect()) == ["1", "3"]
+    assert sorted(r["sequence"] for r in log.events().collect()) == [1, 2]
+
+
+def test_validate_fn_abort_leaves_log_unchanged(spark, tmp_path):
+    """BEFORE-trigger Abort: the hook raises; nothing is published — the
+    atomicity guarantee covers validation failures too."""
+
+    def reject_all(batch, event_type):
+        raise ValueError("trigger abort")
+
+    log = EventLog(spark, str(tmp_path / "abort"), pk_col="id")
+    log.insert(_rows(spark, [(1, "a", 10)], "id int, name string, qty int"))
+    log.validate_fn = reject_all
+    with pytest.raises(ValueError, match="trigger abort"):
+        log.insert(_rows(spark, [(2, "b", 20)], "id int, name string, qty int"))
+    log.validate_fn = None
+    assert log.events().count() == 1
+    assert log.last_sequence() == 1
+
+
+def test_append_plan_has_no_global_window_over_batch(spark, log):
+    """The batch-side window is partitioned by _pid (parallel); only the
+    #partitions-row offsets frame may pass through a single task."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    batch = spark.range(0, 1000).selectExpr("cast(id as int) as id").repartition(8)
+    src = batch.select(F.col("id").cast("string").alias("pk")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = W.partitionBy("_pid").orderBy("pk")
+    out = src.select(F.row_number().over(w_loc).alias("rn"), "pk", "_pid")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan
+    # a partitioned window hash-partitions on its keys; a global window
+    # would show Exchange SinglePartition feeding the Window node
+    assert "SinglePartition" not in plan
