@@ -147,16 +147,12 @@ def minhash_signatures(
     return docs.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signatures and self-join buckets → candidate pairs (a < b).
+MAX_BUCKET_SIZE = 200
 
-    The signature frame feeds BOTH sides of the join — materialize it once
-    (persist) or every candidate probe recomputes the shingle+hash pipeline
-    twice. At corpus scale you'd write signatures to storage bucketed by
-    band hash; persist is the in-session equivalent.
-    """
-    sigs = sigs.persist()
-    bands = sigs.select(
+
+def _band_buckets(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bh): one row per document per band bucket."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.expr(
@@ -165,8 +161,57 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         ).alias("band"),
     ).select(id_col, F.col("band.band").alias("band"), F.col("band.bh").alias("bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+
+
+def lsh_oversized_buckets(
+    sigs: DataFrame, id_col: str = "doc_id", max_bucket_size: int = MAX_BUCKET_SIZE
+) -> DataFrame:
+    """Audit frame: the band buckets the candidate join will DROP, with
+    their member counts. A huge bucket means a degenerate band (boilerplate
+    text hashing identically for thousands of docs) — its members are
+    near-identical to each other anyway and are far better handled by
+    exact dedup than by an O(bucket²) pair explosion."""
+    return (
+        _band_buckets(sigs, id_col)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs (a < b).
+
+    The signature frame feeds BOTH sides of the join — materialize it once
+    (persist) or every candidate probe recomputes the shingle+hash pipeline
+    twice. At corpus scale you'd write signatures to storage bucketed by
+    band hash; persist is the in-session equivalent.
+
+    Degenerate buckets are capped: a windowed count over (band, bh) tags
+    each membership row with its bucket size, and buckets larger than
+    ``max_bucket_size`` are excluded from BOTH join sides. Without the cap
+    one boilerplate-heavy bucket (N docs sharing a band) contributes N²/2
+    candidate pairs — the classic LSH skew blow-up at corpus scale. The
+    windowed count shuffles on the same (band, bh) keys the self-join
+    needs, so the cap rides the shuffle the join was going to do anyway.
+    Use :func:`lsh_oversized_buckets` to audit what was dropped.
+    """
+    from pyspark.sql.window import Window as W
+
+    sigs = sigs.persist()
+    bands = _band_buckets(sigs, id_col)
+    w = W.partitionBy("band", "bh")
+    capped = (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(
             b,

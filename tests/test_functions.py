@@ -88,3 +88,52 @@ def test_ivf_probe_recall_vs_exact(spark):
     ).collect()}
     approx = {r.vec_id for r in QUERIES["sim_ann_ivf"].fn(spark, SF).collect()}
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """30 byte-identical docs put 30 members in every band bucket —
+    uncapped that is 435 candidate pairs; a cap of 10 drops the buckets
+    entirely and the audit frame reports each one with its size."""
+    from driftdb_spark.functions.dedup import N_BANDS, lsh_oversized_buckets
+
+    text = " ".join(f"tok{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(30)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs)
+    assert lsh_candidate_pairs(sigs, max_bucket_size=1000).count() == 435
+    assert lsh_candidate_pairs(sigs, max_bucket_size=10).count() == 0
+    audit = lsh_oversized_buckets(sigs, max_bucket_size=10).collect()
+    assert len(audit) == N_BANDS
+    assert all(r.bucket_size == 30 for r in audit)
+
+
+def test_lsh_cap_keeps_normal_pairs(spark):
+    """The cap must not disturb buckets under the limit — near-dup recall
+    from the uncapped test still holds at the default cap."""
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"
+    docs = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_lsh_capped_join_plan_filters_both_sides(spark):
+    """Plan shape: the bucket-size filter sits on the join inputs (a
+    windowed count over the same (band, bh) keys the join shuffles on)."""
+    import io
+    from contextlib import redirect_stdout
+
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(docs), max_bucket_size=7)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "_bsz" in plan and "Window" in plan
