@@ -2,19 +2,22 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>}
+   "queries": {...per-query MEDIAN sec...}, "sf": <sf>, ...}
 
-Method: one warmed SparkSession; each query runs twice as warm-up (C2 JIT
-settling) and the best of three timed runs is reported — matching
-BASELINE.md's interpretation that the comparable quantity is warmed batch
-throughput, not JVM startup. Results are materialized through the noop sink
-(full computation, no driver transfer noise).
+Method: one warmed SparkSession; the whole suite runs twice as warm-up
+(C2 JIT settling) and then N_REPEATS full timed suite passes. Each query
+reports the MEDIAN across passes — a suite-level repeat, so one noisy pass
+(page-cache eviction, competing JVM) can't masquerade as a per-query
+regression; the per-pass raw times ship in "runs" for spread inspection.
+Results are materialized through the noop sink (full computation, no
+driver transfer noise).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,7 +48,18 @@ HEADLINE = [
     "q21_waiting_supplier",
     "pipeline_training_corpus",
     "events_retention_cohorts",
+    # r3 breadth: iterative machinery (connected components, pagerank),
+    # correlated-min and double-quantifier TPC-H shapes, TF-IDF ranking —
+    # the expensive non-headline families where regressions used to hide
+    "dedup_cluster_components",
+    "graph_pagerank_nations",
+    "q2_min_cost_supplier",
+    "q20_potential_promotion",
+    "fulltext_tfidf_search",
 ]
+
+N_WARMUP = 2
+N_REPEATS = 3
 
 
 def _materialize(df) -> None:
@@ -58,27 +72,23 @@ def main() -> None:
     spark = get_spark(app_name="driftdb_spark_bench")
 
     qmap = query_map()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qmap[name]
-        # two warm-ups: C2 JIT compilation of codegen'd stages needs more
-        # than one pass to settle, and decimal-heavy queries showed ±50%
-        # run-to-run swings with a single warm-up
-        for _ in range(2):
-            _materialize(fn(spark, sf_dir))
-        best = float("inf")
-        for _ in range(3):
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for pass_no in range(N_WARMUP + N_REPEATS):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+            _materialize(qmap[name](spark, sf_dir))
+            if pass_no >= N_WARMUP:
+                runs[name].append(round(time.perf_counter() - t0, 4))
 
+    times = {name: round(statistics.median(ts), 4) for name, ts in runs.items()}
     out = {
         "metric": "headline_suite_warm_sec",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": N_REPEATS,
+        "runs": runs,
     }
     print(json.dumps(out))
 
