@@ -49,8 +49,27 @@ _MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]
 _CACHED: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = weakref.WeakKeyDictionary()
 
 # Tables skipped by per-table read isolation, keyed sf_dir -> {name: reason}.
-# Purely diagnostic: lets a query's KeyError explain WHY a table is absent.
+# Purely diagnostic; REPLACED wholesale on every non-memoized load so a
+# stale failure can't outlive a later successful load. The authoritative
+# per-session record is the ``skipped`` attribute on the returned catalog.
 _SKIPPED: dict[str, dict[str, str]] = {}
+
+
+class _TableDict(dict):
+    """Catalog mapping whose KeyError explains WHY a table is absent —
+    consumers hitting a skipped table get the recorded read error instead
+    of a bare name."""
+
+    def __init__(self, *args, skipped: dict[str, str] | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.skipped = skipped if skipped is not None else {}
+
+    def __missing__(self, key):
+        if key in self.skipped:
+            raise KeyError(
+                f"table {key!r} was skipped at catalog load: {self.skipped[key]}"
+            )
+        raise KeyError(key)
 
 # Ingest-time layout fix: the synthetic testdata ships each table as ONE
 # parquet file with ONE row group — an unsplittable scan, so every query's
@@ -114,16 +133,24 @@ def load_tables(
     # Driver contract: queries run on an ARBITRARY SparkSession, not the one
     # get_spark() builds — so every session-level conf a scan depends on must
     # be (re)applied here at runtime. events.parquet carries TIMESTAMP(NANOS)
-    # which Spark 4 rejects by default; nanosAsLong is runtime-settable.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # a future Spark may make it static; per-table isolation below
-        # then skips events.parquet instead of failing the whole catalog.
+    # which Spark 4 rejects by default; nanosAsLong is runtime-settable, and
+    # the UTC session timezone is what makes the timestamp_ntz→timestamp
+    # normalization below (and DuckDB oracle comparison) wall-clock-exact on
+    # any host.
+    for conf_key, conf_val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(conf_key, conf_val)
+        except Exception:
+            pass  # a future Spark may make it static; per-table isolation
+            # below then skips the affected table instead of the catalog.
     per_session = _MEMO.setdefault(spark, {})
     dfs = per_session.get(sf_dir)
     if dfs is None:
-        dfs = {}
+        skipped: dict[str, str] = {}
+        dfs = _TableDict(skipped=skipped)
         for name in TABLES:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):
@@ -131,12 +158,33 @@ def load_tables(
             # One unreadable table must not zero out queries that never touch
             # it: isolate per-table failures; consumers get a KeyError with
             # the skip reason instead of a catalog-wide AnalysisException.
+            # A failure in the OPTIONAL rechunk step (disk-full writing the
+            # _chunked copy, say) must not drop a table whose original file
+            # is readable — fall back to the original before skipping.
             try:
                 chunked = _rechunked_path(spark, name, path, sf_dir)
+            except Exception:  # noqa: BLE001 — rechunk is an optimization
+                chunked = None
+            try:
                 df = spark.read.parquet(chunked or path)
             except Exception as exc:  # noqa: BLE001 — deliberate isolation
-                _SKIPPED.setdefault(sf_dir, {})[name] = repr(exc)
-                continue
+                if chunked is not None:
+                    try:
+                        df = spark.read.parquet(path)
+                    except Exception as exc2:  # noqa: BLE001
+                        exc = exc2
+                        df = None
+                else:
+                    df = None
+                if df is None:
+                    skipped[name] = repr(exc)
+                    import warnings
+
+                    warnings.warn(
+                        f"catalog: skipping table {name!r} under {sf_dir}: {exc!r}",
+                        stacklevel=2,
+                    )
+                    continue
             # Normalize events.ts to one stable type across testdata vintages:
             # TIMESTAMP(NANOS) + nanosAsLong arrives as long nanos → floor to
             # µs (matches DuckDB's CAST(ts_ns AS TIMESTAMP)); TIMESTAMP(MICROS,
@@ -152,6 +200,9 @@ def load_tables(
                     df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             dfs[name] = df
         per_session[sf_dir] = dfs
+        # Module-level mirror for diagnostics/tests; replaced wholesale so a
+        # later clean load clears any stale failure reason for this sf_dir.
+        _SKIPPED[sf_dir] = skipped
     if cache and sf_dir not in _CACHED.setdefault(spark, set()):
         for df in dfs.values():
             df.cache()

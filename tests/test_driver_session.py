@@ -68,3 +68,43 @@ def test_one_bad_table_does_not_kill_catalog(tmp_path, spark):
     assert "nation" in tables and "region" in tables
     assert "orders" not in tables
     assert "orders" in catalog._SKIPPED[str(scratch)]
+
+
+def test_rechunk_failure_falls_back_to_original(tmp_path, spark, monkeypatch):
+    """A failure in the OPTIONAL rechunk step must not drop a table whose
+    original file is readable (round-2 ADVICE)."""
+    import shutil
+
+    scratch = tmp_path / "sf_rechunk_fail"
+    scratch.mkdir()
+    shutil.copy(f"{SF_DIR}/nation.parquet", scratch / "nation.parquet")
+
+    def boom(spark, name, path, sf_dir):
+        raise OSError("disk full writing _chunked copy")
+
+    monkeypatch.setattr(catalog, "_rechunked_path", boom)
+    tables = catalog.load_tables(spark, str(scratch), register=False)
+    assert tables["nation"].count() > 0
+    assert "nation" not in tables.skipped
+
+
+def test_skipped_table_keyerror_carries_reason(tmp_path, spark):
+    """Consumers hitting a skipped table see the recorded read error, not a
+    bare KeyError (round-2 ADVICE)."""
+    import shutil
+
+    scratch = tmp_path / "sf_reason"
+    scratch.mkdir()
+    shutil.copy(f"{SF_DIR}/nation.parquet", scratch / "nation.parquet")
+    (scratch / "orders.parquet").write_bytes(b"not a parquet file")
+    tables = catalog.load_tables(spark, str(scratch), register=False)
+    with pytest.raises(KeyError, match="skipped at catalog load"):
+        tables["orders"]
+
+
+def test_load_tables_sets_utc_timezone_at_runtime(plain_conf_session):
+    """The ntz→timestamp normalization is only wall-clock-exact under UTC;
+    a plain driver session on a non-UTC host must still get it."""
+    plain_conf_session.conf.set("spark.sql.session.timeZone", "America/New_York")
+    catalog.load_tables(plain_conf_session, SF_DIR)
+    assert plain_conf_session.conf.get("spark.sql.session.timeZone") == "UTC"
