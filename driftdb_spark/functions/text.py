@@ -294,3 +294,122 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
         )
     )
+
+
+@register(
+    "text_repetition_ngram",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i:i+2], ' ')) AS grams
+        FROM base
+        WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / len(grams), 6) AS dup_frac
+    FROM g
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of duplicate token 3-grams per
+    document — the classic repetitious-text quality gate from large-LM
+    data pipelines (a doc whose 3-grams are mostly repeats is boilerplate
+    or degenerate generation). Entirely array-local: gram construction,
+    distinct, and the ratio all happen inside one projection — a pure map
+    stage with ZERO shuffle, the best possible 100 TB shape."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> array_join(slice(toks, i, 3), ' '))"
+    )
+    g = base.select("doc_id", grams.alias("grams"))
+    n = F.size("grams").cast("bigint")
+    nd = F.size(F.array_distinct("grams")).cast("bigint")
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.round((n - nd).cast("double") / n, 6).alias("dup_frac"),
+    )
+
+
+@register(
+    "text_top_bigram_frac",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+1], ' ')))
+                 AS gram
+        FROM base
+    ),
+    cnt AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM b GROUP BY doc_id, gram
+    ),
+    rk AS (
+        SELECT doc_id, gram, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram) AS rn,
+               CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+        FROM cnt
+    )
+    SELECT doc_id, gram AS top_bigram, c AS top_n, total AS total_bigrams,
+           ROUND(CAST(c AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top_frac
+    FROM rk WHERE rn = 1
+    """,
+    tags=("text", "quality"),
+)
+def text_top_bigram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of the document covered by its single most frequent bigram
+    (Gopher-style repetition rule: high top-bigram coverage flags
+    templated/boilerplate text). One explode + per-(doc, gram) count, then
+    a per-doc window pick — both stages key on doc_id so the shuffle is a
+    single co-partitioned exchange; ties break lexicographically so both
+    engines pick the same bigram."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> array_join(slice(toks, i, 2), ' '))"
+    )
+    cnt = (
+        base.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("doc_id")
+    rk = cnt.select(
+        "doc_id",
+        "gram",
+        "c",
+        F.row_number().over(w.orderBy(F.desc("c"), "gram")).alias("rn"),
+        F.sum("c").over(w).alias("total"),
+    )
+    return rk.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("gram").alias("top_bigram"),
+        F.col("c").alias("top_n"),
+        F.col("total").alias("total_bigrams"),
+        F.round(F.col("c").cast("double") / F.col("total").cast("double"), 6).alias(
+            "top_frac"
+        ),
+    )

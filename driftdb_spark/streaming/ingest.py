@@ -28,10 +28,16 @@ from driftdb_spark.events import EVENT_SCHEMA, INSERT, SOFT_DELETE
 
 
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """The append-only event log as an unbounded streaming source."""
+    """The append-only event log as an unbounded streaming source.
+
+    Batches land as ``batch-*`` subdirectories published by atomic rename
+    (events.py), so the source needs recursive lookup; `_staging-*` dirs
+    are underscore-hidden from the listing, which is exactly what makes an
+    in-flight append invisible to the stream until its rename commits."""
     return (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 16)
+        .option("recursiveFileLookup", "true")
         .parquet(events_dir)
     )
 

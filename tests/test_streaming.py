@@ -87,6 +87,8 @@ def test_stateful_running_totals_across_microbatches(spark, log, tmp_path):
     stream = (
         spark.readStream.schema(log.events().schema)
         .option("maxFilesPerTrigger", 1)
+        # the log publishes each append as a batch-* subdirectory
+        .option("recursiveFileLookup", "true")
         .parquet(log._events_dir)
     )
     totals = stateful_running_totals(stream)
