@@ -404,15 +404,22 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS(other supplier) ⇔ n_supp > 1, NOT EXISTS(other late supplier)
     given l1 late ⇔ exactly one supplier has n_late_lines > 0, and l1's
     line count IS n_late_lines — so numwait = SUM(n_late_lines).
-    Every derived aggregate/join keys on orderkey, so the sort-merge
-    join's partitioning is reused with ZERO further fact shuffles (the
+    Every derived aggregate/join keys on orderkey, so the shuffle join's
+    partitioning is reused with ZERO further fact shuffles (the
     (order,supplier) groupBy clusters by a superset of the partition key,
     and the per_supp exchange feeding both the per-order rollup and the
     late-supplier row source is a ReusedExchange); no distinct-expand
-    either. Three exchanges total: two SMJ inputs + the final s_name
-    rollup. Lateness = shipped >60 days after order (no receipt/commit
-    dates in the driver schema); ORDER BY (numwait DESC, s_name) makes
-    the LIMIT cut deterministic."""
+    either. Three exchanges total: two join inputs + the final s_name
+    rollup. The join is a hinted SHUFFLED HASH join, deliberately:
+    unhinted, the planner broadcasts the filtered orders at bench scale,
+    which never establishes the orderkey partitioning everything
+    downstream reuses (and filtered orders exceeds any broadcast
+    threshold at production scale anyway); vs the previous merge hint,
+    SHJ skips both sides' sorts — A/B at sf0.1: SHJ 0.53 s, SMJ 0.72 s,
+    and the build side is the compact (orderkey, orderdate) projection
+    whose per-partition size AQE bounds. Lateness = shipped >60 days
+    after order (no receipt/commit dates in the driver schema); ORDER BY
+    (numwait DESC, s_name) makes the LIMIT cut deterministic."""
     t = load_tables(spark, sf_dir)
     o = (
         t["orders"]
@@ -433,7 +440,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
     per_supp = (
-        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.count(F.when(late, 1)).alias("n_late_lines"))
     )
