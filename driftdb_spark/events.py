@@ -75,6 +75,52 @@ def _payload_map(df: DataFrame, pk_col: str) -> F.Column:
     )
 
 
+def fold_events(ev: DataFrame) -> DataFrame:
+    """Reconstruct visible state ``(pk, last_seq, row)`` from an event frame
+    — the reference's replay loop (table_storage.rs:344-428) as one
+    declarative fold, shared by batch ``EventLog.state_at`` and the
+    streaming micro-batch merge:
+
+    1. last Insert per PK; 2. drop PKs whose last SoftDelete is at-or-after
+    it; 3. field-level LWW fold of the Insert + subsequent Patches in
+    sequence order (apply_event merge semantics, table_storage.rs:369-389).
+    One shuffle on pk; a Patch with no preceding Insert is ignored, exactly
+    like the reference's replay of a patch to a missing key.
+    """
+    ins = (
+        ev.filter(F.col("event_type") == INSERT)
+        .groupBy("pk")
+        .agg(F.max("sequence").alias("ins_seq"))
+    )
+    dels = (
+        ev.filter(F.col("event_type") == SOFT_DELETE)
+        .groupBy("pk")
+        .agg(F.max("sequence").alias("del_seq"))
+    )
+    live = ins.join(dels, "pk", "left").filter(
+        F.col("del_seq").isNull() | (F.col("del_seq") < F.col("ins_seq"))
+    )
+    tail = ev.join(live, "pk").filter(
+        (F.col("sequence") >= F.col("ins_seq"))
+        & (F.col("event_type") != SOFT_DELETE)
+    )
+    # Field-level LWW fold of Insert + Patches in sequence order. The
+    # struct carries a map, so array_sort needs an explicit comparator
+    # on sequence (maps aren't orderable).
+    cmp = (
+        "(l, r) -> CASE WHEN l.sequence < r.sequence THEN -1 "
+        "WHEN l.sequence > r.sequence THEN 1 ELSE 0 END"
+    )
+    merge = "(acc, e) -> map_concat(map_filter(acc, (k, v) -> NOT map_contains_key(e.payload, k)), e.payload)"
+    return tail.groupBy("pk").agg(
+        F.max("sequence").alias("last_seq"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(sequence, payload)), {cmp}), "
+            f"cast(map() as map<string,string>), {merge})"
+        ).alias("row"),
+    )
+
+
 class EventLog:
     """Append-only event log for one logical table."""
 
@@ -263,38 +309,7 @@ class EventLog:
             )
             ev = snap_as_inserts.unionByName(tail)
 
-        ins = (
-            ev.filter(F.col("event_type") == INSERT)
-            .groupBy("pk")
-            .agg(F.max("sequence").alias("ins_seq"))
-        )
-        dels = (
-            ev.filter(F.col("event_type") == SOFT_DELETE)
-            .groupBy("pk")
-            .agg(F.max("sequence").alias("del_seq"))
-        )
-        live = ins.join(dels, "pk", "left").filter(
-            F.col("del_seq").isNull() | (F.col("del_seq") < F.col("ins_seq"))
-        )
-        tail = ev.join(live, "pk").filter(
-            (F.col("sequence") >= F.col("ins_seq"))
-            & (F.col("event_type") != SOFT_DELETE)
-        )
-        # Field-level LWW fold of Insert + Patches in sequence order. The
-        # struct carries a map, so array_sort needs an explicit comparator
-        # on sequence (maps aren't orderable).
-        cmp = (
-            "(l, r) -> CASE WHEN l.sequence < r.sequence THEN -1 "
-            "WHEN l.sequence > r.sequence THEN 1 ELSE 0 END"
-        )
-        merge = "(acc, e) -> map_concat(map_filter(acc, (k, v) -> NOT map_contains_key(e.payload, k)), e.payload)"
-        return tail.groupBy("pk").agg(
-            F.max("sequence").alias("last_seq"),
-            F.expr(
-                f"aggregate(array_sort(collect_list(struct(sequence, payload)), {cmp}), "
-                f"cast(map() as map<string,string>), {merge})"
-            ).alias("row"),
-        )
+        return fold_events(ev)
 
     def state_df(self, schema_cols: dict[str, str], asof: AsOf | None = None) -> DataFrame:
         """State with the row map projected back to typed columns."""

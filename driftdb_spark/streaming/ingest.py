@@ -4,9 +4,10 @@ The reference has no streaming engine (its storage/streaming.rs:10-60 is a
 memory-bounded batch iterator) — but its north star is exactly "real-time
 writes don't fit batch". This module is the Spark-native answer: the event
 log directory is a streaming source; a ``foreachBatch`` merge maintains a
-materialized current-state table incrementally (micro-batch LWW upsert,
-the streaming form of ``EventLog.state_at``), and watermarked windowed
-aggregations handle late events.
+materialized current-state table incrementally (a per-micro-batch event
+fold sharing ``fold_events`` with batch ``EventLog.state_at``, Patch
+semantics included), and watermarked windowed aggregations handle late
+events.
 
 Scale notes: the foreachBatch merge below rewrites the state table per
 micro-batch (fine for parquet in this container); on a cluster the same
@@ -22,9 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.window import Window as W
-
-from driftdb_spark.events import EVENT_SCHEMA, INSERT, SOFT_DELETE
+from driftdb_spark.events import EVENT_SCHEMA, INSERT, fold_events
 
 
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -43,29 +42,32 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
 
 def _merge_batch_into_state(state_path: str):
-    """Build the foreachBatch callback: micro-batch LWW merge into the
-    materialized state table."""
+    """Build the foreachBatch callback: incremental event fold into the
+    materialized state table ``(pk, last_seq, row)``.
+
+    The existing state re-enters the fold as pseudo-Insert events at their
+    ``last_seq``, unioned with the micro-batch's real events, and
+    ``fold_events`` (shared with batch ``EventLog.state_at``) applies full
+    Insert/Patch/SoftDelete semantics — so a Patch arriving in a later
+    micro-batch merges field-by-field into state materialized batches ago,
+    exactly like the batch reconstruction. On a cluster this same shape is
+    a Delta ``MERGE INTO``; here the fold only ever touches current state
+    + the micro-batch, never the full log."""
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        w = W.partitionBy("pk").orderBy(F.col("sequence").desc())
-        batch_state = (
-            batch.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("pk", F.col("sequence").alias("last_seq"), "event_type", "payload")
-        )
         if os.path.exists(state_path):
-            current = spark.read.parquet(state_path)
-            combined = current.unionByName(batch_state)
+            current = spark.read.parquet(state_path).select(
+                F.col("last_seq").alias("sequence"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.lit(INSERT).alias("event_type"),
+                "pk",
+                F.col("row").alias("payload"),
+            )
+            combined = current.unionByName(batch)
         else:
-            combined = batch_state
-        w2 = W.partitionBy("pk").orderBy(F.col("last_seq").desc())
-        merged = (
-            combined.withColumn("rn", F.row_number().over(w2))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-            .filter(F.col("event_type") != SOFT_DELETE)
-        )
+            combined = batch
+        merged = fold_events(combined)
         tmp = state_path + f".batch{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path + ".next")
@@ -91,10 +93,11 @@ def start_state_materializer(
     ``available_now=True`` processes the current backlog then stops — the
     harness/test mode; ``False`` runs until stopped.
 
-    Note: this simplified merge is row-level LWW (each event's payload is its
-    full row). Partial Patch folding across micro-batches would need the
-    previous merged payload as the merge base — EventLog.state_at covers that
-    for batch; streaming patch-fold is future work.
+    The merge applies full Insert/Patch/SoftDelete semantics incrementally:
+    current state re-enters each micro-batch's fold as pseudo-Inserts, so a
+    Patch folds field-by-field into rows materialized batches ago — the
+    streaming form of ``EventLog.state_at`` with identical merge semantics
+    (shared ``fold_events``).
     """
     stream = read_event_stream(spark, events_dir)
     writer = (

@@ -50,6 +50,18 @@ def test_stream_materializes_state(spark, log, tmp_path):
     pks = {r.pk for r in spark.read.parquet(state_path).collect()}
     assert pks == {"1", "4"}
 
+    # third micro-batch: PATCH must merge field-by-field into state
+    # materialized batches ago (streaming fold shares EventLog semantics)
+    log.patch(spark.createDataFrame([(4, 99)], "id int, value int"))
+    q3 = start_state_materializer(
+        spark, log._events_dir, state_path, str(tmp_path / "ckpt"), available_now=True
+    )
+    q3.awaitTermination(120)
+    rows = {r.pk: r.row for r in spark.read.parquet(state_path).collect()}
+    assert rows["4"]["value"] == "99"  # patched field
+    assert rows["4"]["name"] == "d"  # untouched field survives the patch
+    assert rows["1"]["name"] == "a"
+
 
 def test_windowed_counts_stream_equals_batch(spark, log, tmp_path):
     """The same windowed aggregation over the stream (availableNow → memory
