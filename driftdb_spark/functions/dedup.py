@@ -386,7 +386,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
-    labels.count()
+    # Convergence signal: labels are per-node minima, so propagation is
+    # monotone non-increasing — the label SUM strictly decreases until the
+    # fixpoint. One scalar aggregate per round both materializes the new
+    # labels into the cache and detects convergence (the old
+    # count-then-compare-join needed two actions and an extra join).
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(20):
         propagated = (
             edges.join(labels, edges.src == labels.node)
@@ -395,16 +400,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             labels.unionByName(propagated).groupBy("node").agg(F.min("label").alias("label"))
         ).persist()
-        new_labels.count()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -412,13 +412,21 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     edges = (
         t["lineitem"]
-        .join(t["orders"].hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["orders"].hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        # NOT persisted, deliberately: the edge aggregate appears twice per
+        # iteration in the lineage (directly + via out-weights), but all
+        # occurrences are identical subtrees, so ReuseExchange dedupes them
+        # within the one job — A/B at sf0.1: single-job reuse 1.31 s vs
+        # eager persist + extra job 1.69 s.
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     nodes = t["nation"].select(F.col("n_nationkey").alias("node"))
