@@ -413,3 +413,43 @@ def text_top_bigram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_frac"
         ),
     )
+
+
+# GPT-2-style pretokenizer, ASCII-simplified so Java regex (Spark) and RE2
+# (DuckDB) tokenize identically: a token is an optionally space-prefixed
+# letter run, digit run, or punctuation run; residual spaces chunk together.
+_BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))
+                AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(LENGTH(text) AS DOUBLE)
+                 / len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')),
+                 6) AS chars_per_token
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+    tags=("text",),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both flavors from the pipeline mandate: whitespace
+    tokens AND a BPE-ish regex pretokenization (the GPT-2 pretokenizer
+    shape: space-prefixed letter/digit/punctuation runs). The regex run
+    count is the standard pre-tokenizer proxy for "how many BPE tokens
+    will this doc cost" before a real merges table is applied;
+    chars-per-token is the budget-planning ratio. Entirely JVM-side
+    (`regexp_extract_all` in codegen), one map stage, no shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0))
+    n_bpe = F.size(bpe).cast("bigint")
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length("text").cast("double") / n_bpe, 6).alias("chars_per_token"),
+    )
