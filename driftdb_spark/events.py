@@ -51,6 +51,14 @@ from driftdb_spark.temporal import AsOf, apply_asof
 
 INSERT, PATCH, SOFT_DELETE = "INSERT", "PATCH", "SOFT_DELETE"
 
+
+class ConcurrentAppendError(RuntimeError):
+    """Two writers raced the same sequence range; the loser's batch was
+    rolled back. Retry re-reads last_sequence and appends after the
+    winner — the optimistic-concurrency protocol of a Delta commit,
+    standing in for the reference's per-table lock + AtomicU64
+    (table_storage.rs:212-261)."""
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("sequence", T.LongType(), False),
@@ -226,9 +234,24 @@ class EventLog:
             token = uuid.uuid4().hex[:12]
             staging = os.path.join(self._events_dir, f"_staging-{token}")
             out.write.mode("overwrite").parquet(staging)
-            os.rename(
-                staging, os.path.join(self._events_dir, f"batch-{base + 1:020d}-{token}")
+            prefix = f"batch-{base + 1:020d}-"
+            mine = f"{prefix}{token}"
+            os.rename(staging, os.path.join(self._events_dir, mine))
+            # Optimistic concurrency: a rival writer that read the same
+            # last_sequence publishes under the same start-sequence prefix.
+            # Deterministic resolution — lexicographically-first token wins,
+            # every loser rolls its own batch back and raises. Sequences
+            # stay unique and contiguous; the caller retries after the
+            # winner (Delta commit-conflict semantics).
+            rivals = sorted(
+                d for d in os.listdir(self._events_dir) if d.startswith(prefix)
             )
+            if rivals and rivals[0] != mine:
+                shutil.rmtree(os.path.join(self._events_dir, mine))
+                raise ConcurrentAppendError(
+                    f"append lost the race for sequence {base + 1} "
+                    f"(winner: {rivals[0]}); retry"
+                )
         finally:
             src.unpersist()
         return base + total

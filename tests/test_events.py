@@ -255,3 +255,25 @@ def test_append_plan_has_no_global_window_over_batch(spark, log):
     # a partitioned window hash-partitions on its keys; a global window
     # would show Exchange SinglePartition feeding the Window node
     assert "SinglePartition" not in plan
+
+
+def test_concurrent_append_loser_rolls_back(spark, log):
+    """Optimistic concurrency: a rival batch already published under the
+    same start sequence makes the later (lexicographically-larger-token)
+    writer roll back and raise; the winner's batch stands alone."""
+    import os
+    import shutil
+
+    from driftdb_spark.events import ConcurrentAppendError
+
+    log.insert(_rows(spark, [(1, "a", 10)], "id int, name string, qty int"))
+    events_dir = log._events_dir
+    existing = [d for d in os.listdir(events_dir) if d.startswith("batch-")][0]
+    # plant a rival claiming sequence 2 with the smallest possible token,
+    # so the real append (random token) always loses the tie-break
+    rival = "batch-00000000000000000002-000000000000"
+    shutil.copytree(os.path.join(events_dir, existing), os.path.join(events_dir, rival))
+    with pytest.raises(ConcurrentAppendError, match="sequence 2"):
+        log.upsert(_rows(spark, [(2, "b", 20)], "id int, name string, qty int"))
+    published = sorted(d for d in os.listdir(events_dir) if d.startswith("batch-"))
+    assert published == sorted([existing, rival])  # loser's dir removed
