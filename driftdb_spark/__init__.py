@@ -30,12 +30,18 @@ physical strategy).
 
 from driftdb_spark.session import get_spark
 from driftdb_spark.catalog import TABLES, load_tables
+from driftdb_spark.events import ConcurrentAppendError, EventLog, fold_events
 from driftdb_spark.registry import QUERIES, oracle_map, query_map
+from driftdb_spark.temporal import AsOf
 
 __all__ = [
     "get_spark",
     "TABLES",
     "load_tables",
+    "EventLog",
+    "ConcurrentAppendError",
+    "fold_events",
+    "AsOf",
     "QUERIES",
     "oracle_map",
     "query_map",
