@@ -277,3 +277,22 @@ def test_concurrent_append_loser_rolls_back(spark, log):
         log.upsert(_rows(spark, [(2, "b", 20)], "id int, name string, qty int"))
     published = sorted(d for d in os.listdir(events_dir) if d.startswith("batch-"))
     assert published == sorted([existing, rival])  # loser's dir removed
+
+
+def test_staging_only_events_dir_reads_empty_and_recovers(spark, tmp_path):
+    """If the FIRST-ever append dies mid-write, the events dir exists but
+    holds only hidden staging garbage: reads must return empty state and a
+    retry append must succeed."""
+    import os
+
+    log = EventLog(spark, str(tmp_path / "fresh"), pk_col="id")
+    os.makedirs(os.path.join(log._events_dir, "_staging-dead"))
+    with open(
+        os.path.join(log._events_dir, "_staging-dead", "part-0.parquet"), "wb"
+    ) as fh:
+        fh.write(b"garbage")
+    assert log.events().count() == 0
+    assert log.last_sequence() == 0
+    assert log.state_at().count() == 0
+    assert log.insert(_rows(spark, [(1, "a", 1)], "id int, name string, qty int")) == 1
+    assert log.state_at().count() == 1
