@@ -757,3 +757,68 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) — completing the 22-shape set.
+    What distinguishes it from the plain 6-table chain (join_multi_chain)
+    is the LOCAL-supplier condition ``c_nationkey = s_nationkey``: an
+    equality between two dimensions that only meet through the fact, so it
+    rides the supplier broadcast join as an extra condition rather than
+    creating any new edge. Join tree follows the single-fact-shuffle rule
+    (SCALE.md §7): the year's orders join customer first, lineitem joins
+    that once on orderkey (shuffle_hash — partitioning without the sorts);
+    region-filtered nation and supplier broadcast. Revenue routes through
+    exact decimals."""
+    t = load_tables(spark, sf_dir)
+    n_asia = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = t["supplier"].join(
+        F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    oc = o.join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        t["lineitem"]
+        .join(oc.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
