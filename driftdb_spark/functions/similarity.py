@@ -520,3 +520,38 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("approx_dist", "vec_id")
         .limit(10)
     )
+
+
+from driftdb_spark.registry import QUERIES as _QUERIES  # noqa: E402
+
+_IVF_ORACLE = _QUERIES["sim_ann_ivf"].oracle
+
+
+@register(
+    "sim_ann_ivf_recall",
+    oracle=f"""
+    WITH ivf AS ({_IVF_ORACLE}),
+    exact AS (
+        SELECT vec_id FROM ({_COSINE_ORACLE})
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+    FROM ivf JOIN exact USING (vec_id)
+    """,
+    tags=("similarity",),
+)
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN path against exact brute-force top-10 — the
+    self-audit every approximate index needs before anyone trusts it (the
+    production analog compares on a held-out query sample; here the
+    registry's own IVF and exact operators feed both sides, so the audit
+    measures exactly what users run). Both inputs are top-10 lists, so the
+    overlap join is broadcast-trivial regardless of corpus size."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    ivf = _QUERIES["sim_ann_ivf"].fn(spark, sf_dir).select("vec_id")
+    exact = cosine_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    return ivf.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.round(F.count(F.lit(1)).cast("double") / 10.0, 6).alias("recall_at_10"),
+    )
