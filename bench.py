@@ -100,12 +100,12 @@ def main() -> None:
                 runs[name].append(round(time.perf_counter() - t0, 4))
     # Iterative block runs after static timing so its cache clears can't
     # evict the static queries' build-time persists mid-measurement.
-    for pass_no in range(1 + N_REPEATS):
+    for pass_no in range(N_WARMUP + N_REPEATS):
         for name in iterative:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             _materialize(qmap[name](spark, sf_dir))
-            if pass_no >= 1:
+            if pass_no >= N_WARMUP:
                 runs[name].append(round(time.perf_counter() - t0, 4))
     spark.catalog.clearCache()
 

@@ -188,9 +188,24 @@ class EventLog:
 
         Publication is staged-then-renamed: the batch is written under
         ``events/_staging-<token>`` (hidden from Spark's file listing) and
-        one ``os.rename`` flips it to ``batch-<base>-<token>``. POSIX rename
-        is atomic, so readers see the whole batch or none of it — the
+        one ``os.rename`` flips it to ``batch-<startseq>``. POSIX rename is
+        atomic, so readers see the whole batch or none of it — the
         reference's buffered-transaction COMMIT (sql_bridge.rs:453-568).
+
+        The final name IS the concurrency claim: it carries no random
+        token, so two writers that raced the same last_sequence target the
+        same directory name, and ``rename`` onto an existing non-empty
+        directory fails — exactly one writer wins, decided atomically by
+        the filesystem, and the loser's batch never becomes visible (it
+        rolls back from staging and raises :class:`ConcurrentAppendError`
+        for retry — Delta's commit-file protocol).
+
+        Partition pinning caveat: ``persist()`` (MEMORY_AND_DISK) keeps the
+        counts pass and the write pass aligned by spilling, not
+        recomputing; only executor loss (not applicable in local mode)
+        could recompute a nondeterministic upstream into different
+        partitions. On a cluster, Delta commit versions replace this whole
+        path.
         """
         if self.validate_fn is not None:
             batch = self.validate_fn(batch, event_type)
@@ -230,28 +245,28 @@ class EventLog:
                 F.col("pk"),
                 F.col("payload"),
             )
+            if total == 0:
+                # Nothing to publish (validate_fn dropped every row, or a
+                # DELETE/UPDATE matched nothing): claiming batch-<base+1>
+                # with an empty batch would block every future append at
+                # this base. The sequence counter intentionally does not
+                # advance.
+                return base
             os.makedirs(self._events_dir, exist_ok=True)
             token = uuid.uuid4().hex[:12]
             staging = os.path.join(self._events_dir, f"_staging-{token}")
             out.write.mode("overwrite").parquet(staging)
-            prefix = f"batch-{base + 1:020d}-"
-            mine = f"{prefix}{token}"
-            os.rename(staging, os.path.join(self._events_dir, mine))
-            # Optimistic concurrency: a rival writer that read the same
-            # last_sequence publishes under the same start-sequence prefix.
-            # Deterministic resolution — lexicographically-first token wins,
-            # every loser rolls its own batch back and raises. Sequences
-            # stay unique and contiguous; the caller retries after the
-            # winner (Delta commit-conflict semantics).
-            rivals = sorted(
-                d for d in os.listdir(self._events_dir) if d.startswith(prefix)
-            )
-            if rivals and rivals[0] != mine:
-                shutil.rmtree(os.path.join(self._events_dir, mine))
+            final = os.path.join(self._events_dir, f"batch-{base + 1:020d}")
+            try:
+                os.rename(staging, final)
+            except OSError as exc:
+                # A rival already owns this start sequence (rename onto a
+                # non-empty directory fails). Our batch never left staging,
+                # so no reader ever saw it.
+                shutil.rmtree(staging, ignore_errors=True)
                 raise ConcurrentAppendError(
-                    f"append lost the race for sequence {base + 1} "
-                    f"(winner: {rivals[0]}); retry"
-                )
+                    f"append lost the race for sequence {base + 1}; retry"
+                ) from exc
         finally:
             src.unpersist()
         return base + total

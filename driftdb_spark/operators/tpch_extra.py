@@ -479,23 +479,26 @@ _PARTSUPP_CTE = """partsupp AS (
     )"""
 
 
-def _derived_partsupp(t) -> DataFrame:
+def _derived_partsupp(t, li: DataFrame | None = None) -> DataFrame:
     """See _PARTSUPP_CTE. Supply cost = min observed line price: a 2-decimal
     source value, so it round-trips EXACTLY through DECIMAL(12,2) on both
     engines (a min of unit-price quotients would be an arbitrary-precision
     double whose decimal rounding diverges at the last ulp between engines
     — that bit Q11). MIN is order-independent; quantities are whole-valued
-    so the bigint availability is exact."""
-    return (
-        t["lineitem"]
-        .groupBy(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .agg(
-            F.min("l_extendedprice").alias("ps_supplycost"),
-            F.sum("l_quantity").cast("bigint").alias("ps_availqty"),
-        )
+    so the bigint availability is exact.
+
+    ``li`` lets callers pass a pre-filtered lineitem (q11's nation
+    suppliers, q20's red parts): filters on the group keys commute below
+    this aggregation, and the ONE shared derivation here keeps all four
+    partsupp shapes agreeing with the oracle CTE."""
+    if li is None:
+        li = t["lineitem"]
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        F.sum("l_quantity").cast("bigint").alias("ps_availqty"),
     )
 
 
@@ -611,21 +614,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_n = t["lineitem"].join(
         F.broadcast(s.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey")
     )
-    ps_n = (
-        li_n.groupBy(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .agg(
-            F.min("l_extendedprice").alias("ps_supplycost"),
-            F.sum("l_quantity").cast("bigint").alias("ps_availqty"),
-        )
-        .select(
-            "ps_partkey",
-            (F.col("ps_supplycost").cast("decimal(12,2)") * F.col("ps_availqty"))
-            .cast("decimal(28,2)")
-            .alias("v"),
-        )
+    ps_n = _derived_partsupp(t, li_n).select(
+        "ps_partkey",
+        (F.col("ps_supplycost").cast("decimal(12,2)") * F.col("ps_availqty"))
+        .cast("decimal(28,2)")
+        .alias("v"),
     )
     per_part = ps_n.groupBy("ps_partkey").agg(F.sum("v").cast("double").alias("value"))
     thr = ps_n.agg((F.sum("v").cast("double") * 0.0001).alias("thr"))
@@ -724,13 +717,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_red = t["lineitem"].join(
         F.broadcast(red), F.col("l_partkey") == F.col("p_partkey")
     )
-    ps_red = li_red.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        F.min("l_extendedprice").alias("ps_supplycost"),
-        F.sum("l_quantity").cast("bigint").alias("ps_availqty"),
-    )
+    ps_red = _derived_partsupp(t, li_red)
     year_qty = (
         li_red.filter(
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")

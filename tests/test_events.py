@@ -258,9 +258,10 @@ def test_append_plan_has_no_global_window_over_batch(spark, log):
 
 
 def test_concurrent_append_loser_rolls_back(spark, log):
-    """Optimistic concurrency: a rival batch already published under the
-    same start sequence makes the later (lexicographically-larger-token)
-    writer roll back and raise; the winner's batch stands alone."""
+    """Optimistic concurrency: the final directory name IS the claim, so a
+    rival batch already published under the same start sequence makes the
+    second writer's rename fail atomically — its batch never becomes
+    visible and it raises for retry."""
     import os
     import shutil
 
@@ -269,14 +270,35 @@ def test_concurrent_append_loser_rolls_back(spark, log):
     log.insert(_rows(spark, [(1, "a", 10)], "id int, name string, qty int"))
     events_dir = log._events_dir
     existing = [d for d in os.listdir(events_dir) if d.startswith("batch-")][0]
-    # plant a rival claiming sequence 2 with the smallest possible token,
-    # so the real append (random token) always loses the tie-break
-    rival = "batch-00000000000000000002-000000000000"
+    # plant a rival that already claimed start sequence 2
+    rival = "batch-00000000000000000002"
     shutil.copytree(os.path.join(events_dir, existing), os.path.join(events_dir, rival))
     with pytest.raises(ConcurrentAppendError, match="sequence 2"):
         log.upsert(_rows(spark, [(2, "b", 20)], "id int, name string, qty int"))
-    published = sorted(d for d in os.listdir(events_dir) if d.startswith("batch-"))
-    assert published == sorted([existing, rival])  # loser's dir removed
+    listed = sorted(os.listdir(events_dir))
+    assert listed == sorted([existing, rival])  # loser left nothing behind
+
+
+def test_empty_batch_publishes_nothing(spark, tmp_path):
+    """An append whose batch is empty (validate_fn dropped every row, or a
+    DELETE matched nothing) must not claim a sequence or publish a batch
+    dir — otherwise the phantom claim would block future appends."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def drop_all(batch, event_type):
+        return batch.filter(F.lit(False))
+
+    log = EventLog(spark, str(tmp_path / "empty"), pk_col="id")
+    log.insert(_rows(spark, [(1, "a", 10)], "id int, name string, qty int"))
+    log.validate_fn = drop_all
+    assert log.insert(_rows(spark, [(2, "b", 20)], "id int, name string, qty int")) == 1
+    log.validate_fn = None
+    assert len([d for d in os.listdir(log._events_dir) if d.startswith("batch-")]) == 1
+    # the base sequence was not consumed: a real append takes sequence 2
+    assert log.insert(_rows(spark, [(3, "c", 30)], "id int, name string, qty int")) == 2
+    assert sorted(r["sequence"] for r in log.events().collect()) == [1, 2]
 
 
 def test_staging_only_events_dir_reads_empty_and_recovers(spark, tmp_path):
