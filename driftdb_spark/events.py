@@ -38,6 +38,7 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+import errno
 import os
 import shutil
 import uuid
@@ -47,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
-from driftdb_spark.temporal import AsOf, apply_asof
+from driftdb_spark.temporal import AsOf, apply_asof, resolve_sequence_at
 
 INSERT, PATCH, SOFT_DELETE = "INSERT", "PATCH", "SOFT_DELETE"
 
@@ -84,9 +85,9 @@ def _payload_map(df: DataFrame, pk_col: str) -> F.Column:
 
 
 def fold_events(ev: DataFrame) -> DataFrame:
-    """Reconstruct visible state ``(pk, last_seq, row)`` from an event frame
-    — the reference's replay loop (table_storage.rs:344-428) as one
-    declarative fold, shared by batch ``EventLog.state_at`` and the
+    """Reconstruct visible state ``(pk, last_seq, last_ts, row)`` from an
+    event frame — the reference's replay loop (table_storage.rs:344-428) as
+    one declarative fold, shared by batch ``EventLog.state_at`` and the
     streaming micro-batch merge:
 
     1. last Insert per PK; 2. drop PKs whose last SoftDelete is at-or-after
@@ -94,6 +95,13 @@ def fold_events(ev: DataFrame) -> DataFrame:
     sequence order (apply_event merge semantics, table_storage.rs:369-389).
     One shuffle on pk; a Patch with no preceding Insert is ignored, exactly
     like the reference's replay of a patch to a missing key.
+
+    ``last_ts`` is the max event timestamp that contributed to the key's
+    state. Snapshots persist it and replay it as the pseudo-Insert's ``ts``,
+    so ``AS OF <timestamp>`` still resolves after a compaction drops the
+    pre-snapshot log (the reference resolves timestamps against the event
+    log the same way — query/executor.rs:194-205 — and its snapshots
+    implicitly keep event timestamps by keeping the events).
     """
     ins = (
         ev.filter(F.col("event_type") == INSERT)
@@ -122,6 +130,7 @@ def fold_events(ev: DataFrame) -> DataFrame:
     merge = "(acc, e) -> map_concat(map_filter(acc, (k, v) -> NOT map_contains_key(e.payload, k)), e.payload)"
     return tail.groupBy("pk").agg(
         F.max("sequence").alias("last_seq"),
+        F.max("ts").alias("last_ts"),
         F.expr(
             f"aggregate(array_sort(collect_list(struct(sequence, payload)), {cmp}), "
             f"cast(map() as map<string,string>), {merge})"
@@ -138,16 +147,27 @@ class EventLog:
         path: str,
         pk_col: str = "id",
         validate_fn=None,
+        post_commit_fn=None,
     ):
         """``validate_fn(batch: DataFrame, event_type: str) -> DataFrame``
         is the BEFORE-trigger analog (reference triggers.rs:30-145): it may
         return the batch transformed (ModifyRow), return it filtered
         (Skip), or raise (Abort). Applied to every write path before
-        sequence assignment."""
+        sequence assignment.
+
+        ``post_commit_fn(events: DataFrame, event_type: str, start_seq:
+        int)`` is the AFTER-trigger analog (reference fires AFTER triggers
+        once the row change is applied, triggers.rs:30-145): invoked only
+        after the batch's rename has made it durable and visible, with the
+        exact sequenced event frame that was published. It observes, never
+        modifies — an exception here propagates to the caller but the
+        commit stands (the reference likewise applies the event before
+        AFTER triggers run). Use for audit folds / notifications."""
         self.spark = spark
         self.path = path
         self.pk_col = pk_col
         self.validate_fn = validate_fn
+        self.post_commit_fn = post_commit_fn
         self._events_dir = os.path.join(path, "events")
         self._snap_dir = os.path.join(path, "snapshots")
 
@@ -260,15 +280,34 @@ class EventLog:
             try:
                 os.rename(staging, final)
             except OSError as exc:
-                # A rival already owns this start sequence (rename onto a
-                # non-empty directory fails). Our batch never left staging,
-                # so no reader ever saw it.
+                # Only two shapes are concurrency, and both are retryable:
+                # the target name already exists (a rival append won this
+                # start sequence — ENOTEMPTY/EEXIST or a visible dir), or
+                # the staging path vanished (a concurrent compact/purge
+                # moved the live dir aside mid-flight — ENOENT). Everything
+                # else (ENOSPC, EACCES, EXDEV, ...) is a real I/O failure;
+                # re-raise it unchanged so a retry loop can't spin on it.
                 shutil.rmtree(staging, ignore_errors=True)
+                retryable = exc.errno in (
+                    errno.ENOTEMPTY,
+                    errno.EEXIST,
+                    errno.ENOENT,
+                ) or os.path.exists(final)
+                if not retryable:
+                    raise
                 raise ConcurrentAppendError(
-                    f"append lost the race for sequence {base + 1}; retry"
+                    f"append lost the race for sequence {base + 1} "
+                    f"(a rival append or log rewrite won); retry"
                 ) from exc
         finally:
             src.unpersist()
+        if self.post_commit_fn is not None:
+            committed = (
+                self.spark.read.schema(EVENT_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(final)
+            )
+            self.post_commit_fn(committed, event_type, base + 1)
         return base + total
 
     # -- DML as event appends (reference execute_sql_insert/update/delete,
@@ -327,20 +366,50 @@ class EventLog:
     # -- reconstruction (reference table_storage.rs:344-428) -----------------
 
     def state_at(self, asof: AsOf | None = None) -> DataFrame:
-        """Reconstruct visible state: ``(pk, last_seq, row map)``.
+        """Reconstruct visible state: ``(pk, last_seq, last_ts, row map)``.
 
-        Starts from the newest snapshot at-or-before the target sequence when
-        one exists (reference snapshot.rs:87-114 find_latest_before) and
-        replays only the tail.
+        The temporal target is resolved to a concrete sequence bound FIRST
+        (timestamps via ``resolve_sequence_at`` — reference
+        query/executor.rs:194-205 resolves ts → max sequence before anything
+        else), and only then is a snapshot selected at-or-before THAT bound
+        (reference snapshot.rs:87-114 find_latest_before the *resolved*
+        sequence). Selecting a snapshot from a raw timestamp target would
+        serve future state whenever a newer snapshot exists. ``between``
+        targets never consult snapshots (a range of history can't start
+        from a materialized point).
         """
-        ev = apply_asof(self.events(), asof or AsOf.now())
+        asof = asof or AsOf.now()
+        ev = self.events()
 
-        snap, snap_seq = self._usable_snapshot(asof)
+        if asof.between is not None or asof.all_history:
+            return fold_events(apply_asof(ev, asof))
+
+        bound: int | None
+        if asof.sequence is not None:
+            bound = asof.sequence
+        elif asof.timestamp is not None:
+            bound = resolve_sequence_at(ev, asof.timestamp)
+            if bound is None:
+                # No event at-or-before the timestamp: state is empty,
+                # regardless of any snapshot (all snapshots are newer).
+                return fold_events(ev.filter(F.lit(False)))
+        else:
+            bound = None  # AS OF now: any snapshot is usable
+
+        if bound is not None:
+            ev = ev.filter(F.col("sequence") <= bound)
+
+        snap, snap_seq = self._usable_snapshot(bound)
         if snap is not None:
             tail = ev.filter(F.col("sequence") > snap_seq)
+            last_ts = (
+                F.col("last_ts")
+                if "last_ts" in snap.columns
+                else F.lit(None).cast("timestamp")
+            )
             snap_as_inserts = snap.select(
                 F.col("last_seq").alias("sequence"),
-                F.lit(None).cast("timestamp").alias("ts"),
+                last_ts.alias("ts"),
                 F.lit(INSERT).alias("event_type"),
                 F.col("pk"),
                 F.col("row").alias("payload"),
@@ -369,12 +438,75 @@ class EventLog:
     # -- snapshot / compaction (reference snapshot.rs:19-43,
     # engine.rs:758-845) ------------------------------------------------------
 
+    def _log_entries(self) -> list[str]:
+        """Non-hidden entries of the events dir — the concrete set of
+        published batches at one instant. Snapshot/compact/purge pin this
+        set up front and read ONLY it, so a batch committed mid-rewrite is
+        never half-included (it's either absent from the pinned set and
+        rescued after the swap, or fully present)."""
+        if not os.path.exists(self._events_dir):
+            return []
+        return sorted(
+            e for e in os.listdir(self._events_dir) if not e.startswith(("_", "."))
+        )
+
+    def _read_entries(self, entries: list[str]) -> DataFrame:
+        if not entries:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        paths = [os.path.join(self._events_dir, e) for e in entries]
+        return (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(*paths)
+        )
+
     def snapshot(self) -> int:
-        """Materialize current state at the current max sequence."""
-        seq = self.last_sequence()
+        """Materialize current state at the max sequence of a pinned set of
+        log entries. Pinning (rather than ``last_sequence()`` + a lazy
+        ``state_at()``) closes a race: a batch appended between the
+        sequence read and the state write would otherwise leak events newer
+        than the snapshot's labeled sequence into the snapshot, making
+        ``AS OF`` through that snapshot serve future state."""
+        return self._snapshot_of(self._log_entries())
+
+    def _snapshot_of(self, entries: list[str]) -> int:
+        ev = self._read_entries(entries)
+        row = ev.agg(F.max("sequence").alias("s")).first()
+        seq = max(int(row["s"] or 0), max(self._snapshot_seqs(), default=0))
         out = os.path.join(self._snap_dir, f"seq={seq}")
-        self.state_at().write.mode("overwrite").parquet(out)
+        fold_events(ev).write.mode("overwrite").parquet(out)
         return seq
+
+    def _swap_events_dir(self, rebuilt: DataFrame, known_entries: list[str]) -> None:
+        """Atomically replace the log with ``rebuilt``, preserving batches
+        committed concurrently with the rewrite.
+
+        Protocol (extends the single-winner append claim to log rewrites):
+        write the rebuilt log to ``events.new``; rename the live dir aside;
+        rename ``events.new`` into place; then RESCUE — move any
+        ``batch-*`` entry that appeared in the old dir after
+        ``known_entries`` was pinned into the new dir (its sequences are
+        above everything in the rebuild, because appends base on
+        ``last_sequence()`` which the rewrite never lowers). An append
+        whose staging dir was still in flight when the live dir moved
+        aside fails its rename with ENOENT and surfaces as
+        :class:`ConcurrentAppendError` — never a silent loss.
+        """
+        new_dir = self._events_dir + ".new"
+        tmp = self._events_dir + ".rewrite"
+        rebuilt.write.mode("overwrite").parquet(tmp)
+        # Re-read through a fresh frame so the final write doesn't re-run
+        # the rebuild plan against a directory we're about to move.
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(new_dir)
+        old_dir = self._events_dir + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(self._events_dir, old_dir)
+        os.rename(new_dir, self._events_dir)
+        known = set(known_entries)
+        for e in sorted(os.listdir(old_dir)):
+            if e.startswith("batch-") and e not in known:
+                os.rename(os.path.join(old_dir, e), os.path.join(self._events_dir, e))
+        shutil.rmtree(old_dir)
+        shutil.rmtree(tmp)
 
     def _snapshot_seqs(self) -> list[int]:
         if not os.path.exists(self._snap_dir):
@@ -385,10 +517,13 @@ class EventLog:
             if d.startswith("seq=")
         )
 
-    def _usable_snapshot(self, asof: AsOf | None):
-        target = asof.sequence if asof and asof.sequence is not None else None
+    def _usable_snapshot(self, bound: int | None):
+        """Newest snapshot at-or-before the RESOLVED sequence bound
+        (find_latest_before, reference snapshot.rs:87-114). ``bound=None``
+        means "now" — the latest snapshot is always usable. Callers must
+        resolve timestamp targets to a sequence before calling."""
         candidates = [
-            s for s in self._snapshot_seqs() if target is None or s <= target
+            s for s in self._snapshot_seqs() if bound is None or s <= bound
         ]
         if not candidates:
             return None, None
@@ -398,26 +533,30 @@ class EventLog:
 
     def compact(self) -> None:
         """Rewrite the log as (latest snapshot as Inserts) + post-snapshot
-        tail — the reference's COMPACT (engine.rs:758-845)."""
-        seq = self.snapshot()
+        tail — the reference's COMPACT (engine.rs:758-845).
+
+        Snapshot-as-insert rows carry each key's ``last_ts`` as their event
+        timestamp, so ``AS OF <timestamp>`` targets that predate the
+        compaction point still resolve to a sequence instead of going
+        empty. Concurrent appends are preserved by the pinned-entries +
+        rescue-sweep swap (``_swap_events_dir``)."""
+        entries = self._log_entries()
+        seq = self._snapshot_of(entries)
         snap = self.spark.read.parquet(os.path.join(self._snap_dir, f"seq={seq}"))
-        tail = self.events().filter(F.col("sequence") > seq)
+        tail = self._read_entries(entries).filter(F.col("sequence") > seq)
+        last_ts = (
+            F.col("last_ts")
+            if "last_ts" in snap.columns
+            else F.lit(None).cast("timestamp")
+        )
         rebuilt = snap.select(
             F.col("last_seq").alias("sequence"),
-            F.lit(None).cast("timestamp").alias("ts"),
+            last_ts.alias("ts"),
             F.lit(INSERT).alias("event_type"),
             "pk",
             F.col("row").alias("payload"),
         ).unionByName(tail)
-        tmp = self._events_dir + ".compact"
-        rebuilt.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self._events_dir + ".new")
-        import shutil
-
-        shutil.rmtree(self._events_dir)
-        os.rename(self._events_dir + ".new", self._events_dir)
-        shutil.rmtree(tmp)
+        self._swap_events_dir(rebuilt, entries)
 
     def purge(self, keys: DataFrame) -> int:
         """Hard-delete ("right to be forgotten"): physically rewrite the log
@@ -432,22 +571,22 @@ class EventLog:
         anti-join expressed over Delta `MERGE/DELETE` with vacuum.
 
         Returns the number of events removed.
-        """
-        import shutil
 
+        Concurrency: like ``compact``, the rewrite pins the published batch
+        set and rescues batches committed mid-rewrite, so no *other* key's
+        events are ever lost. A rescued batch could itself contain events
+        for a purged key (a writer racing the purge); re-run ``purge`` after
+        quiescing writers of the purged keys for a compliance-grade
+        guarantee — the return value being 0 confirms convergence.
+        """
         pk_list = keys.select(
             F.col(keys.columns[0]).cast("string").alias("pk")
         ).distinct()
-        ev = self.events()
+        entries = self._log_entries()
+        ev = self._read_entries(entries)
         before = ev.count()
         kept = ev.join(F.broadcast(pk_list), "pk", "anti")
-        tmp = self._events_dir + ".purge"
-        kept.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self._events_dir + ".new")
-        shutil.rmtree(self._events_dir)
-        os.rename(self._events_dir + ".new", self._events_dir)
-        shutil.rmtree(tmp)
+        self._swap_events_dir(kept, entries)
         removed = before - self.events().count()
         for seq in self._snapshot_seqs():
             snap_path = os.path.join(self._snap_dir, f"seq={seq}")

@@ -43,40 +43,96 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
 def _merge_batch_into_state(state_path: str):
     """Build the foreachBatch callback: incremental event fold into the
-    materialized state table ``(pk, last_seq, row)``.
+    materialized state table ``(pk, last_seq, last_ts, row)``.
 
     The existing state re-enters the fold as pseudo-Insert events at their
-    ``last_seq``, unioned with the micro-batch's real events, and
-    ``fold_events`` (shared with batch ``EventLog.state_at``) applies full
-    Insert/Patch/SoftDelete semantics — so a Patch arriving in a later
+    ``last_seq``/``last_ts``, unioned with the micro-batch's real events,
+    and ``fold_events`` (shared with batch ``EventLog.state_at``) applies
+    full Insert/Patch/SoftDelete semantics — so a Patch arriving in a later
     micro-batch merges field-by-field into state materialized batches ago,
     exactly like the batch reconstruction. On a cluster this same shape is
     a Delta ``MERGE INTO``; here the fold only ever touches current state
-    + the micro-batch, never the full log."""
+    + the micro-batch, never the full log.
+
+    Out-of-order delivery: the file source orders by modification time, and
+    ``maxFilesPerTrigger`` can split a committed batch across triggers — so
+    a Patch/SoftDelete can be DELIVERED before the Insert it follows in
+    sequence order (mtime ties have 1s granularity on some filesystems).
+    ``fold_events`` would drop such an orphan, and in an incremental merge
+    "dropped" would mean "lost forever". Instead, non-Insert events whose
+    pk has no materialized state and no Insert in the current fold input
+    are parked in a ``.pending`` sidecar and re-enter every later
+    micro-batch's fold; when the Insert finally arrives, the parked events
+    fold in at their original sequences — order restored by sequence, not
+    by delivery. Pending state is bounded by the out-of-order window (one
+    committed batch): an orphan whose sequence falls ``pending_horizon``
+    behind the materialized high-water mark can no longer be a
+    delivery-order artifact (the file source never reorders that far) and
+    is dropped — the reference's own semantics for a patch to a missing
+    key (apply_event ignores it, table_storage.rs:369-389)."""
+
+    pending_path = state_path + ".pending"
+    pending_horizon = 100_000
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        inputs = [batch]
+        if os.path.exists(pending_path):
+            inputs.append(spark.read.schema(EVENT_SCHEMA).parquet(pending_path))
         if os.path.exists(state_path):
-            current = spark.read.parquet(state_path).select(
-                F.col("last_seq").alias("sequence"),
-                F.lit(None).cast("timestamp").alias("ts"),
-                F.lit(INSERT).alias("event_type"),
-                "pk",
-                F.col("row").alias("payload"),
+            state = spark.read.parquet(state_path)
+            last_ts = (
+                F.col("last_ts")
+                if "last_ts" in state.columns
+                else F.lit(None).cast("timestamp")
             )
-            combined = current.unionByName(batch)
-        else:
-            combined = batch
+            inputs.append(
+                state.select(
+                    F.col("last_seq").alias("sequence"),
+                    last_ts.alias("ts"),
+                    F.lit(INSERT).alias("event_type"),
+                    "pk",
+                    F.col("row").alias("payload"),
+                )
+            )
+        combined = inputs[0]
+        for extra in inputs[1:]:
+            combined = combined.unionByName(extra)
         merged = fold_events(combined)
-        tmp = state_path + f".batch{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path + ".next")
+        # Orphans: non-Insert events for pks with no Insert anywhere in the
+        # fold input — the Insert hasn't been delivered yet. Anti-join on
+        # the (small) distinct insert-pk set; everything else was either
+        # folded in or legitimately superseded.
+        insert_pks = (
+            combined.filter(F.col("event_type") == INSERT).select("pk").distinct()
+        )
+        orphans = combined.filter(F.col("event_type") != INSERT).join(
+            insert_pks, "pk", "anti"
+        )
+        hwm_row = merged.agg(F.max("last_seq").alias("s")).first()
+        hwm = int(hwm_row["s"]) if hwm_row and hwm_row["s"] is not None else 0
+        orphans = orphans.filter(F.col("sequence") > F.lit(hwm - pending_horizon))
+
         import shutil
 
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        os.rename(state_path + ".next", state_path)
-        shutil.rmtree(tmp)
+        # Write BOTH outputs to temp while their lazy plans can still read
+        # the current state/pending files, then swap both in — swapping one
+        # before computing the other would pull the source out from under
+        # the second plan.
+        staged = []
+        for df, target, tag in (
+            (merged, state_path, "state"),
+            (orphans, pending_path, "pend"),
+        ):
+            tmp = target + f".b{batch_id}.{tag}"
+            df.write.mode("overwrite").parquet(tmp)
+            staged.append((tmp, target))
+        for tmp, target in staged:
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(target + ".next")
+            if os.path.exists(target):
+                shutil.rmtree(target)
+            os.rename(target + ".next", target)
+            shutil.rmtree(tmp)
 
     return merge
 

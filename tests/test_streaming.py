@@ -375,3 +375,65 @@ def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
     # the committed batch must win and nothing may change
     sink(e.limit(5), 0)
     assert spark.read.parquet(out).count() == n_src
+
+
+# -- round-4: out-of-order delivery robustness (ADVICE r3: maxFilesPerTrigger
+# + mtime-tie ordering can deliver a Patch before its base Insert)
+
+
+def _ev(spark, rows):
+    from driftdb_spark.events import EVENT_SCHEMA
+
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_merge_parks_patch_delivered_before_insert(spark, tmp_path):
+    """A Patch delivered a trigger BEFORE its Insert (file-source mtime tie)
+    must not be dropped forever: it parks in the pending sidecar and folds
+    in — at its original sequence — once the Insert arrives."""
+    import datetime
+
+    from driftdb_spark.streaming.ingest import _merge_batch_into_state
+
+    t = datetime.datetime(2026, 1, 1)
+    state_path = str(tmp_path / "state")
+    merge = _merge_batch_into_state(state_path)
+
+    # trigger 0: the patch (seq 2) arrives first
+    merge(_ev(spark, [(2, t, "PATCH", "1", {"qty": "99"})]), 0)
+    assert spark.read.parquet(state_path).count() == 0
+
+    # trigger 1: the base insert (seq 1) arrives; parked patch folds in
+    merge(_ev(spark, [(1, t, "INSERT", "1", {"id": "1", "name": "a", "qty": "1"})]), 1)
+    row = spark.read.parquet(state_path).first()
+    assert row["row"]["name"] == "a" and row["row"]["qty"] == "99"
+    assert row["last_seq"] == 2
+    # pending sidecar drained
+    assert spark.read.parquet(state_path + ".pending").count() == 0
+
+
+def test_merge_parks_delete_delivered_before_insert(spark, tmp_path):
+    """A SoftDelete delivered before its Insert applies by SEQUENCE order
+    once both are visible: delete seq > insert seq ⇒ the key stays dead,
+    even though the delete was delivered first."""
+    import datetime
+
+    from driftdb_spark.streaming.ingest import _merge_batch_into_state
+
+    t = datetime.datetime(2026, 1, 1)
+    state_path = str(tmp_path / "state")
+    merge = _merge_batch_into_state(state_path)
+
+    merge(_ev(spark, [(3, t, "SOFT_DELETE", "2", None)]), 0)
+    merge(
+        _ev(
+            spark,
+            [
+                (1, t, "INSERT", "1", {"id": "1", "name": "a"}),
+                (2, t, "INSERT", "2", {"id": "2", "name": "b"}),
+            ],
+        ),
+        1,
+    )
+    pks = {r.pk for r in spark.read.parquet(state_path).collect()}
+    assert pks == {"1"}  # pk 2 deleted by the earlier-delivered, later-sequenced event
