@@ -114,6 +114,13 @@ def main() -> None:
         "metric": "headline_suite_warm_sec",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
+        # Suite composition changes between rounds (r2: 16 queries best-of-3,
+        # r3+: median-of-3 over a grown list). Longitudinal consumers must
+        # key totals on (suite_rev, n_queries) or compare per-query entries,
+        # never raw totals across revs (ADVICE r3).
+        "suite_rev": 4,
+        "n_queries": len(times),
+        "aggregation": "median",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": N_REPEATS,

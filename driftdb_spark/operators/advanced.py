@@ -425,8 +425,10 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NOT persisted, deliberately: the edge aggregate appears twice per
         # iteration in the lineage (directly + via out-weights), but all
         # occurrences are identical subtrees, so ReuseExchange dedupes them
-        # within the one job — A/B at sf0.1: single-job reuse 1.31 s vs
-        # eager persist + extra job 1.69 s.
+        # within the one job — isolated-run A/B at sf0.1 (single query per
+        # session; in-suite bench medians run higher and are a different
+        # condition): single-job reuse 1.31 s vs eager persist + extra
+        # job 1.69 s.
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     nodes = t["nation"].select(F.col("n_nationkey").alias("node"))

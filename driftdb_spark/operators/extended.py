@@ -325,6 +325,90 @@ def fulltext_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOOL_MUST = ("fast", "join")
+_BOOL_SHOULD = ("spark", "window")
+_BOOL_NOT = "slow"
+_BOOL_SCORED = _BOOL_MUST + _BOOL_SHOULD
+_BOOL_SCORED_SQL = "('fast', 'join', 'spark', 'window')"
+_BOOL_MUST_SQL = "('fast', 'join')"
+
+
+@register(
+    "fulltext_boolean_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    hits AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token IN {_BOOL_SCORED_SQL} GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE token IN {_BOOL_SCORED_SQL} GROUP BY token
+    ),
+    scored AS (
+        SELECT h.doc_id,
+               COUNT(DISTINCT CASE WHEN h.token IN {_BOOL_MUST_SQL}
+                                   THEN h.token END) AS n_must,
+               ROUND(SUM(h.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df)), 6) AS score
+        FROM hits h JOIN dfreq d ON h.token = d.token, n
+        GROUP BY h.doc_id
+    )
+    SELECT s.doc_id, s.score
+    FROM scored s
+    WHERE s.n_must = {len(_BOOL_MUST)}
+      AND NOT EXISTS (
+          SELECT 1 FROM tok t WHERE t.doc_id = s.doc_id AND t.token = '{_BOOL_NOT}'
+      )
+    ORDER BY s.score DESC, s.doc_id
+    LIMIT 20
+    """,
+    tags=("text", "fulltext"),
+)
+def fulltext_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND/OR/NOT search ranked by TF-IDF — the reference's
+    BooleanQuery (fulltext.rs:120-141: must / should / must_not term sets)
+    completing its query-type surface here: MUST terms all required (AND),
+    SHOULD terms optional but score-contributing (OR), the NOT term
+    excludes the document outright.
+
+    Plan shape: one token explode feeds three tiny aggregates (per-doc term
+    hits, per-term document frequencies, NOT-term doc set); dfreq is
+    broadcast into the scorer and the exclusion is a left-anti join on
+    doc_id — no cartesian, one doc-keyed exchange, the same inverted-index
+    discipline as the other four full-text operators."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    scored_tok = tok.filter(F.col("token").isin(*_BOOL_SCORED))
+    hits = scored_tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = scored_tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    excluded = tok.filter(F.col("token") == _BOOL_NOT).select("doc_id").distinct()
+    scored = (
+        hits.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("token").isin(*_BOOL_MUST), F.col("token"))
+            ).alias("n_must"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.filter(F.col("n_must") == len(_BOOL_MUST))
+        .join(excluded, "doc_id", "left_anti")
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @register(
     "json_functions",
     oracle="""

@@ -416,7 +416,10 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     which never establishes the orderkey partitioning everything
     downstream reuses (and filtered orders exceeds any broadcast
     threshold at production scale anyway); vs the previous merge hint,
-    SHJ skips both sides' sorts — A/B at sf0.1: SHJ 0.53 s, SMJ 0.72 s,
+    SHJ skips both sides' sorts — isolated-run A/B at sf0.1 (cold suite,
+    single query per session; NOT comparable to in-suite bench medians,
+    which run ~2x higher under suite-wide cache pressure): SHJ 0.53 s,
+    SMJ 0.72 s,
     and the build side is the compact (orderkey, orderdate) projection
     whose per-partition size AQE bounds. Lateness = shipped >60 days
     after order (no receipt/commit dates in the driver schema); ORDER BY

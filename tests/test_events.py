@@ -503,3 +503,23 @@ def test_post_commit_fn_failure_does_not_unpublish(spark, tmp_path):
     log.post_commit_fn = None
     assert log.state_at().count() == 1
     assert log.last_sequence() == 1
+
+
+def test_snapshot_bounds_tail_scan_in_plan(spark, log):
+    """The reference's core reconstruction-perf claim (snapshot.rs:19-43):
+    with a snapshot present, state_at must replay only the tail — asserted
+    here as the `sequence > snap_seq` bound reaching the parquet scan as a
+    pushed filter (row-group pruning at scale). The 10M-event timing behind
+    this shape is scripts/bench_snapshot_tail.py → BENCH_snapshot_tail.json
+    (3.1x over full replay)."""
+    import io
+    from contextlib import redirect_stdout
+
+    log.insert(_rows(spark, [(1, "a", 1), (2, "b", 2)], "id int, name string, qty int"))
+    snap_seq = log.snapshot()
+    log.patch(_rows(spark, [(1, 9)], "id int, qty int"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        log.state_at().explain("formatted")
+    plan = buf.getvalue().replace(" ", "")
+    assert f"GreaterThan(sequence,{snap_seq})" in plan
