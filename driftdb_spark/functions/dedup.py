@@ -408,3 +408,206 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+# -- portable (cross-engine bit-exact) MinHash/SimHash twins ------------------
+#
+# The performance pipeline above keys on xxhash64 (the right choice at scale:
+# one JVM-side 64-bit hash, no string building). xxhash64 has no DuckDB
+# equivalent, so those entries are rows-only checks. These twins re-derive
+# every hash from md5 — lowercase hex text is identical on both engines, and
+# CAST('0x'||hex AS BIGINT) / conv(hex,16,10) parse it to identical BIGINTs —
+# which makes the ENTIRE MinHash → banding → candidate-join → Jaccard-verify
+# pipeline and the SimHash fingerprint fully DuckDB-oracle-checkable,
+# value-for-value. Same algorithm, same constants (N_PERMS=32 permutations
+# from the same universal-hash family, 8 bands x 4), different base hash.
+
+_PORTABLE_P = 2_147_483_647  # permutation modulus (2^31 - 1)
+
+# Spark: md5 hex -> 60-bit bigint -> low 32 bits (keeps every permutation
+# product under 2^57, so ANSI overflow checking never fires — same bound as
+# the xxhash64 pipeline).
+_H32_SPARK = (
+    "cast(conv(substr(md5({col}), 1, 15), 16, 10) as bigint) & 4294967295"
+)
+_H32_DUCK = "CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT) & 4294967295"
+
+# Shingle derivation shared with dedup_ngram_jaccard's oracle: distinct
+# 3-token shingles. (DuckDB lists are 1-indexed.)
+_DUCK_SHINGLES = """
+    SELECT DISTINCT doc_id,
+           UNNEST(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+"""
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    hashed AS (
+        SELECT doc_id, {_H32_DUCK.format(col="shingle")} AS h32 FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, j.j,
+               MIN((h32 * (1000003 * j.j + 12345) + (999983 * j.j + 7919))
+                   % {_PORTABLE_P}) AS mh
+        FROM hashed, (SELECT UNNEST(range(0, {N_PERMS})) AS j) j
+        GROUP BY doc_id, j.j
+    ),
+    bands AS (
+        SELECT doc_id, j / {BAND_SIZE} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bkey
+        FROM sig GROUP BY doc_id, j / {BAND_SIZE}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS shared
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.id_a
+        JOIN sh b ON b.doc_id = p.id_b AND a.shingle = b.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.5
+    """,
+    tags=("dedup",),
+)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash → LSH banding → candidate join → exact-Jaccard
+    verify pipeline, value-for-value oracle-checked (the md5-keyed twin of
+    ``dedup_minhash_lsh``; reference near-dup capability is BASELINE.json's
+    north star, no reference SQL surface).
+
+    Same plan discipline as the performance twin: shingles are hashed once;
+    the signature is a (doc, perm) grouped min (one shuffle); band keys are
+    md5 digests of the 4-value slices; candidates come from the band-bucket
+    self-join, never all pairs; exact Jaccard runs only on candidates."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).persist()
+    hashed = sh.select(
+        "doc_id", F.expr(_H32_SPARK.format(col="shingle")).alias("h32")
+    )
+    grid = hashed.select(
+        "doc_id", "h32", F.explode(F.expr(f"sequence(0, {N_PERMS - 1})")).alias("j")
+    )
+    sig = grid.groupBy("doc_id", "j").agg(
+        F.min(
+            F.expr(
+                f"(h32 * (1000003 * j + 12345) + (999983 * j + 7919)) % {_PORTABLE_P}"
+            )
+        ).alias("mh")
+    )
+    bands = sig.groupBy(
+        "doc_id", (F.col("j") / BAND_SIZE).cast("long").alias("band")
+    ).agg(
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(j, mh))), "
+                "s -> cast(s.mh as string)), ',')"
+            )
+        ).alias("bkey")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 60  # 15 md5 hex chars
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("dedup_simhash_portable", oracle=_simhash_oracle(), tags=("dedup",))
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints, value-for-value oracle-checked — the
+    md5-keyed twin of ``dedup_simhash`` (same per-bit majority vote, md5
+    base hash both engines compute identically). Plan: one token explode,
+    one doc-keyed aggregate with 60 conditional sums — map-side partials
+    do the heavy lifting, the exchange carries one row per doc."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)").alias("h"),
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sim_expr = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim_expr = term if sim_expr is None else sim_expr + term
+    return bit_sums.select("doc_id", sim_expr.cast("long").alias("simhash"))
