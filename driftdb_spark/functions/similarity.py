@@ -555,3 +555,112 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
         F.round(F.count(F.lit(1)).cast("double") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+# -- portable (cross-engine bit-exact) LSH ANN twin ---------------------------
+
+def _md5_sign_spark(j: int) -> str:
+    """±1 pseudo-random plane component from md5 parity — Spark side."""
+    return (
+        "CAST(pmod(cast(conv(substr(md5(concat('plane{j}:', cast(i as string))), 1, 1), 16, 10) as bigint), 2) * 2 - 1 AS DOUBLE)"
+    ).format(j=j)
+
+
+def _md5_dot_spark(j: int) -> str:
+    return (
+        f"aggregate(zip_with(embedding, sequence(0, {DIM - 1}), "
+        f"(x, i) -> CAST(x AS DOUBLE) * {_md5_sign_spark(j)}), "
+        "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
+    )
+
+
+def _md5_dot_duck(j: int) -> str:
+    sign = (
+        f"((CAST('0x' || substr(md5('plane{j}:' || CAST(i - 1 AS VARCHAR)), 1, 1) AS BIGINT) % 2) * 2 - 1)"
+    )
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {sign}))"
+    )
+
+
+def _lsh_portable_oracle() -> str:
+    bucket_duck = " + ".join(
+        f"(CASE WHEN {_md5_dot_duck(j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    probe_cond = " OR ".join(
+        ["b.bucket = q.qb"] + [f"b.bucket = xor(q.qb, {1 << j})" for j in range(N_PLANES)]
+    )
+    return f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding, ({bucket_duck}) AS bucket FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+    cand AS (
+        SELECT b.vec_id, b.label, b.embedding, q.qe
+        FROM b, q WHERE b.vec_id <> 0 AND ({probe_cond})
+    ),
+    s AS (
+        SELECT vec_id, label,
+          list_sum(list_transform(range(1, {DIM + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS dot,
+          sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS na,
+          sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+            i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) AS nq
+        FROM cand
+    )
+    SELECT vec_id, label, ROUND(dot / (na * nq), 6) AS cos_sim
+    FROM s
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ann_lsh_portable", oracle=_lsh_portable_oracle(), tags=("similarity",))
+def sim_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN, value-for-value oracle-checked — the md5-keyed
+    twin of ``sim_ann_lsh_probe``: the ±1 hyperplane components come from
+    md5 hex-digit parity (identical on both engines) instead of xxhash64,
+    so bucket assignment, the Hamming-1 probe set, and the in-bucket cosine
+    top-10 are all independently recomputed by DuckDB. Same plan shape:
+    bucketing is one narrow map stage, probes broadcast, exact cosine only
+    inside probed buckets."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bits = []
+    for j in range(N_PLANES):
+        dot_j = F.expr(_md5_dot_spark(j))
+        bits.append(F.when(dot_j > 0, F.lit(1 << j)).otherwise(0))
+    bucket = bits[0]
+    for x in bits[1:]:
+        bucket = bucket + x
+    bucketed = emb.select(
+        "vec_id", "label", "embedding", bucket.cast("long").alias("bucket")
+    )
+    probes = (
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {N_PLANES}), "
+                    f"j -> CASE WHEN j = {N_PLANES} THEN bucket "
+                    "ELSE CAST(bucket AS BIGINT) ^ shiftleft(1L, j) END)"
+                )
+            ).alias("qbucket"),
+        )
+    )
+    cand = bucketed.join(
+        F.broadcast(probes), F.col("bucket") == F.col("qbucket")
+    ).filter(F.col("vec_id") != 0)
+    scored = cand.select(
+        "vec_id",
+        "label",
+        F.round(
+            _dots("embedding", "qe")
+            / (F.sqrt(_dots("embedding", "embedding")) * F.sqrt(_dots("qe", "qe"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
