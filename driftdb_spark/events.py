@@ -175,6 +175,23 @@ class EventLog:
 
     def events(self) -> DataFrame:
         if not os.path.exists(self._events_dir):
+            # A log rewrite (compact/purge) swaps the directory with two
+            # renames; between them the path is briefly absent while an
+            # `events.old-*` sibling exists. Readers wait out that window
+            # instead of serving an empty log (the reference holds the
+            # engine write lock across compaction; this is the lock-free
+            # equivalent for a bounded instant).
+            import glob
+            import time as _time
+
+            deadline = _time.monotonic() + 5.0
+            while (
+                not os.path.exists(self._events_dir)
+                and glob.glob(self._events_dir + ".old-*")
+                and _time.monotonic() < deadline
+            ):
+                _time.sleep(0.05)
+        if not os.path.exists(self._events_dir):
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         # Batches live in per-append subdirectories; recursive lookup skips
         # `_staging-*` (underscore-prefixed = hidden to Spark's listing),

@@ -523,3 +523,28 @@ def test_snapshot_bounds_tail_scan_in_plan(spark, log):
         log.state_at().explain("formatted")
     plan = buf.getvalue().replace(" ", "")
     assert f"GreaterThan(sequence,{snap_seq})" in plan
+
+
+def test_reader_waits_out_swap_window(spark, log):
+    """During a log rewrite the events dir is briefly absent (between the
+    two swap renames). A reader must wait the window out — never serve an
+    empty log — keyed off the `.old-*` sibling the swap leaves visible."""
+    import os as _os
+    import threading
+    import time as _time
+
+    log.insert(_rows(spark, [(1, "a", 10)], "id int, name string, qty int"))
+    old_dir = log._events_dir + ".old-test"
+    _os.rename(log._events_dir, old_dir)  # simulate mid-swap state
+
+    def finish_swap():
+        _time.sleep(0.5)
+        _os.rename(old_dir, log._events_dir)
+
+    t = threading.Thread(target=finish_swap)
+    t.start()
+    try:
+        assert log.events().count() == 1  # read issued mid-window
+    finally:
+        t.join()
+    assert log.state_at().count() == 1
