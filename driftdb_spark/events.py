@@ -362,8 +362,60 @@ class EventLog:
         sql_bridge.rs:5473-5669): select matching current-state rows,
         evaluate assignment expressions against the OLD row, append one
         Patch per match. Assignment values are SQL expression strings —
-        they may reference existing columns."""
+        they may reference existing columns.
+
+        An UPDATE that assigns the PRIMARY KEY cannot be a Patch (the event
+        key would still be the old PK); the reference models it as
+        SoftDelete(old) + Insert(new row) — the PostgreSQL delete+insert
+        model (sql_bridge.rs:5473-5669) — and so does this: the full new
+        row is computed from the OLD row with assignments applied, the old
+        keys are soft-deleted, and the new rows insert through the normal
+        PK-uniqueness gate. Time travel before the UPDATE still shows the
+        old key, exactly like replaying the reference's event pair."""
         matching = self.state_df(schema_cols).filter(condition)
+        if self.pk_col in assignments:
+            new_rows = matching.select(
+                *[
+                    F.expr(str(assignments[c])).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in schema_cols
+                ]
+            )
+            # Pin the new rows BEFORE appending the deletes: new_rows reads
+            # the event log lazily, and the SoftDelete batch would otherwise
+            # erase the very rows the plan re-reads (persist spills rather
+            # than recomputes — same pinning contract as _append's).
+            new_rows = new_rows.persist()
+            try:
+                new_rows.count()
+                # The delete and insert are two appends, not one
+                # transaction, so PK collisions must fail BEFORE anything
+                # publishes: a new key may not hit a surviving (non-updated)
+                # row, and the new keys must be unique among themselves.
+                survivors = self.state_at().join(
+                    matching.select(
+                        F.col(self.pk_col).cast("string").alias("pk")
+                    ),
+                    "pk",
+                    "left_anti",
+                )
+                new_keys = new_rows.select(
+                    F.col(self.pk_col).cast("string").alias("pk")
+                )
+                clash = new_keys.join(survivors.select("pk"), "pk", "left_semi")
+                dup_within = (
+                    new_keys.groupBy("pk").count().filter(F.col("count") > 1)
+                )
+                if not clash.isEmpty() or not dup_within.isEmpty():
+                    raise ValueError(
+                        "primary-key UPDATE would collide with an existing "
+                        "or sibling key; nothing was changed"
+                    )
+                self.soft_delete(matching.select(self.pk_col))
+                return self.insert(new_rows)
+            finally:
+                new_rows.unpersist()
         patch = matching.select(
             self.pk_col, *[F.expr(str(expr)).alias(col) for col, expr in assignments.items()]
         )

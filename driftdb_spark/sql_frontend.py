@@ -93,12 +93,21 @@ class DriftSession:
     # -- foreign keys ---------------------------------------------------------
 
     def add_foreign_key(
-        self, child: str, child_col: str, parent: str, parent_col: str
+        self,
+        child: str,
+        child_col: str,
+        parent: str,
+        parent_col: str,
+        on_delete: str = "restrict",
     ) -> None:
         """Register a FK (reference inline/table-level FKs, fk.rs:20-150;
-        RESTRICT is the enforced action there too — CASCADE is parsed but
-        never executed)."""
-        self._fks.append((child, child_col, parent, parent_col))
+        RESTRICT is the enforced action there — CASCADE is parsed but never
+        executed, fk.rs:20-23). ``on_delete="cascade"`` is executed HERE,
+        beyond the reference: deleting parent rows soft-deletes referencing
+        child rows transitively, each level one semi-join + event append."""
+        if on_delete not in ("restrict", "cascade"):
+            raise ValueError("on_delete must be 'restrict' or 'cascade'")
+        self._fks.append((child, child_col, parent, parent_col, on_delete))
 
     def insert_checked(self, table: str, rows: DataFrame) -> int:
         """INSERT with FK-RESTRICT validation: each referencing value must
@@ -108,7 +117,7 @@ class DriftSession:
         from pyspark.sql import functions as F
 
         log, _ = self._tables[table]
-        for child, child_col, parent, parent_col in self._fks:
+        for child, child_col, parent, parent_col, _action in self._fks:
             if child != table:
                 continue
             plog, pcols = self._tables[parent]
@@ -127,14 +136,45 @@ class DriftSession:
         return log.insert(rows)
 
     def delete_checked(self, table: str, condition: str) -> int:
-        """DELETE with FK-RESTRICT on children: refuse if any child row still
-        references a to-be-deleted parent key (anti-join formulation of the
-        reference's RESTRICT walk)."""
-        from pyspark.sql import functions as F
-
+        """DELETE with FK enforcement on children: RESTRICT refuses if any
+        child row still references a to-be-deleted parent key (anti-join
+        formulation of the reference's RESTRICT walk, fk.rs:73-150);
+        CASCADE (beyond the reference, which parses but never executes it)
+        soft-deletes referencing child rows first, transitively — each
+        level is one semi-join to find the referencing child keys plus one
+        event append, so a cascade over K levels is K distributed jobs, no
+        driver-side row loops."""
         log, schema_cols = self._tables[table]
         doomed = log.state_df(schema_cols).filter(condition)
-        for child, child_col, parent, parent_col in self._fks:
+        # Two phases so the whole delete is all-or-nothing at the FK level:
+        # (1) walk the cascade tree, pinning each level's doomed rows and
+        # raising on ANY violated RESTRICT — before a single event
+        # publishes; (2) apply the soft-deletes children-first. Keys flow
+        # between levels as DataFrames (semi-joins), never via the driver.
+        plan: list[tuple[str, DataFrame]] = []
+        try:
+            self._plan_delete(table, doomed, plan, depth=0)
+            last = 0
+            for tbl, rows in reversed(plan):
+                tlog = self._tables[tbl][0]
+                last = tlog.soft_delete(rows.select(tlog.pk_col))
+            return last
+        finally:
+            for _tbl, rows in plan:
+                rows.unpersist()
+
+    def _plan_delete(
+        self, table: str, doomed: DataFrame, plan: list, depth: int
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        if depth > 20:
+            raise ValueError("FK cascade deeper than 20 levels (cycle?)")
+        log, _schema_cols = self._tables[table]
+        doomed = doomed.persist()
+        doomed.count()  # pin now: later levels must not see mutated logs
+        plan.append((table, doomed))
+        for child, child_col, parent, parent_col, action in self._fks:
             if parent != table:
                 continue
             clog, ccols = self._tables[child]
@@ -143,11 +183,13 @@ class DriftSession:
                 F.col(child_col).cast("string") == F.col("_pk"),
                 "left_semi",
             )
-            if not referencing.isEmpty():
+            if action == "cascade":
+                if not referencing.isEmpty():
+                    self._plan_delete(child, referencing, plan, depth + 1)
+            elif not referencing.isEmpty():
                 raise ValueError(
                     f"FK RESTRICT: {child}.{child_col} references {table}.{parent_col}"
                 )
-        return log.delete_where(schema_cols, condition)
 
     # -- sequences / auto-increment ------------------------------------------
 

@@ -548,3 +548,37 @@ def test_reader_waits_out_swap_window(spark, log):
     finally:
         t.join()
     assert log.state_at().count() == 1
+
+
+def test_update_pk_change_is_delete_plus_insert(spark, log):
+    """UPDATE assigning the PRIMARY KEY = SoftDelete(old) + Insert(new) —
+    the reference's PG delete+insert model (sql_bridge.rs:5473-5669,
+    txn_update_pk_change_test.rs). Non-assigned columns carry over from the
+    OLD row; time travel before the update still shows the old key."""
+    log.insert(_rows(spark, [(1, "a", 10), (2, "b", 20)], "id int, name string, qty int"))
+    end = log.update_where(COLS, "id = 1", {"id": "id + 100", "qty": "qty * 2"})
+    assert end > 0
+    state = {r.pk: r for r in log.state_df(COLS).collect()}
+    assert set(state) == {"101", "2"}
+    assert state["101"]["name"] == "a" and state["101"]["qty"] == 20
+    # history: old key saw INSERT then SOFT_DELETE; new key has one INSERT
+    assert [e["event_type"] for e in log.drift_history(1).collect()] == [
+        "INSERT",
+        "SOFT_DELETE",
+    ]
+    assert [e["event_type"] for e in log.drift_history(101).collect()] == ["INSERT"]
+    # AS OF before the update shows the old key
+    old = {r.pk for r in log.state_at(AsOf(sequence=2)).collect()}
+    assert old == {"1", "2"}
+
+
+def test_update_pk_change_collision_fails_atomically(spark, log):
+    """A PK-changing UPDATE that would collide with a surviving row fails
+    BEFORE any event publishes (the delete+insert pair is not a
+    transaction, so the gate must precede both appends)."""
+    log.insert(_rows(spark, [(1, "a", 10), (2, "b", 20)], "id int, name string, qty int"))
+    with pytest.raises(ValueError, match="collide"):
+        log.update_where(COLS, "id = 1", {"id": "2"})
+    # nothing changed: no delete, no insert
+    assert {r.pk for r in log.state_df(COLS).collect()} == {"1", "2"}
+    assert log.last_sequence() == 2

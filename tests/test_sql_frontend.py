@@ -166,3 +166,52 @@ def test_alter_table_add_column(sess):
     assert sess.sql("SELECT grade FROM products WHERE id = 1").first()["grade"] == "A"
     with pytest.raises(ValueError):
         sess.alter_table_add_column("products", "grade", "string")
+
+
+def test_fk_on_delete_cascade_transitive(spark, tmp_path):
+    """FK ON DELETE CASCADE (beyond the reference, which parses CASCADE but
+    never executes it — fk.rs:20-23): deleting a parent soft-deletes
+    referencing children transitively; a RESTRICT FK elsewhere still
+    blocks. Each cascade level is one semi-join + one event append."""
+    from driftdb_spark.sql_frontend import DriftSession
+
+    sess = DriftSession(spark, str(tmp_path / "casc"))
+    sess.create_table("regions", {"rid": "int", "rname": "string"})
+    sess.create_table("stores", {"sid": "int", "rid": "int"})
+    sess.create_table("sales", {"xid": "int", "sid": "int"})
+    sess.add_foreign_key("stores", "rid", "regions", "rid", on_delete="cascade")
+    sess.add_foreign_key("sales", "sid", "stores", "sid", on_delete="cascade")
+
+    sess.insert_checked("regions", spark.createDataFrame([(1, "n"), (2, "s")], "rid int, rname string"))
+    sess.insert_checked("stores", spark.createDataFrame([(10, 1), (11, 1), (12, 2)], "sid int, rid int"))
+    sess.insert_checked("sales", spark.createDataFrame([(100, 10), (101, 11), (102, 12)], "xid int, sid int"))
+
+    sess.delete_checked("regions", "rid = 1")
+    assert {r.rid for r in sess.sql("SELECT rid FROM regions").collect()} == {2}
+    assert {r.sid for r in sess.sql("SELECT sid FROM stores").collect()} == {12}
+    assert {r.xid for r in sess.sql("SELECT xid FROM sales").collect()} == {102}
+    # time travel: the cascade is event-sourced, pre-delete state intact
+    assert sess.sql("SELECT sid FROM stores FOR SYSTEM_TIME AS OF @SEQ:3").count() == 3
+
+
+def test_fk_restrict_still_blocks_with_mixed_actions(spark, tmp_path):
+    from driftdb_spark.sql_frontend import DriftSession
+
+    sess = DriftSession(spark, str(tmp_path / "mixed"))
+    sess.create_table("p", {"pid": "int"})
+    sess.create_table("c_cascade", {"cid": "int", "pid": "int"})
+    sess.create_table("c_restrict", {"rid2": "int", "pid": "int"})
+    sess.add_foreign_key("c_cascade", "pid", "p", "pid", on_delete="cascade")
+    sess.add_foreign_key("c_restrict", "pid", "p", "pid")  # default restrict
+
+    sess.insert_checked("p", spark.createDataFrame([(1,)], "pid int"))
+    sess.insert_checked("c_cascade", spark.createDataFrame([(10, 1)], "cid int, pid int"))
+    sess.insert_checked("c_restrict", spark.createDataFrame([(20, 1)], "rid2 int, pid int"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="FK RESTRICT"):
+        sess.delete_checked("p", "pid = 1")
+    # restrict fired before ANY delete published — cascade child intact too
+    assert sess.sql("SELECT * FROM p").count() == 1
+    assert sess.sql("SELECT * FROM c_cascade").count() == 1
