@@ -35,10 +35,17 @@ def interval_join(
     right: DataFrame,
     within: str = "30 minutes",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join ``right`` events onto ``left`` events of the same user
-    within ``[left.ts, left.ts + within]``. Pass ``watermark`` when both
-    inputs are streaming (required for bounded state + append output)."""
+    """Join ``right`` events onto ``left`` events of the same user within
+    ``[left.ts, left.ts + within]``. Pass ``watermark`` when both inputs
+    are streaming (required for bounded state + append output).
+
+    ``how="left_outer"`` emits unmatched left rows with NULL right columns
+    — on a stream, only once the right watermark passes ``left.ts +
+    within`` (the row is then provably unmatchable; this is how Spark can
+    emit a negative result from an infinite input). Unconverted-view /
+    abandonment analysis is exactly this shape."""
     if watermark is not None:
         left = left.withWatermark("ts", watermark)
         right = right.withWatermark("ts", watermark)
@@ -48,7 +55,7 @@ def interval_join(
         & (F.col("p.ts") >= F.col("v.ts"))
         & (F.col("p.ts") <= F.col("v.ts") + F.expr(f"INTERVAL {within}"))
     )
-    return v.join(p, cond, "inner").select(
+    return v.join(p, cond, how).select(
         F.col("v.event_id").alias("view_id"),
         F.col("p.event_id").alias("purchase_id"),
         F.col("v.user_id").alias("user_id"),
@@ -94,3 +101,32 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> 
     too big to broadcast should be pre-bucketed on the key instead
     (sources/connectors.write_bucketed)."""
     return stream.join(F.broadcast(dim), key, "left")
+
+
+@register(
+    "join_attribution_unconverted",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id AS user_id,
+           epoch_ms(CAST(p.ts AS TIMESTAMP)) - epoch_ms(CAST(v.ts AS TIMESTAMP))
+               AS delay_ms
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("join", "streaming"),
+)
+def join_attribution_unconverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER form of the attribution join: every view, with its
+    in-window purchases OR a NULL row if none came — the
+    abandonment-analysis shape. Batch here; the SAME ``interval_join`` code
+    path runs stream-stream with watermarks, where Spark emits each NULL
+    row once the right watermark proves no purchase can still arrive
+    (stream≡batch parity pytest drives that)."""
+    e = load_tables(spark, sf_dir)["events"]
+    views = e.where(F.col("event_type") == "view")
+    purchases = e.where(F.col("event_type") == "purchase")
+    return interval_join(views, purchases, within="30 minutes", how="left_outer")

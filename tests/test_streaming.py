@@ -437,3 +437,67 @@ def test_merge_parks_delete_delivered_before_insert(spark, tmp_path):
     )
     pks = {r.pk for r in spark.read.parquet(state_path).collect()}
     assert pks == {"1"}  # pk 2 deleted by the earlier-delivered, later-sequenced event
+
+
+def test_interval_outer_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: matched rows equal the batch
+    result exactly; NULL (unconverted) rows appear exactly for the views
+    the final watermark could prove unmatchable — i.e. views whose match
+    window closed before (max event ts - watermark)."""
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.streaming.joins import interval_join
+
+    e = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    src = str(tmp_path / "events_src")
+    e.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+
+    joined = interval_join(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "purchase"),
+        within="30 minutes",
+        watermark="1 hour",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_outer_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM attrib_outer_stream").collect()
+    got_matched = {(r.view_id, r.purchase_id) for r in got if r.purchase_id is not None}
+    got_null_views = {r.view_id for r in got if r.purchase_id is None}
+
+    batch = interval_join(
+        e.where(F.col("event_type") == "view"),
+        e.where(F.col("event_type") == "purchase"),
+        within="30 minutes",
+        how="left_outer",
+    ).collect()
+    batch_matched = {
+        (r.view_id, r.purchase_id) for r in batch if r.purchase_id is not None
+    }
+    batch_null_views = {r.view_id for r in batch if r.purchase_id is None}
+
+    assert got_matched == batch_matched and len(batch_matched) > 0
+    # a stream can only emit a NULL row once the watermark PROVES no match
+    # can arrive; at availableNow end-of-stream that's views whose window
+    # closed before max(ts) - watermark. Those must all have been emitted,
+    # and nothing the batch says is converted may stream as unconverted.
+    import datetime
+
+    max_ts = e.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    provable = {
+        r.event_id
+        for r in e.where(F.col("event_type") == "view")
+        .withColumn("close", F.col("ts") + F.expr("INTERVAL 30 minutes"))
+        .filter(F.col("close") < F.lit(horizon))
+        .select("event_id")
+        .collect()
+    }
+    assert got_null_views <= batch_null_views
+    assert (batch_null_views & provable) <= got_null_views
