@@ -246,17 +246,33 @@ class EventLog:
         """
         if self.validate_fn is not None:
             batch = self.validate_fn(batch, event_type)
+        src = batch.select(
+            F.col(self.pk_col).cast("string").alias("pk"),
+            (
+                payload
+                if payload is not None
+                else F.lit(None).cast(EVENT_SCHEMA["payload"].dataType)
+            ).alias("payload"),
+        ).withColumn("event_type", F.lit(event_type))
+        return self._assign_and_publish(src, ["pk"], event_type)
+
+    def _append_multi(self, staged: DataFrame) -> int:
+        """Publish a multi-statement transaction buffer — columns
+        ``(_stmt, event_type, pk, payload)`` — as ONE atomic batch
+        (reference buffered-txn COMMIT, sql_bridge.rs:453-568). The fold
+        compares sequences only within a pk, so co-locating each pk's
+        events (repartition) and numbering partitions ordered by
+        ``(pk, _stmt)`` preserves statement order exactly where it
+        matters, with no global sort."""
+        src = staged.repartition(F.col("pk"))
+        return self._assign_and_publish(src, ["pk", "_stmt"], "TXN")
+
+    def _assign_and_publish(
+        self, src: DataFrame, order_cols: list[str], hook_event_type: str
+    ) -> int:
         base = self.last_sequence()
         src = (
-            batch.select(
-                F.col(self.pk_col).cast("string").alias("pk"),
-                (
-                    payload
-                    if payload is not None
-                    else F.lit(None).cast(EVENT_SCHEMA["payload"].dataType)
-                ).alias("payload"),
-            )
-            .withColumn("_pid", F.spark_partition_id())
+            src.withColumn("_pid", F.spark_partition_id())
             # Pin partition contents: the counts pass and the write pass
             # must see identical partitioning or offsets would misalign.
             .persist()
@@ -272,13 +288,13 @@ class EventLog:
             total = int(
                 offsets.agg(F.coalesce(F.max(F.col("_ofs") + F.col("_n")), F.lit(0))).first()[0]
             )
-            w_loc = W.partitionBy("_pid").orderBy("pk")
+            w_loc = W.partitionBy("_pid").orderBy(*order_cols)
             out = src.join(F.broadcast(offsets.drop("_n")), "_pid").select(
                 (F.row_number().over(w_loc) + F.col("_ofs") + F.lit(base))
                 .cast("long")
                 .alias("sequence"),
                 F.current_timestamp().alias("ts"),
-                F.lit(event_type).alias("event_type"),
+                F.col("event_type"),
                 F.col("pk"),
                 F.col("payload"),
             )
@@ -324,8 +340,18 @@ class EventLog:
                 .option("recursiveFileLookup", "true")
                 .parquet(final)
             )
-            self.post_commit_fn(committed, event_type, base + 1)
+            self.post_commit_fn(committed, hook_event_type, base + 1)
         return base + total
+
+    def begin(self):
+        """Open a buffered transaction (BEGIN) — statements stage events,
+        COMMIT publishes them as one atomic batch, ROLLBACK discards,
+        SAVEPOINT marks partial-rollback points (reference
+        sql_bridge.rs:453-568, transaction.rs:25-120). See
+        :mod:`driftdb_spark.transactions`."""
+        from driftdb_spark.transactions import Transaction
+
+        return Transaction(self)
 
     # -- DML as event appends (reference execute_sql_insert/update/delete,
     # sql_bridge.rs:3388-3661, :5473-5669, :5981-6087) ----------------------

@@ -228,6 +228,13 @@ class DriftSession:
         )
         return log.insert(with_pk)
 
+    def begin(self):
+        """BEGIN — a buffered multi-table transaction (see
+        driftdb_spark.transactions; reference sql_bridge.rs:453-568)."""
+        from driftdb_spark.transactions import SessionTransaction
+
+        return SessionTransaction(self)
+
     def drift(self, table: str, pk=None) -> DataFrame:
         """SHOW DRIFT — event history (reference query/executor.rs:327-354)."""
         return self.table(table).drift_history(pk)

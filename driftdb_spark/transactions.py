@@ -1,0 +1,245 @@
+"""Buffered transactions: BEGIN / COMMIT / ROLLBACK / SAVEPOINT over an
+EventLog.
+
+The reference's transaction model is exactly this shape: statements inside
+BEGIN buffer their events in the session's transaction context, COMMIT
+applies the buffer to storage, ROLLBACK discards it, SAVEPOINT marks a
+buffer position for partial rollback, and a failed statement aborts the
+transaction ("commands ignored until end of transaction block"; COMMIT of
+an aborted transaction behaves as ROLLBACK) — reference
+sql_bridge.rs:453-568, transaction.rs:25-120.
+
+Here the buffer is a list of staged statement frames and COMMIT publishes
+them as ONE batch through the same staged-rename atomic append the
+single-statement DML path uses — so a multi-statement transaction is
+all-or-nothing with respect to readers exactly like a single batch, and two
+racing COMMITs serialize through the same filesystem-arbitrated claim
+(``ConcurrentAppendError`` for the loser). Delta's equivalent is one commit
+file per transaction.
+
+Ordering: the fold only compares sequences WITHIN a primary key, so commit
+repartitions the buffered events by pk and numbers each partition ordered
+by (pk, statement index) — same-key events keep statement order, and the
+sequence assignment stays the parallel zipWithIndex recipe (no global
+sort).
+
+Reads inside the transaction see the buffer: ``state_at()`` folds committed
+events plus the staged events at provisional sequences above the
+begin-point high-water mark (the reference checks PK uniqueness against
+committed state + the txn buffer the same way, execute_insert_values
+sql_bridge.rs:3505-3661).
+
+Scope: one transaction spans one table (one EventLog), matching the unit of
+atomic publication. ``DriftSession.begin()`` wraps several per-table
+transactions and commits them in declaration order — each table's commit is
+atomic, the cross-table sequence is ordered but not jointly atomic (the
+reference gets cross-table atomicity from its global engine lock; a
+distributed engine gets it from a shared Delta log, which is the cluster
+upgrade path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from driftdb_spark.events import (
+    EVENT_SCHEMA,
+    INSERT,
+    PATCH,
+    SOFT_DELETE,
+    EventLog,
+    _payload_map,
+    fold_events,
+)
+
+
+class TransactionAborted(RuntimeError):
+    """A prior statement failed; commands are ignored until ROLLBACK /
+    COMMIT-as-rollback (reference aborted-transaction gate,
+    sql_bridge.rs:335-346)."""
+
+
+class Transaction:
+    """Buffered per-table transaction. Use via ``EventLog.begin()``."""
+
+    def __init__(self, log: EventLog):
+        self.log = log
+        self._stmts: list[tuple[str, DataFrame]] = []  # (event_type, (pk,payload))
+        self._savepoints: dict[str, int] = {}
+        self._base = log.last_sequence()
+        self._aborted = False
+        self._done = False
+
+    # -- staging -------------------------------------------------------------
+
+    def _gate(self) -> None:
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        if self._aborted:
+            raise TransactionAborted(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block"
+            )
+
+    def _stage(self, batch: DataFrame, event_type: str, payload) -> None:
+        if self.log.validate_fn is not None:
+            batch = self.log.validate_fn(batch, event_type)
+        normalized = batch.select(
+            F.col(self.log.pk_col).cast("string").alias("pk"),
+            (
+                payload
+                if payload is not None
+                else F.lit(None).cast(EVENT_SCHEMA["payload"].dataType)
+            ).alias("payload"),
+        )
+        # Pin the statement's rows now: later statements and the commit
+        # itself must see THIS statement as of its execution point, and the
+        # plan may read state the commit will change.
+        normalized = normalized.persist()
+        normalized.count()
+        self._stmts.append((event_type, normalized))
+
+    def insert(self, rows: DataFrame) -> None:
+        """INSERT with PK uniqueness against committed state + the buffer
+        (reference checks both, sql_bridge.rs:3505-3661). A violation
+        aborts the transaction."""
+        self._gate()
+        try:
+            dup = rows.join(
+                self.state_at().select("pk"),
+                rows[self.log.pk_col].cast("string") == F.col("pk"),
+                "left_semi",
+            )
+            if not dup.isEmpty():
+                raise ValueError("duplicate primary key(s) in transaction insert")
+            self._stage(rows, INSERT, _payload_map(rows, self.log.pk_col))
+        except ValueError:
+            self._aborted = True
+            raise
+
+    def patch(self, partial_rows: DataFrame) -> None:
+        self._gate()
+        self._stage(partial_rows, PATCH, _payload_map(partial_rows, self.log.pk_col))
+
+    def soft_delete(self, keys: DataFrame) -> None:
+        self._gate()
+        self._stage(keys.select(self.log.pk_col), SOFT_DELETE, None)
+
+    # -- reads ---------------------------------------------------------------
+
+    def staged_events(self) -> DataFrame:
+        """The buffer as an event frame at provisional sequences (above the
+        begin-point high-water mark, ordered by statement index)."""
+        frames = []
+        for i, (etype, df) in enumerate(self._stmts):
+            frames.append(
+                df.select(
+                    F.lit(self._base + i + 1).cast("long").alias("sequence"),
+                    F.current_timestamp().alias("ts"),
+                    F.lit(etype).alias("event_type"),
+                    "pk",
+                    "payload",
+                )
+            )
+        if not frames:
+            return self.log.spark.createDataFrame([], EVENT_SCHEMA)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def state_at(self) -> DataFrame:
+        """Read-your-writes: committed events ∪ the buffer, folded."""
+        return fold_events(self.log.events().unionByName(self.staged_events()))
+
+    def state_df(self, schema_cols: dict[str, str]) -> DataFrame:
+        st = self.state_at()
+        return st.select(
+            "pk",
+            "last_seq",
+            *[
+                F.col("row").getItem(c).cast(t).alias(c)
+                for c, t in schema_cols.items()
+            ],
+        )
+
+    # -- savepoints / rollback ------------------------------------------------
+
+    def savepoint(self, name: str) -> None:
+        self._gate()
+        self._savepoints[name] = len(self._stmts)
+
+    def rollback_to(self, name: str) -> None:
+        """Partial rollback: discard statements staged after the savepoint;
+        also clears an abort (the reference's savepoint recovery)."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        if name not in self._savepoints:
+            raise KeyError(f"no such savepoint: {name}")
+        keep = self._savepoints[name]
+        for _etype, df in self._stmts[keep:]:
+            df.unpersist()
+        del self._stmts[keep:]
+        self._savepoints = {k: v for k, v in self._savepoints.items() if v <= keep}
+        self._aborted = False
+
+    def rollback(self) -> None:
+        for _etype, df in self._stmts:
+            df.unpersist()
+        self._stmts.clear()
+        self._done = True
+
+    # -- commit ---------------------------------------------------------------
+
+    def commit(self) -> int:
+        """Publish the whole buffer as ONE atomic batch. COMMIT of an
+        aborted transaction is a ROLLBACK (reference sql_bridge.rs:453-568);
+        an empty buffer commits as a no-op. Returns the last sequence."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        if self._aborted or not self._stmts:
+            self.rollback()
+            return self.log.last_sequence()
+        try:
+            staged = None
+            for i, (etype, df) in enumerate(self._stmts):
+                part = df.select(
+                    F.lit(i).alias("_stmt"),
+                    F.lit(etype).alias("event_type"),
+                    "pk",
+                    "payload",
+                )
+                staged = part if staged is None else staged.unionByName(part)
+            return self.log._append_multi(staged)
+        finally:
+            for _etype, df in self._stmts:
+                df.unpersist()
+            self._stmts.clear()
+            self._done = True
+
+
+class SessionTransaction:
+    """Multi-table BEGIN over a DriftSession: one buffered ``Transaction``
+    per touched table, committed in first-touch order. Each table's commit
+    is atomic (one batch, one rename); the cross-table sequence is ordered
+    but not jointly atomic — the reference gets joint atomicity from its
+    global engine lock (executor.rs Arc<RwLock>), a cluster deployment gets
+    it from a shared Delta log. Rollback discards every table's buffer."""
+
+    def __init__(self, session):
+        self._session = session
+        self._txns: dict[str, Transaction] = {}
+
+    def table(self, name: str) -> Transaction:
+        if name not in self._txns:
+            self._txns[name] = self._session.table(name).begin()
+        return self._txns[name]
+
+    def commit(self) -> dict[str, int]:
+        return {name: txn.commit() for name, txn in self._txns.items()}
+
+    def rollback(self) -> None:
+        for txn in self._txns.values():
+            if not txn._done:
+                txn.rollback()
