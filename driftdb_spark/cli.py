@@ -1,0 +1,115 @@
+"""CLI entry — the reference's ``driftdb`` command-line surface, Spark-first
+(reference crates/driftdb-cli/src/main.rs:146-449: ``sql | select | drift |
+snapshot | compact | analyze``, with ``--as-of`` flags lowered into
+``FOR SYSTEM_TIME`` SQL strings, main.rs:433-449).
+
+Every subcommand opens a :class:`DriftSession` on ``--data`` (schemas come
+from the persisted ``_catalog.json``, so the CLI sees tables created by any
+prior session) and routes through the same dispatcher the library uses —
+``sql -e`` therefore supports the full statement surface: CREATE TABLE,
+INSERT (VALUES and SELECT), UPDATE, DELETE, TRUNCATE, and temporal SELECTs.
+Rows print as JSON lines (the reference prints pgwire rows; JSON lines are
+the shell-composable equivalent).
+
+Usage::
+
+    python -m driftdb_spark --data /path sql -e "CREATE TABLE t (id INT, v STRING)"
+    python -m driftdb_spark --data /path sql -e "INSERT INTO t VALUES (1, 'x')"
+    python -m driftdb_spark --data /path select t --where "id > 0" --as-of @seq:1
+    python -m driftdb_spark --data /path drift t --key 1
+    python -m driftdb_spark --data /path snapshot t
+    python -m driftdb_spark --data /path compact t
+    python -m driftdb_spark --data /path analyze t
+    python -m driftdb_spark --data /path tables
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _print_df(df) -> None:
+    for row in df.toJSON().toLocalIterator():
+        print(row)
+
+
+def _build_select(args) -> str:
+    sql = f"SELECT * FROM {args.table}"
+    if args.as_of:
+        tok = args.as_of
+        if tok.lower().startswith("@seq:"):
+            sql += f" FOR SYSTEM_TIME AS OF @SEQ:{tok[5:]}"
+        else:
+            sql += f" FOR SYSTEM_TIME AS OF '{tok}'"
+    if args.where:
+        sql += f" WHERE {args.where}"
+    if args.limit:
+        sql += f" LIMIT {args.limit}"
+    return sql
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(prog="driftdb_spark", description=__doc__)
+    p.add_argument("--data", required=True, help="storage directory (catalog root)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("sql", help="execute a SQL statement")
+    sp.add_argument("-e", "--execute", required=True, dest="stmt")
+
+    sp = sub.add_parser("select", help="query one table (flags build the SQL)")
+    sp.add_argument("table")
+    sp.add_argument("--where", default=None)
+    sp.add_argument("--as-of", default=None, dest="as_of", help="@seq:N or timestamp")
+    sp.add_argument("--limit", type=int, default=None)
+
+    sp = sub.add_parser("drift", help="event history (SHOW DRIFT)")
+    sp.add_argument("table")
+    sp.add_argument("--key", default=None)
+
+    for name in ("snapshot", "compact", "analyze"):
+        sp = sub.add_parser(name)
+        sp.add_argument("table")
+
+    sub.add_parser("tables", help="list catalog tables")
+
+    args = p.parse_args(argv)
+
+    if spark is None:
+        from driftdb_spark.session import get_spark
+
+        spark = get_spark()
+    from driftdb_spark.sql_frontend import DriftSession
+
+    sess = DriftSession(spark, args.data)
+
+    if args.cmd == "sql":
+        out = sess.sql(args.stmt)
+        if isinstance(out, int):
+            print(json.dumps({"ok": True, "last_sequence": out}))
+        else:
+            _print_df(out)
+    elif args.cmd == "select":
+        _print_df(sess.sql(_build_select(args)))
+    elif args.cmd == "drift":
+        _print_df(sess.drift(args.table, args.key))
+    elif args.cmd == "snapshot":
+        seq = sess.table(args.table).snapshot()
+        print(json.dumps({"ok": True, "snapshot_seq": seq}))
+    elif args.cmd == "compact":
+        sess.table(args.table).compact()
+        print(json.dumps({"ok": True}))
+    elif args.cmd == "analyze":
+        from driftdb_spark.plans.stats import analyze_table
+
+        df = sess.sql(f"SELECT * FROM {args.table}")
+        _print_df(analyze_table(df))
+    elif args.cmd == "tables":
+        for name, (log, cols) in sorted(sess._tables.items()):
+            print(json.dumps({"table": name, "pk": log.pk_col, "columns": cols}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,10 +14,40 @@ everything else is ``spark.sql``.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from driftdb_spark.events import EventLog
 from driftdb_spark.temporal import AsOf, parse_system_time
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren/quote depth 0 (column defs, SET lists)."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return [p for p in (x.strip() for x in parts) if p]
 
 
 class DriftSession:
@@ -28,7 +58,52 @@ class DriftSession:
         self.storage_dir = storage_dir
         self._tables: dict[str, tuple[EventLog, dict[str, str]]] = {}
         self._sequences: dict[str, tuple[int, int]] = {}
-        self._fks: list[tuple[str, str, str, str]] = []
+        self._fks: list[tuple[str, str, str, str, str]] = []
+        self._load_catalog()
+
+    # -- catalog persistence ---------------------------------------------------
+    # The reference persists each table's schema in its meta.json
+    # (schema.rs:17-79); here one `_catalog.json` under the storage dir
+    # records schemas + FKs so a fresh session (or the CLI) reopens the
+    # same tables. Sequences stay session-scoped (they are driver state).
+
+    def _catalog_path(self) -> str:
+        import os
+
+        return os.path.join(self.storage_dir, "_catalog.json")
+
+    def _load_catalog(self) -> None:
+        import json
+        import os
+
+        path = self._catalog_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as fh:
+            cat = json.load(fh)
+        for name, meta in cat.get("tables", {}).items():
+            log = EventLog(
+                self.spark, f"{self.storage_dir}/{name}", pk_col=meta["pk"]
+            )
+            self._tables[name] = (log, dict(meta["cols"]))
+        self._fks = [tuple(fk) for fk in cat.get("fks", [])]
+
+    def _save_catalog(self) -> None:
+        import json
+        import os
+
+        os.makedirs(self.storage_dir, exist_ok=True)
+        cat = {
+            "tables": {
+                name: {"pk": log.pk_col, "cols": cols}
+                for name, (log, cols) in self._tables.items()
+            },
+            "fks": [list(fk) for fk in self._fks],
+        }
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cat, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._catalog_path())
 
     # -- DDL -----------------------------------------------------------------
 
@@ -41,6 +116,7 @@ class DriftSession:
         pk = pk or next(iter(schema_cols))
         log = EventLog(self.spark, f"{self.storage_dir}/{name}", pk_col=pk)
         self._tables[name] = (log, dict(schema_cols))
+        self._save_catalog()
         return log
 
     def table(self, name: str) -> EventLog:
@@ -48,6 +124,7 @@ class DriftSession:
 
     def drop_table(self, name: str) -> None:
         self._tables.pop(name, None)
+        self._save_catalog()
 
     def alter_table_add_column(
         self, table: str, col: str, coltype: str, default=None
@@ -71,24 +148,138 @@ class DriftSession:
             live = log.state_df(schema_cols).select(log.pk_col)
             log.patch(live.withColumn(col, F.lit(default).cast(coltype)))
         schema_cols[col] = coltype
+        self._save_catalog()
 
-    # -- query ---------------------------------------------------------------
+    # -- query / dispatch ------------------------------------------------------
 
-    def sql(self, query: str, args=None) -> DataFrame:
+    def sql(self, query: str, args=None) -> DataFrame | int:
         """Execute SQL with optional FOR SYSTEM_TIME clause. The temporal
         target applies to every event-backed table in the query — exactly
         the reference's semantics (joins included, sql_bridge.rs:1316-1321).
+
+        Statement dispatch mirrors the reference's (trim → route DML/DDL to
+        the event engine, everything else to the real parser —
+        sql_bridge.rs:274-757): ``CREATE TABLE``, ``INSERT INTO``,
+        ``UPDATE``, ``DELETE FROM``, and ``TRUNCATE`` on event-backed
+        tables route to the EventLog (returning the end sequence);
+        everything else goes to Catalyst as a query over the reconstructed
+        state views. DML expression parsing is delegated: a VALUES tail is
+        handed to Spark's own parser (``SELECT * FROM VALUES ...``),
+        UPDATE assignments and WHERE conditions stay SQL expression strings
+        evaluated by Catalyst — this dispatcher only routes, it never
+        re-implements expression parsing.
 
         ``args`` enables parameterized SQL (reference ``$1``-style params,
         sql_bridge.rs:183-226): a dict binds named ``:name`` markers, a
         list binds positional ``?`` markers — Spark's native parameter
         binding, so values never interpolate into the SQL text.
         """
-        clean, asof = parse_system_time(query)
+        stripped = query.strip().rstrip(";").strip()
+        routed = self._dispatch_dml(stripped)
+        if routed is not None:
+            return routed
+        clean, asof = parse_system_time(stripped)
         self._register_states(asof)
         if args is None:
             return self.spark.sql(clean)
         return self.spark.sql(clean, args=args)
+
+    _INSERT_RE = _re.compile(
+        r"^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(VALUES\s*\(.*\)|SELECT\b.*)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _UPDATE_RE = _re.compile(
+        r"^UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _DELETE_RE = _re.compile(
+        r"^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _TRUNCATE_RE = _re.compile(
+        r"^TRUNCATE\s+(?:TABLE\s+)?(\w+)$", _re.IGNORECASE
+    )
+    _CREATE_RE = _re.compile(
+        r"^CREATE\s+TABLE\s+(\w+)\s*\((.*)\)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+
+    def _dispatch_dml(self, q: str):
+        m = self._CREATE_RE.match(q)
+        if m:
+            return self._sql_create_table(m.group(1), m.group(2))
+        m = self._INSERT_RE.match(q)
+        if m and m.group(1) in self._tables:
+            return self._sql_insert(m.group(1), m.group(2), m.group(3))
+        m = self._UPDATE_RE.match(q)
+        if m and m.group(1) in self._tables:
+            log, schema_cols = self._tables[m.group(1)]
+            assigns = {}
+            for part in _split_top_level(m.group(2)):
+                col, _, expr = part.partition("=")
+                assigns[col.strip()] = expr.strip()
+            return log.update_where(schema_cols, m.group(3) or "true", assigns)
+        m = self._DELETE_RE.match(q)
+        if m and m.group(1) in self._tables:
+            return self.delete_checked(m.group(1), m.group(2) or "true")
+        m = self._TRUNCATE_RE.match(q)
+        if m and m.group(1) in self._tables:
+            log, schema_cols = self._tables[m.group(1)]
+            return log.truncate(schema_cols)
+        return None
+
+    def _sql_create_table(self, name: str, body: str) -> int:
+        """CREATE TABLE column list → schema registration. PRIMARY KEY may
+        be inline (``col type PRIMARY KEY``) or table-level (``PRIMARY KEY
+        (col)`` — composite keeps the first column, exactly the reference's
+        behavior, sql_bridge.rs:5794-5797); missing PK defaults to the
+        first column (:5872-5886)."""
+        re = _re
+
+        cols: dict[str, str] = {}
+        pk = None
+        for part in _split_top_level(body):
+            part = part.strip()
+            tl = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", part, re.IGNORECASE)
+            if tl:
+                pk = tl.group(1).split(",")[0].strip()
+                continue
+            if re.match(r"(FOREIGN\s+KEY|UNIQUE|CHECK|CONSTRAINT)\b", part, re.IGNORECASE):
+                continue
+            toks = part.split()
+            if len(toks) < 2:
+                raise ValueError(f"bad column def: {part!r}")
+            col, coltype = toks[0], toks[1]
+            if re.search(r"\bPRIMARY\s+KEY\b", part, re.IGNORECASE):
+                pk = col
+            cols[col] = coltype
+        self.create_table(name, cols, pk=pk)
+        return 0
+
+    def _sql_insert(self, table: str, col_list: str | None, tail: str) -> int:
+        from pyspark.sql import functions as F
+
+        log, schema_cols = self._tables[table]
+        cols = (
+            [c.strip() for c in col_list.split(",")]
+            if col_list
+            else list(schema_cols)
+        )
+        if tail.upper().startswith("VALUES"):
+            # Spark's own parser handles the literal syntax.
+            rows = self.spark.sql(
+                f"SELECT * FROM ({tail}) AS _v({', '.join(cols)})"
+            )
+        else:
+            # INSERT ... SELECT: the SELECT may carry its own temporal
+            # clause — peel and resolve it like any query.
+            clean, asof = parse_system_time(tail)
+            self._register_states(asof)
+            rows = self.spark.sql(clean).toDF(*cols)
+        typed = rows.select(
+            *[F.col(c).cast(schema_cols[c]).alias(c) for c in cols]
+        )
+        return self.insert_checked(table, typed)
 
     # -- foreign keys ---------------------------------------------------------
 
@@ -108,6 +299,7 @@ class DriftSession:
         if on_delete not in ("restrict", "cascade"):
             raise ValueError("on_delete must be 'restrict' or 'cascade'")
         self._fks.append((child, child_col, parent, parent_col, on_delete))
+        self._save_catalog()
 
     def insert_checked(self, table: str, rows: DataFrame) -> int:
         """INSERT with FK-RESTRICT validation: each referencing value must

@@ -1,0 +1,51 @@
+"""CLI surface (reference driftdb-cli main.rs:146-449) driven in-process
+against the persisted catalog — CREATE/INSERT/UPDATE via `sql -e`, then
+select/drift/snapshot/compact/analyze/tables subcommands, each a fresh
+DriftSession proving the catalog round-trips."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from driftdb_spark.cli import main
+
+
+def _run(capsys, spark, *argv):
+    rc = main(list(argv), spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    return [json.loads(line) for line in out.splitlines() if line.strip()]
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    data = str(tmp_path / "clidata")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "CREATE TABLE items (iid INT PRIMARY KEY, name STRING, qty INT)")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "INSERT INTO items VALUES (1, 'bolt', 5), (2, 'nut', 9)")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "UPDATE items SET qty = qty + 1 WHERE iid = 1")
+
+    rows = _run(capsys, spark, "--data", data, "select", "items", "--where", "qty > 5")
+    assert {r["iid"] for r in rows} == {1, 2}
+
+    rows = _run(capsys, spark, "--data", data, "select", "items", "--as-of", "@seq:2")
+    assert {(r["iid"], r["qty"]) for r in rows} == {(1, 5), (2, 9)}
+
+    hist = _run(capsys, spark, "--data", data, "drift", "items", "--key", "1")
+    assert [h["event_type"] for h in hist] == ["INSERT", "PATCH"]
+
+    snap = _run(capsys, spark, "--data", data, "snapshot", "items")
+    assert snap[0]["ok"] and snap[0]["snapshot_seq"] == 3
+    _run(capsys, spark, "--data", data, "compact", "items")
+
+    rows = _run(capsys, spark, "--data", data, "select", "items")
+    assert {(r["iid"], r["qty"]) for r in rows} == {(1, 6), (2, 9)}
+
+    tables = _run(capsys, spark, "--data", data, "tables")
+    assert tables[0]["table"] == "items" and tables[0]["pk"] == "iid"
+
+    stats = _run(capsys, spark, "--data", data, "analyze", "items")
+    assert any(s.get("column") in ("iid", "qty", "name") or s for s in stats)

@@ -215,3 +215,66 @@ def test_fk_restrict_still_blocks_with_mixed_actions(spark, tmp_path):
     # restrict fired before ANY delete published — cascade child intact too
     assert sess.sql("SELECT * FROM p").count() == 1
     assert sess.sql("SELECT * FROM c_cascade").count() == 1
+
+
+def test_sql_dml_dispatch_full_surface(spark, tmp_path):
+    """The reference's primary surface is SQL text (sql_bridge dispatcher);
+    DriftSession.sql routes CREATE TABLE / INSERT (VALUES + SELECT) /
+    UPDATE / DELETE / TRUNCATE to the event engine and leaves expression
+    parsing to Spark's own parser."""
+    from driftdb_spark.sql_frontend import DriftSession
+
+    sess = DriftSession(spark, str(tmp_path / "dml"))
+    sess.sql("CREATE TABLE products (pid INT PRIMARY KEY, name STRING, price DOUBLE)")
+    sess.sql("INSERT INTO products VALUES (1, 'widget', 9.99), (2, 'gadget', 19.5)")
+    sess.sql("INSERT INTO products (pid, name) VALUES (3, 'mystery')")
+    rows = {r.pid: r for r in sess.sql("SELECT * FROM products").collect()}
+    assert set(rows) == {1, 2, 3} and rows[3].price is None
+
+    sess.sql("UPDATE products SET price = price * 2, name = upper(name) WHERE pid <= 2")
+    rows = {r.pid: r for r in sess.sql("SELECT * FROM products").collect()}
+    assert rows[1].price == 19.98 and rows[1].name == "WIDGET"
+    assert rows[3].name == "mystery"  # untouched
+
+    sess.sql("DELETE FROM products WHERE pid = 2")
+    assert {r.pid for r in sess.sql("SELECT pid FROM products").collect()} == {1, 3}
+    # temporal SELECT through the same dispatcher
+    assert sess.sql(
+        "SELECT pid FROM products FOR SYSTEM_TIME AS OF @SEQ:3"
+    ).count() == 3
+
+    # INSERT ... SELECT, with its own temporal clause
+    sess.sql("CREATE TABLE archive (aid INT PRIMARY KEY, label STRING)")
+    sess.sql(
+        "INSERT INTO archive SELECT pid, name FROM products FOR SYSTEM_TIME AS OF @SEQ:3"
+    )
+    assert sess.sql("SELECT * FROM archive").count() == 3
+
+    sess.sql("TRUNCATE products")
+    assert sess.sql("SELECT * FROM products").count() == 0
+
+
+def test_catalog_persists_across_sessions(spark, tmp_path):
+    """Schemas + FKs round-trip through _catalog.json (the reference
+    persists schemas in meta.json): a FRESH DriftSession on the same
+    storage dir sees the tables, their data, and enforces the same FKs."""
+    from driftdb_spark.sql_frontend import DriftSession
+
+    d = str(tmp_path / "persist")
+    s1 = DriftSession(spark, d)
+    s1.sql("CREATE TABLE parents (pid INT PRIMARY KEY, v STRING)")
+    s1.sql("CREATE TABLE kids (kid INT PRIMARY KEY, pid INT)")
+    s1.add_foreign_key("kids", "pid", "parents", "pid")
+    s1.sql("INSERT INTO parents VALUES (1, 'a')")
+    s1.sql("INSERT INTO kids VALUES (10, 1)")
+
+    s2 = DriftSession(spark, d)  # fresh session, catalog from disk
+    assert {r.pid for r in s2.sql("SELECT pid FROM parents").collect()} == {1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="FK RESTRICT"):
+        s2.delete_checked("parents", "pid = 1")
+    with _pytest.raises(ValueError, match="FK violation"):
+        s2.insert_checked(
+            "kids", spark.createDataFrame([(11, 99)], "kid int, pid int")
+        )
