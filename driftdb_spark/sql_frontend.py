@@ -59,6 +59,7 @@ class DriftSession:
         self._tables: dict[str, tuple[EventLog, dict[str, str]]] = {}
         self._sequences: dict[str, tuple[int, int]] = {}
         self._fks: list[tuple[str, str, str, str, str]] = []
+        self._views: dict[str, str] = {}
         self._load_catalog()
 
     # -- catalog persistence ---------------------------------------------------
@@ -87,6 +88,7 @@ class DriftSession:
             )
             self._tables[name] = (log, dict(meta["cols"]))
         self._fks = [tuple(fk) for fk in cat.get("fks", [])]
+        self._views = dict(cat.get("views", {}))
 
     def _save_catalog(self) -> None:
         import json
@@ -99,6 +101,7 @@ class DriftSession:
                 for name, (log, cols) in self._tables.items()
             },
             "fks": [list(fk) for fk in self._fks],
+            "views": self._views,
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -180,6 +183,7 @@ class DriftSession:
             return routed
         clean, asof = parse_system_time(stripped)
         self._register_states(asof)
+        self._register_views(asof)
         if args is None:
             return self.spark.sql(clean)
         return self.spark.sql(clean, args=args)
@@ -204,7 +208,44 @@ class DriftSession:
         _re.IGNORECASE | _re.DOTALL,
     )
 
+    _EXPLAIN_RE = _re.compile(r"^EXPLAIN\s+(.*)$", _re.IGNORECASE | _re.DOTALL)
+    _CREATE_VIEW_RE = _re.compile(
+        r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _DROP_VIEW_RE = _re.compile(r"^DROP\s+VIEW\s+(\w+)$", _re.IGNORECASE)
+
     def _dispatch_dml(self, q: str):
+        m = self._EXPLAIN_RE.match(q)
+        if m:
+            # EXPLAIN <query> → the formatted physical plan as a one-column
+            # frame (reference builds a PlanNode tree and renders it,
+            # sql_bridge.rs:580-670; Catalyst's plan is the real thing).
+            from driftdb_spark.plans.stats import explain_plan
+
+            inner = self.sql(m.group(1))
+            text = explain_plan(inner)
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "plan string"
+            )
+        m = self._CREATE_VIEW_RE.match(q)
+        if m:
+            # Views persist as SQL TEXT and re-execute at every query —
+            # the reference runs the stored view SQL inline per access
+            # (views.rs:30-119, sql_bridge.rs:1203-1259), which is what
+            # keeps a view over an event table CURRENT as events land.
+            self._views[m.group(1)] = m.group(2)
+            self._save_catalog()
+            return 0
+        m = self._DROP_VIEW_RE.match(q)
+        if m:
+            self._views.pop(m.group(1), None)
+            try:
+                self.spark.catalog.dropTempView(m.group(1))
+            except Exception:
+                pass
+            self._save_catalog()
+            return 0
         m = self._CREATE_RE.match(q)
         if m:
             return self._sql_create_table(m.group(1), m.group(2))
@@ -430,6 +471,20 @@ class DriftSession:
     def drift(self, table: str, pk=None) -> DataFrame:
         """SHOW DRIFT — event history (reference query/executor.rs:327-354)."""
         return self.table(table).drift_history(pk)
+
+    def _register_views(self, asof: AsOf) -> None:
+        """Re-execute every stored view definition over the just-registered
+        state views (reference re-runs view SQL inline per query). A view
+        whose definition carries its own FOR SYSTEM_TIME keeps it; others
+        see the query's temporal context via the state views."""
+        for name, definition in self._views.items():
+            clean, view_asof = parse_system_time(definition)
+            if view_asof.sequence is not None or view_asof.timestamp is not None:
+                self._register_states(view_asof)
+                self.spark.sql(clean).createOrReplaceTempView(name)
+                self._register_states(asof)
+            else:
+                self.spark.sql(clean).createOrReplaceTempView(name)
 
     def _register_states(self, asof: AsOf) -> None:
         for name, (log, schema_cols) in self._tables.items():

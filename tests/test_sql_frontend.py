@@ -278,3 +278,33 @@ def test_catalog_persists_across_sessions(spark, tmp_path):
         s2.insert_checked(
             "kids", spark.createDataFrame([(11, 99)], "kid int, pid int")
         )
+
+
+def test_sql_views_and_explain_dispatch(spark, tmp_path):
+    """CREATE VIEW persists SQL text re-executed per query (stays current
+    as events land — reference views.rs semantics); EXPLAIN returns the
+    formatted physical plan; DROP VIEW unregisters."""
+    from driftdb_spark.sql_frontend import DriftSession
+
+    sess = DriftSession(spark, str(tmp_path / "views"))
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    sess.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    sess.sql("CREATE VIEW big AS SELECT id, v FROM t WHERE v >= 15")
+    assert {r.id for r in sess.sql("SELECT * FROM big").collect()} == {2}
+    # view stays CURRENT: new event visible without re-creating the view
+    sess.sql("INSERT INTO t VALUES (3, 30)")
+    assert {r.id for r in sess.sql("SELECT * FROM big").collect()} == {2, 3}
+    # a fresh session sees the view too (catalog round-trip)
+    sess2 = DriftSession(spark, str(tmp_path / "views"))
+    assert sess2.sql("SELECT * FROM big").count() == 2
+
+    plan = sess.sql("EXPLAIN SELECT * FROM big")
+    assert plan.count() > 0
+    text = "\n".join(r.plan for r in plan.collect())
+    assert "Physical Plan" in text or "Scan" in text
+
+    sess.sql("DROP VIEW big")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sess.sql("SELECT * FROM big").collect()
