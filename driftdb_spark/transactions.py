@@ -126,6 +126,34 @@ class Transaction:
         self._gate()
         self._stage(keys.select(self.log.pk_col), SOFT_DELETE, None)
 
+    def update_where(
+        self, schema_cols: dict[str, str], condition: str, assignments: dict[str, object]
+    ) -> None:
+        """UPDATE ... WHERE against the transaction's OWN view of state
+        (committed ∪ buffer) — a row inserted or patched earlier in the
+        txn is visible to the condition and the assignment expressions,
+        exactly like the reference's buffered execution."""
+        self._gate()
+        if self.log.pk_col in assignments:
+            raise ValueError(
+                "PK-changing UPDATE inside a transaction is not supported; "
+                "use EventLog.update_where (delete+insert model) outside"
+            )
+        matching = self.state_df(schema_cols).filter(condition)
+        patch = matching.select(
+            F.col("pk").alias(self.log.pk_col),
+            *[F.expr(str(expr)).alias(col) for col, expr in assignments.items()],
+        )
+        self._stage(patch, PATCH, _payload_map(patch, self.log.pk_col))
+
+    def delete_where(self, schema_cols: dict[str, str], condition: str) -> None:
+        """DELETE ... WHERE against the txn's view of state."""
+        self._gate()
+        matching = self.state_df(schema_cols).filter(condition)
+        self._stage(
+            matching.select(F.col("pk").alias(self.log.pk_col)), SOFT_DELETE, None
+        )
+
     # -- reads ---------------------------------------------------------------
 
     def staged_events(self) -> DataFrame:

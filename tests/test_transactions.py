@@ -156,3 +156,70 @@ def test_session_transaction_multi_table(spark, tmp_path):
     txn2.table("users").insert(spark.createDataFrame([(2, "bob")], "uid int, name string"))
     txn2.rollback()
     assert sess.sql("SELECT * FROM users").count() == 1
+
+
+def test_txn_update_delete_where_read_your_writes(spark, log):
+    """Condition-based UPDATE/DELETE inside a txn evaluate against the
+    txn's own view: rows inserted earlier in the SAME txn match the
+    condition, and their updates land in the same atomic commit."""
+    log.insert(_rows(spark, [(1, "a", 10)]))
+    txn = log.begin()
+    txn.insert(_rows(spark, [(2, "b", 20)]))
+    txn.update_where(COLS, "qty >= 10", {"qty": "qty + 1"})  # hits 1 AND 2
+    txn.delete_where(COLS, "name = 'a'")
+    txn.commit()
+    state = {r.pk: r for r in log.state_df(COLS).collect()}
+    assert set(state) == {"2"}
+    assert state["2"]["qty"] == 21  # buffered insert was visible to UPDATE
+
+
+def test_txn_commit_equals_sequential_appends_fuzz(spark, tmp_path):
+    """Property: committing a random statement list as ONE transaction
+    produces the same final state as applying the same statements as
+    individual appends — _append_multi's per-key (pk, stmt) ordering is
+    exactly sequential-execution order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    stmt_st = st.sampled_from(["INSERT", "PATCH", "SOFT_DELETE"])
+    step_st = st.tuples(
+        stmt_st,
+        st.lists(st.sampled_from([1, 2, 3]), min_size=1, max_size=3, unique=True),
+        st.integers(0, 99),
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(step_st, min_size=1, max_size=6))
+    def run(steps):
+        import uuid
+
+        name = uuid.uuid4().hex[:8]
+        log_a = EventLog(spark, str(tmp_path / f"a{name}"), pk_col="id")
+        log_b = EventLog(spark, str(tmp_path / f"b{name}"), pk_col="id")
+        txn = log_a.begin()
+        for etype, pks, val in steps:
+            if etype == "INSERT":
+                rows = _rows(spark, [(p, f"n{p}", val) for p in pks])
+                try:
+                    txn.insert(rows)
+                except ValueError:
+                    return  # duplicate insert aborts — covered elsewhere
+                log_b.upsert(rows)
+            elif etype == "PATCH":
+                rows = _rows(spark, [(p, val) for p in pks], "id int, qty int")
+                txn.patch(rows)
+                log_b.patch(rows)
+            else:
+                rows = _rows(spark, [(p,) for p in pks], "id int")
+                txn.soft_delete(rows)
+                log_b.soft_delete(rows)
+        txn.commit()
+        sa = {r.pk: dict(r.row) for r in log_a.state_at().collect()}
+        sb = {r.pk: dict(r.row) for r in log_b.state_at().collect()}
+        assert sa == sb
+
+    run()
