@@ -209,6 +209,18 @@ class DriftSession:
     )
 
     _EXPLAIN_RE = _re.compile(r"^EXPLAIN\s+(.*)$", _re.IGNORECASE | _re.DOTALL)
+    _ALTER_RE = _re.compile(
+        r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)"
+        r"(?:\s+DEFAULT\s+(.+))?$",
+        _re.IGNORECASE,
+    )
+    _DROP_TABLE_RE = _re.compile(r"^DROP\s+TABLE\s+(\w+)$", _re.IGNORECASE)
+    _SNAPSHOT_RE = _re.compile(
+        r"^(SNAPSHOT|COMPACT)\s+(?:TABLE\s+)?(\w+)$", _re.IGNORECASE
+    )
+    _CREATE_INDEX_RE = _re.compile(
+        r"^CREATE\s+INDEX\s+\w+\s+ON\s+\w+\s*\([^)]*\)$", _re.IGNORECASE
+    )
     _CREATE_VIEW_RE = _re.compile(
         r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$",
         _re.IGNORECASE | _re.DOTALL,
@@ -245,6 +257,31 @@ class DriftSession:
             except Exception:
                 pass
             self._save_catalog()
+            return 0
+        m = self._ALTER_RE.match(q)
+        if m and m.group(1) in self._tables:
+            default = m.group(4)
+            if default is not None:
+                default = default.strip().strip("'")
+            self.alter_table_add_column(m.group(1), m.group(2), m.group(3), default)
+            return 0
+        m = self._DROP_TABLE_RE.match(q)
+        if m and m.group(1) in self._tables:
+            self.drop_table(m.group(1))
+            return 0
+        m = self._SNAPSHOT_RE.match(q)
+        if m and m.group(2) in self._tables:
+            log = self._tables[m.group(2)][0]
+            if m.group(1).upper() == "SNAPSHOT":
+                return log.snapshot()
+            log.compact()  # COMPACT implies a fresh snapshot first
+            return log.last_sequence()
+        m = self._CREATE_INDEX_RE.match(q)
+        if m:
+            # Accepted as metadata only: reads are served by Catalyst
+            # data-skipping / clustered layout (sources/connectors), the
+            # engine's analog of the reference's secondary indexes
+            # (SURVEY §2.9 mapping; engine.rs:662-712 builds real ones).
             return 0
         m = self._CREATE_RE.match(q)
         if m:

@@ -308,3 +308,30 @@ def test_sql_views_and_explain_dispatch(spark, tmp_path):
 
     with _pytest.raises(Exception):
         sess.sql("SELECT * FROM big").collect()
+
+
+def test_sql_ddl_maintenance_dispatch(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN (with event-sourced DEFAULT backfill),
+    SNAPSHOT/COMPACT, CREATE INDEX (metadata-accepted), DROP TABLE — the
+    rest of the reference dispatcher's statement set (sql_bridge.rs:279-302,
+    :5951-5980, :6106-6170)."""
+    from driftdb_spark.sql_frontend import DriftSession
+
+    sess = DriftSession(spark, str(tmp_path / "ddl"))
+    sess.sql("CREATE TABLE m (id INT PRIMARY KEY, v INT)")
+    sess.sql("INSERT INTO m VALUES (1, 10), (2, 20)")
+    sess.sql("ALTER TABLE m ADD COLUMN tag STRING DEFAULT 'x'")
+    rows = {r.id: r for r in sess.sql("SELECT * FROM m").collect()}
+    assert rows[1].tag == "x" and rows[2].tag == "x"
+    # pre-ALTER time travel shows NULL (the default did not exist then)
+    old = sess.sql("SELECT tag FROM m FOR SYSTEM_TIME AS OF @SEQ:2").collect()
+    assert all(r.tag is None for r in old)
+
+    snap = sess.sql("SNAPSHOT m")
+    assert isinstance(snap, int) and snap >= 4
+    sess.sql("COMPACT m")
+    assert {r.id for r in sess.sql("SELECT id FROM m").collect()} == {1, 2}
+
+    assert sess.sql("CREATE INDEX idx_v ON m (v)") == 0
+    sess.sql("DROP TABLE m")
+    assert "m" not in sess._tables
