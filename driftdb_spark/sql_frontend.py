@@ -316,11 +316,23 @@ class DriftSession:
 
         cols: dict[str, str] = {}
         pk = None
+        fks: list[tuple[str, str, str, str]] = []
         for part in _split_top_level(body):
             part = part.strip()
             tl = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", part, re.IGNORECASE)
             if tl:
                 pk = tl.group(1).split(",")[0].strip()
+                continue
+            fk = re.match(
+                r"FOREIGN\s+KEY\s*\((\w+)\)\s*REFERENCES\s+(\w+)\s*\((\w+)\)"
+                r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE))?$",
+                part,
+                re.IGNORECASE,
+            )
+            if fk:
+                fks.append(
+                    (fk.group(1), fk.group(2), fk.group(3), (fk.group(4) or "restrict").lower())
+                )
                 continue
             if re.match(r"(FOREIGN\s+KEY|UNIQUE|CHECK|CONSTRAINT)\b", part, re.IGNORECASE):
                 continue
@@ -330,8 +342,25 @@ class DriftSession:
             col, coltype = toks[0], toks[1]
             if re.search(r"\bPRIMARY\s+KEY\b", part, re.IGNORECASE):
                 pk = col
+            inline_fk = re.search(
+                r"\bREFERENCES\s+(\w+)\s*\((\w+)\)"
+                r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE))?",
+                part,
+                re.IGNORECASE,
+            )
+            if inline_fk:
+                fks.append(
+                    (
+                        col,
+                        inline_fk.group(1),
+                        inline_fk.group(2),
+                        (inline_fk.group(3) or "restrict").lower(),
+                    )
+                )
             cols[col] = coltype
         self.create_table(name, cols, pk=pk)
+        for child_col, parent, parent_col, action in fks:
+            self.add_foreign_key(name, child_col, parent, parent_col, on_delete=action)
         return 0
 
     def _sql_insert(self, table: str, col_list: str | None, tail: str) -> int:

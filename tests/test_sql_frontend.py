@@ -335,3 +335,35 @@ def test_sql_ddl_maintenance_dispatch(spark, tmp_path):
     assert sess.sql("CREATE INDEX idx_v ON m (v)") == 0
     sess.sql("DROP TABLE m")
     assert "m" not in sess._tables
+
+
+def test_create_table_registers_fks_from_sql(spark, tmp_path):
+    """Inline and table-level FOREIGN KEY clauses in CREATE TABLE register
+    real constraints (reference fk.rs inline+table FKs), including ON
+    DELETE CASCADE."""
+    from driftdb_spark.sql_frontend import DriftSession
+
+    sess = DriftSession(spark, str(tmp_path / "fkddl"))
+    sess.sql("CREATE TABLE dept (did INT PRIMARY KEY, dn STRING)")
+    sess.sql(
+        "CREATE TABLE emp (eid INT PRIMARY KEY, did INT REFERENCES dept(did), "
+        "mgr INT, FOREIGN KEY (mgr) REFERENCES emp(eid) ON DELETE CASCADE)"
+    )
+    sess.sql("INSERT INTO dept VALUES (1, 'eng')")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="FK violation"):
+        sess.insert_checked(
+            "emp", spark.createDataFrame([(10, 99, None)], "eid int, did int, mgr int")
+        )
+    sess.insert_checked(
+        "emp", spark.createDataFrame([(10, 1, None)], "eid int, did int, mgr int")
+    )
+    sess.insert_checked(
+        "emp", spark.createDataFrame([(11, 1, 10)], "eid int, did int, mgr int")
+    )
+    # RESTRICT on dept blocks; CASCADE on the self-FK chains the delete
+    with _pytest.raises(ValueError, match="FK RESTRICT"):
+        sess.delete_checked("dept", "did = 1")
+    sess.delete_checked("emp", "eid = 10")
+    assert sess.sql("SELECT * FROM emp").count() == 0  # 11 cascaded via mgr
