@@ -453,3 +453,131 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         F.round(F.length("text").cast("double") / n_bpe, 6).alias("chars_per_token"),
     )
+
+
+# ~25% seed slice, identical on both engines (md5 hex prefix)
+_LM_SEED_DUCK = "substr(md5(cast(doc_id as varchar)), 1, 1) < '4'"
+_LM_SEED_SPARK = "substr(md5(cast(doc_id as string)), 1, 1) < '4'"
+
+
+@register(
+    "text_lm_quality",
+    oracle=f"""
+    WITH big AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, length(lower(text))),
+                      i -> substr(lower(text), i, 2))) AS bg
+        FROM documents WHERE length(text) >= 2
+    ),
+    model AS (
+        SELECT bg, COUNT(*) AS cnt FROM big WHERE {_LM_SEED_DUCK} GROUP BY bg
+    ),
+    total AS (SELECT SUM(cnt) AS tot FROM model),
+    scored AS (
+        SELECT b.doc_id,
+               COUNT(*) AS n_bigrams,
+               AVG(LN(COALESCE(m.cnt, 0.5) / t.tot)) AS raw
+        FROM big b LEFT JOIN model m ON b.bg = m.bg, total t
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, ROUND(raw, 6) AS lm_score,
+           raw > -9.0 AS keep
+    FROM scored
+    """,
+    tags=("text", "quality"),
+)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram LM quality score — the CCNet/KenLM-style
+    perplexity filter a pretraining pipeline runs, in miniature: train
+    bigram statistics on a deterministic md5-keyed 25% seed slice of the
+    corpus, score every document by its mean log-probability under that
+    model, and gate on a threshold. Unseen bigrams get a 0.5 pseudo-count
+    (so the score stays finite and both engines agree exactly).
+
+    Plan shape: one bigram explode feeds the model aggregate (tiny — the
+    bigram vocabulary) and the scorer; the model and its total broadcast
+    into the scoring join, so the corpus shuffles once on doc_id for the
+    per-doc average. At 100 TB the seed slice is the same hash filter and
+    the model is still broadcast-size (|charset|²)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    big = d.filter(F.length("text") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 1), "
+                "i -> substring(lower(text), i, 2))"
+            )
+        ).alias("bg"),
+    )
+    model = (
+        big.filter(F.expr(_LM_SEED_SPARK))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = model.agg(F.sum("cnt").alias("tot"))
+    scored = (
+        big.join(F.broadcast(model), "bg", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("tot"))).alias(
+                "raw"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("raw", 6).alias("lm_score"),
+        (F.col("raw") > -9.0).alias("keep"),
+    )
+
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || doc_id || '@example.com or admin@test.org'
+                            ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           md5(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g')) AS clean_fp
+    FROM seeded
+    """,
+    tags=("text", "quality"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — detect and redact email addresses, a compliance
+    pass every training-data pipeline runs before tokenization. The corpus
+    is synthetic, so deterministic PII is seeded into every 7th document
+    INSIDE the query; detection counts and the md5 fingerprint of the
+    redacted text are then value-checked against the oracle (proving the
+    redaction output matches byte-for-byte, not just the counts). Map-only
+    plan: regexp runs JVM-side in codegen, no shuffle, no Python."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or admin@test.org"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.md5(F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")).alias("clean_fp"),
+    )
