@@ -60,6 +60,8 @@ class DriftSession:
         self._sequences: dict[str, tuple[int, int]] = {}
         self._fks: list[tuple[str, str, str, str, str]] = []
         self._views: dict[str, str] = {}
+        self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
+        self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
         self._load_catalog()
 
     # -- catalog persistence ---------------------------------------------------
@@ -178,6 +180,24 @@ class DriftSession:
         binding, so values never interpolate into the SQL text.
         """
         stripped = query.strip().rstrip(";").strip()
+        # PostgreSQL-style aborted-transaction gate, covering every
+        # statement uniformly (reference sql_bridge.rs:335-346): after a
+        # failed statement, only ROLLBACK [TO SAVEPOINT] and COMMIT
+        # (which acts as ROLLBACK) get through.
+        if (
+            self._active_txn is not None
+            and self._active_txn.aborted
+            and not _re.match(r"^(ROLLBACK|COMMIT)\b", stripped, _re.IGNORECASE)
+        ):
+            from driftdb_spark.transactions import TransactionAborted
+
+            raise TransactionAborted(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block"
+            )
+        routed = self._dispatch_txn(stripped)
+        if routed is not None:
+            return routed
         routed = self._dispatch_dml(stripped)
         if routed is not None:
             return routed
@@ -226,6 +246,112 @@ class DriftSession:
         _re.IGNORECASE | _re.DOTALL,
     )
     _DROP_VIEW_RE = _re.compile(r"^DROP\s+VIEW\s+(\w+)$", _re.IGNORECASE)
+    _VACUUM_RE = _re.compile(r"^VACUUM\s+(\w+)$", _re.IGNORECASE)
+    _CHECKPOINT_RE = _re.compile(r"^CHECKPOINT\s+TABLE\s+(\w+)$", _re.IGNORECASE)
+    _ANALYZE_RE = _re.compile(
+        r"^ANALYZE(?:\s+(?:TABLE\s+)?(\w+))?$", _re.IGNORECASE
+    )
+    _BEGIN_RE = _re.compile(
+        r"^(?:BEGIN|START\s+TRANSACTION)(?:\s+(?:TRANSACTION|WORK))?$", _re.IGNORECASE
+    )
+    _COMMIT_RE = _re.compile(r"^COMMIT(?:\s+(?:TRANSACTION|WORK))?$", _re.IGNORECASE)
+    _ROLLBACK_TO_RE = _re.compile(
+        r"^ROLLBACK\s+TO\s+(?:SAVEPOINT\s+)?(\w+)$", _re.IGNORECASE
+    )
+    _ROLLBACK_RE = _re.compile(
+        r"^ROLLBACK(?:\s+(?:TRANSACTION|WORK))?$", _re.IGNORECASE
+    )
+    _SAVEPOINT_RE = _re.compile(r"^SAVEPOINT\s+(\w+)$", _re.IGNORECASE)
+    _RELEASE_RE = _re.compile(
+        r"^RELEASE\s+(?:SAVEPOINT\s+)?(\w+)$", _re.IGNORECASE
+    )
+
+    def _dispatch_txn(self, q: str):
+        """SQL-level transaction control (reference Statement::
+        StartTransaction/Commit/Rollback/Savepoint/ReleaseSavepoint arms,
+        sql_bridge.rs:453-568). While a transaction is open, DML routes
+        into the buffered :class:`SessionTransaction` and SELECT reads the
+        transaction's own view (read-your-writes); COMMIT publishes each
+        touched table's buffer as one atomic batch."""
+        if self._BEGIN_RE.match(q):
+            if self._active_txn is not None:
+                raise RuntimeError("there is already a transaction in progress")
+            self._active_txn = self.begin()
+            return 0
+        m = self._ROLLBACK_TO_RE.match(q)
+        if m:
+            if self._active_txn is None:
+                raise RuntimeError("no transaction in progress")
+            self._active_txn.rollback_to(m.group(1))
+            return 0
+        if self._COMMIT_RE.match(q):
+            if self._active_txn is None:
+                return 0  # PostgreSQL: warning, no-op
+            seqs = self._active_txn.commit()
+            self._active_txn = None
+            return max(seqs.values(), default=0)
+        if self._ROLLBACK_RE.match(q):
+            if self._active_txn is None:
+                return 0  # PostgreSQL: warning, no-op
+            self._active_txn.rollback()
+            self._active_txn = None
+            return 0
+        m = self._SAVEPOINT_RE.match(q)
+        if m:
+            if self._active_txn is None:
+                raise RuntimeError("SAVEPOINT can only be used in transaction blocks")
+            self._active_txn.savepoint(m.group(1))
+            return 0
+        m = self._RELEASE_RE.match(q)
+        if m and m.group(1).upper() not in ("TRANSACTION", "WORK"):
+            if self._active_txn is None:
+                raise RuntimeError(
+                    "RELEASE SAVEPOINT can only be used in transaction blocks"
+                )
+            self._active_txn.release(m.group(1))
+            return 0
+        m = self._VACUUM_RE.match(q)
+        if m and m.group(1) in self._tables:
+            # PostgreSQL convention, reference sql_bridge.rs:279-289:
+            # VACUUM <table> → COMPACT.
+            if self._active_txn is not None:
+                raise RuntimeError("VACUUM cannot run inside a transaction block")
+            log = self._tables[m.group(1)][0]
+            log.compact()
+            return log.last_sequence()
+        m = self._CHECKPOINT_RE.match(q)
+        if m and m.group(1) in self._tables:
+            # Reference sql_bridge.rs:291-302: CHECKPOINT TABLE → SNAPSHOT.
+            return self._tables[m.group(1)][0].snapshot()
+        m = self._ANALYZE_RE.match(q)
+        if m and (m.group(1) is None or m.group(1) in self._tables):
+            return self._sql_analyze(m.group(1))
+        return None
+
+    def _sql_analyze(self, table: str | None) -> DataFrame:
+        """ANALYZE [table]: collect per-column statistics (reference
+        sql_bridge.rs:671-700 feeds its QueryOptimizer; here the stats are
+        returned as data AND cached on the session — Catalyst's CBO is the
+        live optimizer, so the cache is the observability surface, not a
+        planner input). Bare ANALYZE covers every table (PostgreSQL
+        behavior, same as the reference's fallback arm)."""
+        from pyspark.sql import functions as F
+
+        from driftdb_spark.plans.stats import analyze_table
+
+        names = [table] if table else list(self._tables)
+        frames = []
+        for name in names:
+            log, schema_cols = self._tables[name]
+            stats = analyze_table(
+                log.state_df(schema_cols).drop("pk", "last_seq")
+            ).select(F.lit(name).alias("table"), "*")
+            self._stats[name] = stats
+            frames.append(stats)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def _dispatch_dml(self, q: str):
         m = self._EXPLAIN_RE.match(q)
@@ -296,15 +422,68 @@ class DriftSession:
             for part in _split_top_level(m.group(2)):
                 col, _, expr = part.partition("=")
                 assigns[col.strip()] = expr.strip()
+            if self._active_txn is not None:
+                return self._txn_stmt(
+                    lambda: self._active_txn.table(m.group(1)).update_where(
+                        schema_cols, m.group(3) or "true", assigns
+                    )
+                )
             return log.update_where(schema_cols, m.group(3) or "true", assigns)
         m = self._DELETE_RE.match(q)
         if m and m.group(1) in self._tables:
+            if self._active_txn is not None:
+                return self._txn_stmt(
+                    lambda: self._txn_delete(m.group(1), m.group(2) or "true")
+                )
             return self.delete_checked(m.group(1), m.group(2) or "true")
         m = self._TRUNCATE_RE.match(q)
         if m and m.group(1) in self._tables:
             log, schema_cols = self._tables[m.group(1)]
+            if self._active_txn is not None:
+                return self._txn_stmt(
+                    lambda: self._active_txn.table(m.group(1)).delete_where(
+                        schema_cols, "true"
+                    )
+                )
             return log.truncate(schema_cols)
         return None
+
+    def _txn_stmt(self, thunk) -> int:
+        """Run one buffered-transaction statement; ANY failure poisons the
+        transaction (PostgreSQL / reference abort semantics). Returns 0 —
+        sequences are provisional until COMMIT."""
+        try:
+            thunk()
+        except Exception:
+            self._active_txn.mark_aborted()
+            raise
+        return 0
+
+    def _txn_state_df(self, table: str):
+        """A table's state as THIS transaction sees it: the buffered view
+        for touched tables, committed state otherwise."""
+        log, schema_cols = self._tables[table]
+        if self._active_txn is not None and table in self._active_txn._txns:
+            return self._active_txn._txns[table].state_df(schema_cols)
+        return log.state_df(schema_cols)
+
+    def _txn_delete(self, table: str, condition: str) -> None:
+        """DELETE inside a transaction: FK enforcement against the
+        transaction's own view (committed ∪ buffer), cascades staged
+        children-first into each child table's buffer — nothing publishes
+        until COMMIT, so a violated RESTRICT anywhere aborts with zero
+        events (stronger than the non-txn path, which plans first for the
+        same reason)."""
+        doomed = self._txn_state_df(table).filter(condition)
+        plan: list[tuple[str, DataFrame]] = []
+        try:
+            self._plan_delete(table, doomed, plan, depth=0, state_of=self._txn_state_df)
+            for tbl, rows in reversed(plan):
+                tlog = self._tables[tbl][0]
+                self._active_txn.table(tbl).soft_delete(rows.select(tlog.pk_col))
+        finally:
+            for _tbl, rows in plan:
+                rows.unpersist()
 
     def _sql_create_table(self, name: str, body: str) -> int:
         """CREATE TABLE column list → schema registration. PRIMARY KEY may
@@ -386,7 +565,34 @@ class DriftSession:
         typed = rows.select(
             *[F.col(c).cast(schema_cols[c]).alias(c) for c in cols]
         )
+        if self._active_txn is not None:
+            return self._txn_stmt(lambda: self._txn_insert(table, typed))
         return self.insert_checked(table, typed)
+
+    def _txn_insert(self, table: str, rows: DataFrame) -> None:
+        """INSERT inside a transaction: FK-RESTRICT validated against the
+        transaction's view of each parent (committed ∪ buffer — a parent
+        row inserted earlier in the txn satisfies the FK, like the
+        reference's buffered execution), then staged with the buffer's own
+        PK-uniqueness check."""
+        from pyspark.sql import functions as F
+
+        for child, child_col, parent, parent_col, _action in self._fks:
+            if child != table:
+                continue
+            parent_keys = self._txn_state_df(parent).select(
+                F.col(parent_col).cast("string").alias("_fk")
+            )
+            orphans = rows.filter(F.col(child_col).isNotNull()).join(
+                parent_keys,
+                F.col(child_col).cast("string") == F.col("_fk"),
+                "left_anti",
+            )
+            if not orphans.isEmpty():
+                raise ValueError(
+                    f"FK violation: {table}.{child_col} -> {parent}.{parent_col}"
+                )
+        self._active_txn.table(table).insert(rows)
 
     # -- foreign keys ---------------------------------------------------------
 
@@ -463,10 +669,12 @@ class DriftSession:
                 rows.unpersist()
 
     def _plan_delete(
-        self, table: str, doomed: DataFrame, plan: list, depth: int
+        self, table: str, doomed: DataFrame, plan: list, depth: int, state_of=None
     ) -> None:
         from pyspark.sql import functions as F
 
+        if state_of is None:
+            state_of = lambda t: self._tables[t][0].state_df(self._tables[t][1])  # noqa: E731
         if depth > 20:
             raise ValueError("FK cascade deeper than 20 levels (cycle?)")
         log, _schema_cols = self._tables[table]
@@ -477,14 +685,14 @@ class DriftSession:
             if parent != table:
                 continue
             clog, ccols = self._tables[child]
-            referencing = clog.state_df(ccols).join(
+            referencing = state_of(child).join(
                 doomed.select(F.col(parent_col).cast("string").alias("_pk")),
                 F.col(child_col).cast("string") == F.col("_pk"),
                 "left_semi",
             )
             if action == "cascade":
                 if not referencing.isEmpty():
-                    self._plan_delete(child, referencing, plan, depth + 1)
+                    self._plan_delete(child, referencing, plan, depth + 1, state_of)
             elif not referencing.isEmpty():
                 raise ValueError(
                     f"FK RESTRICT: {child}.{child_col} references {table}.{parent_col}"
@@ -553,9 +761,25 @@ class DriftSession:
                 self.spark.sql(clean).createOrReplaceTempView(name)
 
     def _register_states(self, asof: AsOf) -> None:
+        # Read-your-writes inside an open SQL transaction: a table touched
+        # by the transaction registers its buffered view (committed ∪
+        # staged events) — but ONLY for "current" reads. An explicit
+        # temporal target always reads committed history (an uncommitted
+        # buffer has no place on a time-travel axis).
+        txn = self._active_txn
+        current = (
+            asof.sequence is None
+            and asof.timestamp is None
+            and asof.between is None
+            and not asof.all_history
+        )
         for name, (log, schema_cols) in self._tables.items():
             if asof.all_history:
                 log.events().createOrReplaceTempView(name)
+            elif current and txn is not None and name in txn._txns:
+                txn._txns[name].state_df(schema_cols).drop(
+                    "pk", "last_seq"
+                ).createOrReplaceTempView(name)
             else:
                 log.state_df(schema_cols, asof).drop("pk", "last_seq").createOrReplaceTempView(
                     name

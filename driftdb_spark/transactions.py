@@ -258,16 +258,74 @@ class SessionTransaction:
     def __init__(self, session):
         self._session = session
         self._txns: dict[str, Transaction] = {}
+        # Savepoint bookkeeping: creation order (for pruning later
+        # savepoints on partial rollback) and, per savepoint, the set of
+        # tables already touched when it was taken — a table first touched
+        # AFTER the savepoint rolls back entirely.
+        self._sp_order: list[str] = []
+        self._sp_members: dict[str, set[str]] = {}
+        self._aborted = False
+
+    @property
+    def aborted(self) -> bool:
+        """PostgreSQL aborted-transaction state: a failed statement poisons
+        the whole transaction until ROLLBACK [TO SAVEPOINT] / COMMIT
+        (reference gate, sql_bridge.rs:335-346)."""
+        return self._aborted or any(t._aborted for t in self._txns.values())
+
+    def mark_aborted(self) -> None:
+        self._aborted = True
 
     def table(self, name: str) -> Transaction:
         if name not in self._txns:
             self._txns[name] = self._session.table(name).begin()
         return self._txns[name]
 
+    def savepoint(self, name: str) -> None:
+        for txn in self._txns.values():
+            txn.savepoint(name)
+        if name in self._sp_order:
+            self._sp_order.remove(name)
+        self._sp_order.append(name)
+        self._sp_members[name] = set(self._txns)
+
+    def rollback_to(self, name: str) -> None:
+        """Partial rollback across tables; clears the aborted state
+        (reference savepoint recovery, sql_bridge.rs:511-546)."""
+        if name not in self._sp_members:
+            raise KeyError(f"no such savepoint: {name}")
+        members = self._sp_members[name]
+        for tname in list(self._txns):
+            if tname in members:
+                self._txns[tname].rollback_to(name)
+            else:
+                self._txns[tname].rollback()
+                del self._txns[tname]
+        # Savepoints taken after this one are gone (SQL standard).
+        idx = self._sp_order.index(name)
+        for later in self._sp_order[idx + 1 :]:
+            self._sp_members.pop(later, None)
+        del self._sp_order[idx + 1 :]
+        self._aborted = False
+
+    def release(self, name: str) -> None:
+        if name not in self._sp_members:
+            raise KeyError(f"no such savepoint: {name}")
+        self._sp_members.pop(name)
+        self._sp_order.remove(name)
+        for txn in self._txns.values():
+            txn._savepoints.pop(name, None)
+
     def commit(self) -> dict[str, int]:
+        if self.aborted:
+            # COMMIT of an aborted transaction is a ROLLBACK (PostgreSQL /
+            # reference sql_bridge.rs:476-509).
+            self.rollback()
+            return {}
         return {name: txn.commit() for name, txn in self._txns.items()}
 
     def rollback(self) -> None:
         for txn in self._txns.values():
             if not txn._done:
                 txn.rollback()
+        self._aborted = False
