@@ -50,6 +50,27 @@ def _split_top_level(s: str) -> list[str]:
     return [p for p in (x.strip() for x in parts) if p]
 
 
+def _split_statements(body: str) -> list[str]:
+    """Split a procedure body on semicolons outside string quotes."""
+    stmts, buf, quote = [], [], None
+    for ch in body:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        stmts.append("".join(buf))
+    return [s for s in (x.strip() for x in stmts) if s]
+
+
 class DriftSession:
     """Query surface over event-sourced tables + any registered views."""
 
@@ -62,6 +83,9 @@ class DriftSession:
         self._views: dict[str, str] = {}
         self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
         self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
+        from driftdb_spark.procedures import ProcedureRegistry
+
+        self.procedures = ProcedureRegistry(self)
         self._load_catalog()
 
     # -- catalog persistence ---------------------------------------------------
@@ -91,6 +115,7 @@ class DriftSession:
             self._tables[name] = (log, dict(meta["cols"]))
         self._fks = [tuple(fk) for fk in cat.get("fks", [])]
         self._views = dict(cat.get("views", {}))
+        self.procedures.load_catalog(cat.get("procedures", {}))
 
     def _save_catalog(self) -> None:
         import json
@@ -104,6 +129,7 @@ class DriftSession:
             },
             "fks": [list(fk) for fk in self._fks],
             "views": self._views,
+            "procedures": self.procedures.to_catalog(),
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -265,6 +291,12 @@ class DriftSession:
     _RELEASE_RE = _re.compile(
         r"^RELEASE\s+(?:SAVEPOINT\s+)?(\w+)$", _re.IGNORECASE
     )
+    _CREATE_PROC_RE = _re.compile(
+        r"^CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(\w+)\s*\(([^)]*)\)\s+AS\s+(.*)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _DROP_PROC_RE = _re.compile(r"^DROP\s+PROCEDURE\s+(\w+)$", _re.IGNORECASE)
+    _CALL_RE = _re.compile(r"^CALL\s+(\w+)\s*\((.*)\)$", _re.IGNORECASE | _re.DOTALL)
 
     def _dispatch_txn(self, q: str):
         """SQL-level transaction control (reference Statement::
@@ -326,6 +358,50 @@ class DriftSession:
         m = self._ANALYZE_RE.match(q)
         if m and (m.group(1) is None or m.group(1) in self._tables):
             return self._sql_analyze(m.group(1))
+        m = self._CREATE_PROC_RE.match(q)
+        if m:
+            # CREATE [OR REPLACE] PROCEDURE name(p1, p2) AS $$ s1; s2 $$
+            # (reference ProcedureManager::create_procedure,
+            # procedures.rs:457-500; its SQL bridge never wires CALL —
+            # sql_bridge.rs:752 — so the statement surface here is the
+            # PostgreSQL shape). Body may be dollar-quoted or bare.
+            params = [p.strip() for p in m.group(2).split(",") if p.strip()]
+            body = m.group(3).strip()
+            if body.startswith("$$") and body.endswith("$$"):
+                body = body[2:-2]
+            stmts = _split_statements(body)
+            self.procedures.create(m.group(1), params, stmts)
+            self._save_catalog()
+            return 0
+        m = self._DROP_PROC_RE.match(q)
+        if m:
+            self.procedures.drop(m.group(1))
+            self._save_catalog()
+            return 0
+        m = self._CALL_RE.match(q)
+        if m:
+            name = m.group(1)
+            params = (
+                self.procedures._sql_procs.get(name)
+                or self.procedures._py_procs.get(name)
+                or (None,)
+            )[0]
+            if params is None:
+                raise KeyError(f"no such procedure: {name}")
+            exprs = _split_top_level(m.group(2))
+            if len(exprs) != len(params):
+                raise ValueError(
+                    f"procedure {name} expects {len(params)} argument(s), "
+                    f"got {len(exprs)}"
+                )
+            # Each argument is a constant SQL expression, folded by
+            # Catalyst (no table access) — the reference evaluates CALL
+            # arguments the same way (procedures.rs Expression eval).
+            args = {
+                p: self.spark.sql(f"SELECT ({e}) AS v").first()["v"]
+                for p, e in zip(params, exprs)
+            }
+            return self.procedures.call(name, args)
         return None
 
     def _sql_analyze(self, table: str | None) -> DataFrame:
