@@ -581,3 +581,137 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_emails"),
         F.md5(F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")).alias("clean_fp"),
     )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id,
+           CAST(s.start AS BIGINT) AS chunk_start,
+           CAST(LEAST(32, n - s.start) AS BIGINT) AS chunk_tokens,
+           array_to_string(t[s.start + 1 : s.start + 32], ' ') AS chunk_text
+    FROM toks, LATERAL (SELECT unnest(generate_series(0, n - 1, 24)) AS start) s
+    """,
+    tags=("text", "pipeline"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking — every RAG / long-context training
+    pipeline splits documents into token windows (32 tokens, stride 24 →
+    8-token overlap) before embedding or packing. One map-only plan: the
+    chunk starts are a per-row ``sequence``, exploded, and each chunk is an
+    ``array slice`` + join — all JVM-side HOFs, zero shuffles, so at 100 TB
+    it scales with input splits. The full chunk text round-trips through the
+    oracle, proving byte-identical chunk boundaries on both engines."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
+    d = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    ex = d.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(24))).alias("start"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("start").cast("bigint").alias("chunk_start"),
+        F.least(F.lit(32), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+        F.array_join(F.slice("toks", F.col("start") + 1, 32), " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE n_chars > 0
+    ), sh AS (
+      SELECT doc_id, s.start,
+             array_to_string(t[s.start : s.start + 12], ' ') AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, n - 12)) AS start) s
+      WHERE n >= 13
+    ), dup AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
+    ), hits AS (
+      SELECT doc_id, start, start + 12 AS stop
+      FROM sh SEMI JOIN dup USING (shingle)
+    ), islands AS (
+      SELECT doc_id, start, stop,
+             CASE WHEN start > COALESCE(MAX(stop) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ), labeled AS (
+      SELECT doc_id, start, stop,
+             SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM islands
+    )
+    SELECT doc_id,
+           CAST(MIN(start) AS BIGINT) AS span_start,
+           CAST(MAX(stop) AS BIGINT) AS span_end,
+           CAST(MAX(stop) - MIN(start) + 1 AS BIGINT) AS span_tokens
+    FROM labeled GROUP BY doc_id, island
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup: find every maximal token span covered
+    by a 13-gram that occurs >= 2 times corpus-wide — the span-removal
+    preprocessing of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (suffix-array dedup; 13 tokens is the paper's
+    threshold, expressed here as the equivalent shingle self-join).
+
+    Plan shape: explode positions -> slice 13-gram (map-only HOFs) -> one
+    groupBy on the shingle (the only corpus-wide exchange) -> semi-join
+    back -> per-doc islands merge (window keyed on doc_id). The shingle
+    key here is the raw token string so the oracle is value-exact; the
+    100 TB variant keys the exchange on xxhash64(shingle) — same topology,
+    8-byte keys (see dedup.py's hash-vs-portable twin pattern)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
+    d = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    sh = (
+        d.filter(F.col("n") >= 13)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("n") - 12)).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.array_join(F.slice("toks", F.col("start"), 13), " ").alias("shingle"),
+        )
+    )
+    dup = sh.groupBy("shingle").count().filter(F.col("count") >= 2).select("shingle")
+    hits = sh.join(dup, "shingle", "left_semi").select(
+        "doc_id", "start", (F.col("start") + 12).alias("stop")
+    )
+    w = W.partitionBy("doc_id").orderBy("start")
+    prev_max = F.max("stop").over(w.rowsBetween(W.unboundedPreceding, -1))
+    labeled = hits.withColumn(
+        "new_island",
+        F.when(F.col("start") > F.coalesce(prev_max, F.lit(-1)) + 1, 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return labeled.groupBy("doc_id", "island").agg(
+        F.min("start").cast("bigint").alias("span_start"),
+        F.max("stop").cast("bigint").alias("span_end"),
+        (F.max("stop") - F.min("start") + 1).cast("bigint").alias("span_tokens"),
+    ).drop("island")
