@@ -664,3 +664,136 @@ def sim_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+# --- k-means (Lloyd) ---------------------------------------------------------
+# Clustering is the other half of the IVF story: sim_ann_ivf consumes a fixed
+# coarse quantizer; this operator TRAINS one. Two assignment rounds with a
+# centroid update between (assign -> update -> assign) over integer-exact
+# arithmetic so both engines walk identical centroid trajectories: embeddings
+# quantize to 1e4-scaled bigints, a centroid is the exact rational (sum_d,
+# count), and the squared-Euclidean comparison is multiplied through by
+# count^2 — Σ(cnt·x_d − s_d)², pure bigint (max ≈ 3.5e16 « int64). Ties take
+# the lower cluster id on both engines (struct array_min / ORDER BY dist,cid).
+KM_K = 8
+KM_SCALE = 10_000
+KM_ITERS = 2
+
+
+def _km_quantize(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT))"
+        ).alias("qx"),
+    )
+
+
+def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K (cid, sums, count)
+    rows, row-local bigint distance fold, argmin via struct array_min —
+    a narrow map stage, zero corpus shuffle (the IVF probe pattern)."""
+    cent_row = cents.groupBy().agg(
+        F.collect_list(F.struct("cid", "s", "cnt")).alias("cents")
+    )
+    best = F.expr(
+        "array_min(transform(cents, c -> struct("
+        "aggregate(zip_with(qx, c.s, (x, y) -> (c.cnt * x - y) * (c.cnt * x - y)), "
+        "0L, (a, e) -> a + e) AS d, c.cid AS cid))).cid"
+    )
+    return q.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "qx", best.alias("cluster")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Centroid update: explode dims -> one (cluster, dim) exchange with
+    map-side partial sums -> regroup to (cid, sums array, count). At 100 TB
+    this is the canonical 2-stage tree aggregate; sums stay exact bigints."""
+    per_dim = (
+        assigned.select("cluster", F.posexplode("qx").alias("d", "x"))
+        .groupBy("cluster", "d")
+        .agg(F.sum("x").alias("sd"), F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, sd))), e -> e.sd)").alias("s"),
+        F.max("cnt").alias("cnt"),
+    ).select(F.col("cluster").alias("cid"), "s", "cnt")
+
+
+_KM_ORACLE_PRELUDE = f"""
+    WITH q AS (
+      SELECT vec_id, gs.d,
+             CAST(ROUND(CAST(embedding[gs.d] AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS d) gs
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, d, x AS s, CAST(1 AS BIGINT) AS cnt
+      FROM q WHERE vec_id < {KM_K}
+    )"""
+
+
+def _km_oracle_round(prev_c: str, out_a: str, out_c: str) -> str:
+    return f"""
+    {out_a}_d AS (
+      SELECT q.vec_id, c.cid,
+             SUM((c.cnt * q.x - c.s) * (c.cnt * q.x - c.s)) AS dist
+      FROM q JOIN {prev_c} c USING (d) GROUP BY q.vec_id, c.cid
+    ),
+    {out_a} AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM {out_a}_d) WHERE rn = 1
+    ),
+    {out_c} AS (
+      SELECT a.cluster AS cid, q.d, SUM(q.x) AS s, COUNT(*) AS cnt
+      FROM q JOIN {out_a} a USING (vec_id) GROUP BY a.cluster, q.d
+    )"""
+
+
+@register(
+    "sim_kmeans_lloyd",
+    oracle=_KM_ORACLE_PRELUDE
+    + ","
+    + _km_oracle_round("c0", "a1", "c1")
+    + ","
+    + _km_oracle_round("c1", "a2", "c2")
+    + """
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+    FROM a2
+    """,
+    tags=("similarity", "iterative"),
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over embeddings: K=8 seeds (vec_id < 8, the IVF seeding
+    convention), 2 Lloyd iterations, final assignment + cluster sizes.
+    Every vector's final cluster is value-checked against the oracle —
+    possible only because the distance math is integer-exact (see module
+    notes above). The whole loop is ONE lazy Catalyst plan: per iteration,
+    an assignment map stage (broadcast centroids) and a (cluster, dim)
+    tree-aggregate exchange; nothing collects to the driver."""
+    from pyspark.sql.window import Window as W
+
+    q = _km_quantize(load_tables(spark, sf_dir)["embeddings"])
+    # iteration 0 centroids: the seed vectors themselves (count = 1)
+    cents = q.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qx").alias("s"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    assigned = None
+    for i in range(KM_ITERS):
+        assigned = _km_assign(q, cents)
+        if i < KM_ITERS - 1:
+            cents = _km_update(assigned)
+    return assigned.select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("cluster"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
