@@ -60,6 +60,13 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q20_potential_promotion",
     "fulltext_tfidf_search",
+    # r4 breadth: trained quantizer (2-round Lloyd, one lazy plan),
+    # substring-level exact dedup (corpus-wide shingle exchange), and
+    # overlapping chunking (map-only HOF plan) — the three new pipeline
+    # operator families added this round
+    "sim_kmeans_lloyd",
+    "dedup_substring_spans",
+    "text_chunk_overlap",
 ]
 
 N_WARMUP = 2
@@ -118,7 +125,7 @@ def main() -> None:
         # r3+: median-of-3 over a grown list). Longitudinal consumers must
         # key totals on (suite_rev, n_queries) or compare per-query entries,
         # never raw totals across revs (ADVICE r3).
-        "suite_rev": 4,
+        "suite_rev": 5,
         "n_queries": len(times),
         "aggregation": "median",
         "queries": times,

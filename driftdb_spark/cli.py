@@ -74,6 +74,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     sub.add_parser("tables", help="list catalog tables")
 
+    sp = sub.add_parser("backup", help="back up --data (full, or incremental with --parent)")
+    sp.add_argument("dest")
+    sp.add_argument("--parent", default=None, help="parent backup dir (incremental)")
+
+    sp = sub.add_parser("restore", help="restore a backup chain into --data (must be empty)")
+    sp.add_argument("src")
+
+    sp = sub.add_parser("verify-backup", help="checksum-verify a backup dir")
+    sp.add_argument("src")
+
     args = p.parse_args(argv)
 
     if spark is None:
@@ -108,6 +118,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.cmd == "tables":
         for name, (log, cols) in sorted(sess._tables.items()):
             print(json.dumps({"table": name, "pk": log.pk_col, "columns": cols}))
+    elif args.cmd == "backup":
+        from driftdb_spark.backup import BackupManager
+
+        m = BackupManager(sess)
+        manifest = (
+            m.create_incremental_backup(args.dest, parent=args.parent)
+            if args.parent
+            else m.create_full_backup(args.dest)
+        )
+        print(
+            json.dumps(
+                {"ok": True, "type": manifest["type"], "tables": sorted(manifest["tables"])}
+            )
+        )
+    elif args.cmd == "restore":
+        from driftdb_spark.backup import BackupManager
+
+        leaf = BackupManager.restore(args.src, args.data)
+        print(json.dumps({"ok": True, "tables": sorted(leaf["tables"])}))
+    elif args.cmd == "verify-backup":
+        from driftdb_spark.backup import BackupManager
+
+        ok = BackupManager.verify(args.src)
+        print(json.dumps({"ok": ok}))
+        return 0 if ok else 1
     return 0
 
 

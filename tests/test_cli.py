@@ -49,3 +49,25 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
 
     stats = _run(capsys, spark, "--data", data, "analyze", "items")
     assert any(s.get("column") in ("iid", "qty", "name") or s for s in stats)
+
+
+def test_cli_backup_restore_verify(spark, tmp_path, capsys):
+    data = str(tmp_path / "clidata")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "CREATE TABLE items (iid INT PRIMARY KEY, qty INT)")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "INSERT INTO items VALUES (1, 5), (2, 9)")
+    b1 = str(tmp_path / "b1")
+    out = _run(capsys, spark, "--data", data, "backup", b1)
+    assert out[0]["ok"] and out[0]["type"] == "full"
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "INSERT INTO items VALUES (3, 7)")
+    b2 = str(tmp_path / "b2")
+    out = _run(capsys, spark, "--data", data, "backup", b2, "--parent", b1)
+    assert out[0]["type"] == "incremental"
+    assert _run(capsys, spark, "--data", data, "verify-backup", b2)[0]["ok"]
+    restored = str(tmp_path / "restored")
+    out = _run(capsys, spark, "--data", restored, "restore", b2)
+    assert out[0]["ok"] and out[0]["tables"] == ["items"]
+    rows = _run(capsys, spark, "--data", restored, "select", "items")
+    assert {(r["iid"], r["qty"]) for r in rows} == {(1, 5), (2, 9), (3, 7)}
