@@ -50,6 +50,24 @@ def _split_top_level(s: str) -> list[str]:
     return [p for p in (x.strip() for x in parts) if p]
 
 
+def _extract_clause(text: str, keyword: str) -> str | None:
+    """Extract the balanced-paren expression after ``keyword (`` — e.g.
+    ``USING (f(x) = 1)`` → ``f(x) = 1`` (regex can't balance parens)."""
+    kw = keyword.replace(" ", r"\s+")
+    m = _re.search(rf"\b{kw}\s*\(", text, _re.IGNORECASE)
+    if not m:
+        return None
+    depth, start = 1, m.end()
+    for i in range(start, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start:i].strip()
+    raise ValueError(f"unbalanced parentheses after {keyword}")
+
+
 def _split_statements(body: str) -> list[str]:
     """Split a procedure body on semicolons outside string quotes."""
     stmts, buf, quote = [], [], None
@@ -84,9 +102,24 @@ class DriftSession:
         self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
         self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
         from driftdb_spark.procedures import ProcedureRegistry
+        from driftdb_spark.rls import RlsManager
 
         self.procedures = ProcedureRegistry(self)
+        self.rls = RlsManager()
+        self._security = None  # None = embedded-engine owner (RLS bypass)
         self._load_catalog()
+
+    def set_security_context(self, username: str | None, roles=None, superuser=False):
+        """Adopt a user identity for RLS enforcement (reference
+        SecurityContext, row_level_security.rs:130-163). ``None`` returns
+        to the owner context (bypass)."""
+        from driftdb_spark.rls import SecurityContext
+
+        self._security = (
+            None
+            if username is None
+            else SecurityContext(username, list(roles or []), superuser)
+        )
 
     # -- catalog persistence ---------------------------------------------------
     # The reference persists each table's schema in its meta.json
@@ -116,6 +149,7 @@ class DriftSession:
         self._fks = [tuple(fk) for fk in cat.get("fks", [])]
         self._views = dict(cat.get("views", {}))
         self.procedures.load_catalog(cat.get("procedures", {}))
+        self.rls.load_catalog(cat.get("rls", {}))
 
     def _save_catalog(self) -> None:
         import json
@@ -130,6 +164,7 @@ class DriftSession:
             "fks": [list(fk) for fk in self._fks],
             "views": self._views,
             "procedures": self.procedures.to_catalog(),
+            "rls": self.rls.to_catalog(),
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -358,6 +393,9 @@ class DriftSession:
         m = self._ANALYZE_RE.match(q)
         if m and (m.group(1) is None or m.group(1) in self._tables):
             return self._sql_analyze(m.group(1))
+        routed = self._dispatch_rls(q)
+        if routed is not None:
+            return routed
         m = self._CREATE_PROC_RE.match(q)
         if m:
             # CREATE [OR REPLACE] PROCEDURE name(p1, p2) AS $$ s1; s2 $$
@@ -402,6 +440,76 @@ class DriftSession:
                 for p, e in zip(params, exprs)
             }
             return self.procedures.call(name, args)
+        return None
+
+    _CREATE_POLICY_RE = _re.compile(
+        r"^CREATE\s+POLICY\s+(\w+)\s+ON\s+(\w+)(.*)$", _re.IGNORECASE | _re.DOTALL
+    )
+    _DROP_POLICY_RE = _re.compile(
+        r"^DROP\s+POLICY\s+(\w+)\s+ON\s+(\w+)$", _re.IGNORECASE
+    )
+    _RLS_ENABLE_RE = _re.compile(
+        r"^ALTER\s+TABLE\s+(\w+)\s+(ENABLE|DISABLE)\s+ROW\s+LEVEL\s+SECURITY$",
+        _re.IGNORECASE,
+    )
+    _SET_AUTH_RE = _re.compile(
+        r"^SET\s+SESSION\s+AUTHORIZATION\s+(\w+)$", _re.IGNORECASE
+    )
+    _RESET_AUTH_RE = _re.compile(
+        r"^RESET\s+SESSION\s+AUTHORIZATION$", _re.IGNORECASE
+    )
+
+    def _dispatch_rls(self, q: str):
+        """Row-level-security DDL (PostgreSQL statement shapes; reference
+        policy model row_level_security.rs:25-130)."""
+        from driftdb_spark.rls import Policy
+
+        m = self._RLS_ENABLE_RE.match(q)
+        if m and m.group(1) in self._tables:
+            (self.rls.enable if m.group(2).upper() == "ENABLE" else self.rls.disable)(
+                m.group(1)
+            )
+            self._save_catalog()
+            return 0
+        m = self._DROP_POLICY_RE.match(q)
+        if m:
+            self.rls.drop_policy(m.group(2), m.group(1))
+            self._save_catalog()
+            return 0
+        m = self._SET_AUTH_RE.match(q)
+        if m:
+            self.set_security_context(m.group(1))
+            return 0
+        if self._RESET_AUTH_RE.match(q):
+            self.set_security_context(None)
+            return 0
+        m = self._CREATE_POLICY_RE.match(q)
+        if m:
+            name, table, tail = m.group(1), m.group(2), m.group(3)
+            using_expr = _extract_clause(tail, "USING")
+            check_expr = _extract_clause(tail, "WITH CHECK")
+            am = _re.search(
+                r"\bFOR\s+(SELECT|INSERT|UPDATE|DELETE|ALL)\b", tail, _re.IGNORECASE
+            )
+            cm = _re.search(r"\bAS\s+(PERMISSIVE|RESTRICTIVE)\b", tail, _re.IGNORECASE)
+            rm = _re.search(
+                r"\bTO\s+([\w]+(?:\s*,\s*\w+)*)", tail, _re.IGNORECASE
+            )
+            self.rls.create_policy(
+                Policy(
+                    name=name,
+                    table=table,
+                    action=(am.group(1).lower() if am else "all"),
+                    check=(cm.group(1).lower() if cm else "permissive"),
+                    roles=(
+                        [r.strip() for r in rm.group(1).split(",")] if rm else []
+                    ),
+                    using_expr=using_expr,
+                    check_expr=check_expr,
+                )
+            )
+            self._save_catalog()
+            return 0
         return None
 
     def _sql_analyze(self, table: str | None) -> DataFrame:
@@ -498,20 +606,22 @@ class DriftSession:
             for part in _split_top_level(m.group(2)):
                 col, _, expr = part.partition("=")
                 assigns[col.strip()] = expr.strip()
+            upd_cond = self._rls_condition(m.group(1), m.group(3) or "true", "update")
             if self._active_txn is not None:
                 return self._txn_stmt(
                     lambda: self._active_txn.table(m.group(1)).update_where(
-                        schema_cols, m.group(3) or "true", assigns
+                        schema_cols, upd_cond, assigns
                     )
                 )
-            return log.update_where(schema_cols, m.group(3) or "true", assigns)
+            return log.update_where(schema_cols, upd_cond, assigns)
         m = self._DELETE_RE.match(q)
         if m and m.group(1) in self._tables:
+            del_cond = self._rls_condition(m.group(1), m.group(2) or "true", "delete")
             if self._active_txn is not None:
                 return self._txn_stmt(
-                    lambda: self._txn_delete(m.group(1), m.group(2) or "true")
+                    lambda: self._txn_delete(m.group(1), del_cond)
                 )
-            return self.delete_checked(m.group(1), m.group(2) or "true")
+            return self.delete_checked(m.group(1), del_cond)
         m = self._TRUNCATE_RE.match(q)
         if m and m.group(1) in self._tables:
             log, schema_cols = self._tables[m.group(1)]
@@ -523,6 +633,31 @@ class DriftSession:
                 )
             return log.truncate(schema_cols)
         return None
+
+    def _rls_check_insert(self, table: str, rows: DataFrame) -> None:
+        """WITH CHECK gate (reference row_level_security.rs check side):
+        every inserted row must satisfy the compiled check predicate; a
+        NULL result fails, as in PostgreSQL."""
+        from pyspark.sql import functions as F
+
+        from driftdb_spark.rls import RlsDenied
+
+        pred = self.rls.check_predicate(table, self._security)
+        if pred is None:
+            return
+        violations = rows.filter(~F.coalesce(F.expr(pred), F.lit(False)))
+        if not violations.isEmpty():
+            raise RlsDenied(
+                f"new row violates row-level security policy for table {table}"
+            )
+
+    def _rls_condition(self, table: str, condition: str, action: str) -> str:
+        """Conjoin the RLS USING predicate into an UPDATE/DELETE WHERE:
+        rows the context cannot see, it cannot touch."""
+        pred = self.rls.read_predicate(table, self._security, action)
+        if pred is None:
+            return condition
+        return f"({condition}) AND ({pred})"
 
     def _txn_stmt(self, thunk) -> int:
         """Run one buffered-transaction statement; ANY failure poisons the
@@ -653,6 +788,7 @@ class DriftSession:
         PK-uniqueness check."""
         from pyspark.sql import functions as F
 
+        self._rls_check_insert(table, rows)
         for child, child_col, parent, parent_col, _action in self._fks:
             if child != table:
                 continue
@@ -698,6 +834,7 @@ class DriftSession:
         from pyspark.sql import functions as F
 
         log, _ = self._tables[table]
+        self._rls_check_insert(table, rows)
         for child, child_col, parent, parent_col, _action in self._fks:
             if child != table:
                 continue
@@ -850,13 +987,21 @@ class DriftSession:
             and not asof.all_history
         )
         for name, (log, schema_cols) in self._tables.items():
+            rls_pred = self.rls.read_predicate(name, self._security)
             if asof.all_history:
-                log.events().createOrReplaceTempView(name)
-            elif current and txn is not None and name in txn._txns:
-                txn._txns[name].state_df(schema_cols).drop(
-                    "pk", "last_seq"
-                ).createOrReplaceTempView(name)
+                view = log.events()
+                if rls_pred is not None:
+                    # history rows expose the payload map; gate on the
+                    # reconstructed-state keys instead: a user sees the
+                    # history only of rows currently visible to them.
+                    visible = log.state_df(schema_cols).filter(rls_pred).select("pk")
+                    view = view.join(visible, "pk", "left_semi")
+                view.createOrReplaceTempView(name)
+                continue
+            if current and txn is not None and name in txn._txns:
+                view = txn._txns[name].state_df(schema_cols).drop("pk", "last_seq")
             else:
-                log.state_df(schema_cols, asof).drop("pk", "last_seq").createOrReplaceTempView(
-                    name
-                )
+                view = log.state_df(schema_cols, asof).drop("pk", "last_seq")
+            if rls_pred is not None:
+                view = view.filter(rls_pred)
+            view.createOrReplaceTempView(name)
