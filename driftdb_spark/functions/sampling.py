@@ -365,3 +365,77 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("draw_key"), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n) AS total FROM c),
+    r AS (
+      SELECT lang, n,
+             CAST(FLOOR(65536 * LEAST(CAST(1.0 AS DOUBLE),
+                  0.35 * SQRT(CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT) AS cut
+      FROM c, t
+    ),
+    h AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS b
+      FROM documents
+    )
+    SELECT h.lang,
+           CAST(MAX(r.n) AS BIGINT) AS n_orig,
+           COUNT(*) AS n_kept,
+           SUM(h.n_chars) AS kept_chars,
+           MAX(r.cut) AS keep_cut
+    FROM h JOIN r USING (lang) WHERE h.b < r.cut GROUP BY h.lang
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (the multilingual-corpus
+    alpha-sampling step: rare languages keep a higher fraction so the
+    mixture flattens toward p^alpha with alpha = 0.5). Each language's
+    keep rate is computed FROM the corpus — ``min(1, tau * sqrt(N/n_l))``
+    — so the operator is self-tuning, and membership stays
+    content-addressed (md5 bucket < floor(65536 * rate)): a rate change
+    moves only the marginal band of documents.
+
+    Determinism note: the rate is sqrt/mul/min/floor of exact integer
+    ratios — every step is a correctly-rounded IEEE scalar op with NO
+    multi-term float summation, so both engines compute bit-identical
+    cuts. Plan: one tiny lang-count aggregate broadcast back onto the
+    corpus, a row-local filter, then the audit aggregate — the corpus
+    itself shuffles once (final group) at most."""
+    d = load_tables(spark, sf_dir)["documents"]
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n",
+        F.floor(
+            65536
+            * F.least(
+                F.lit(1.0).cast("double"),
+                0.35
+                * F.sqrt(F.col("total").cast("double") / F.col("n").cast("double")),
+            )
+        )
+        .cast("bigint")
+        .alias("cut"),
+    )
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", b.alias("b"))
+        .join(F.broadcast(rates), "lang")
+        .where(F.col("b") < F.col("cut"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orig"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.max("cut").alias("keep_cut"),
+        )
+    )
