@@ -84,6 +84,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp = sub.add_parser("verify-backup", help="checksum-verify a backup dir")
     sp.add_argument("src")
 
+    sp = sub.add_parser("serve", help="serve --data over the Postgres wire protocol")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=5432)
+
     args = p.parse_args(argv)
 
     if spark is None:
@@ -143,6 +147,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         ok = BackupManager.verify(args.src)
         print(json.dumps({"ok": ok}))
         return 0 if ok else 1
+    elif args.cmd == "serve":
+        from driftdb_spark.server import PgWireServer
+
+        srv = PgWireServer(sess, host=args.host, port=args.port).start()
+        print(json.dumps({"ok": True, "address": list(srv.address)}), flush=True)
+        srv._thread.join()  # serve until interrupted
     return 0
 
 
