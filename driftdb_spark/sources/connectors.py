@@ -18,6 +18,7 @@ the engine's conventions on top of it:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _READABLE = {"parquet", "csv", "json", "orc"}
 
@@ -111,3 +112,56 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_encrypted(
+    df: DataFrame,
+    path: str,
+    key: str,
+    columns: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Column-level encryption at rest (reference encryption.rs encrypts
+    storage pages; Spark-first, sensitive COLUMNS encrypt instead —
+    the parquet file is unreadable for those fields without the key,
+    while non-sensitive columns stay queryable/pushdown-able in place).
+
+    Uses Spark's built-in ``aes_encrypt`` (AES-GCM, random IV per value,
+    JVM-side — no Python in the path). The key must be 16/24/32 bytes.
+    Encrypted columns land as binary; everything else is untouched.
+    """
+    cols = []
+    for c in df.columns:
+        if c in columns:
+            cols.append(
+                F.expr(
+                    f"aes_encrypt(cast({c} as string), '{key}', 'GCM')"
+                ).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    df.select(*cols).write.mode(mode).parquet(path)
+
+
+def read_encrypted(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    encrypted_cols: dict[str, str],
+) -> DataFrame:
+    """Read + decrypt columns written by :func:`write_encrypted`;
+    ``encrypted_cols`` maps column -> original type to restore. A wrong
+    key fails decryption (GCM authenticates) rather than yielding
+    garbage."""
+    df = spark.read.parquet(path)
+    cols = []
+    for c in df.columns:
+        if c in encrypted_cols:
+            cols.append(
+                F.expr(f"cast(aes_decrypt({c}, '{key}', 'GCM') as string)")
+                .cast(encrypted_cols[c])
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)

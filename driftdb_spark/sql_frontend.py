@@ -107,6 +107,8 @@ class DriftSession:
         self.procedures = ProcedureRegistry(self)
         self.rls = RlsManager()
         self._security = None  # None = embedded-engine owner (RLS bypass)
+        self._query_log: list[dict] = []
+        self._sql_depth = 0  # only top-level statements are logged
         self._load_catalog()
 
     def set_security_context(self, username: str | None, roles=None, superuser=False):
@@ -239,7 +241,59 @@ class DriftSession:
         sql_bridge.rs:183-226): a dict binds named ``:name`` markers, a
         list binds positional ``?`` markers — Spark's native parameter
         binding, so values never interpolate into the SQL text.
+
+        Every top-level statement is recorded in the session query log
+        (reference SlowQueryLogger, driftdb-server slow_query_log.rs:
+        45-244) — see :meth:`query_log` / :meth:`slow_queries`. DML and
+        maintenance statements execute eagerly, so their wall time is
+        end-to-end; a SELECT returns a lazy DataFrame, so its entry
+        measures dispatch + planning (execution happens at the caller's
+        action, which the engine cannot see from here).
         """
+        import time as _time
+
+        self._sql_depth += 1
+        t0 = _time.perf_counter()
+        err = None
+        try:
+            return self._sql_impl(query, args)
+        except Exception as exc:
+            err = f"{type(exc).__name__}: {exc}"
+            raise
+        finally:
+            self._sql_depth -= 1
+            if self._sql_depth == 0:
+                self._query_log.append(
+                    {
+                        "statement": query.strip(),
+                        "wall_ms": round((_time.perf_counter() - t0) * 1000, 3),
+                        "actor": self._security.username if self._security else None,
+                        "error": err,
+                    }
+                )
+                if len(self._query_log) > 2000:
+                    del self._query_log[:1000]
+
+    def query_log(self) -> DataFrame:
+        """The session's statement log as a DataFrame."""
+        schema = "statement string, wall_ms double, actor string, error string"
+        if not self._query_log:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(self._query_log, schema)
+
+    def slow_queries(self, min_ms: float = 100.0) -> DataFrame:
+        """Statements slower than the threshold, slowest first (reference
+        get_recent_queries + threshold config)."""
+        from pyspark.sql import functions as F
+
+        return self.query_log().filter(F.col("wall_ms") >= min_ms).orderBy(
+            F.col("wall_ms").desc()
+        )
+
+    def clear_query_log(self) -> None:
+        self._query_log.clear()
+
+    def _sql_impl(self, query: str, args=None) -> DataFrame | int:
         stripped = query.strip().rstrip(";").strip()
         # PostgreSQL-style aborted-transaction gate, covering every
         # statement uniformly (reference sql_bridge.rs:335-346): after a
