@@ -959,3 +959,75 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return m.select("l_returnflag", F.round(corr, 9).alias("corr_qty_price"))
+
+
+@register(
+    "events_rolling_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, ts,
+             CAST(value AS DECIMAL(12,4)) AS x,
+             COUNT(*) OVER fr AS n,
+             SUM(CAST(value AS DECIMAL(12,4))) OVER fr AS sx,
+             SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)))
+               OVER fr AS sxx
+      FROM events
+      WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           CAST(x AS DOUBLE) AS value,
+           ROUND((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (n - 1))), 6) AS zscore
+    FROM w
+    WHERE n >= 10
+      AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      AND ABS((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+              / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (n - 1)))) >= 2.5
+    """,
+    tags=("events", "window"),
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection on the event stream: each event's
+    value is scored against the PRECEDING 20 events of its type (rolling
+    mean/std, trailing frame only — no lookahead leak), and events beyond
+    |z| >= 2.5 surface as anomalies. The moments accumulate as exact
+    decimals inside the window frame (the ``agg_corr_exact`` discipline:
+    order-independent sums, a fixed handful of double ops at the end,
+    ROUND to absorb sqrt/divide ulp), so the anomaly SET is value-exact
+    cross-engine — which a built-in streaming stddev over doubles cannot
+    promise. One exchange on event_type; the frame is O(20) per row."""
+    ev = load_tables(spark, sf_dir)["events"]
+    x = F.col("value").cast("decimal(12,4)")
+    fr = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "event_type",
+        x.alias("x"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum(x).over(fr).alias("sx"),
+        F.sum(x * x).over(fr).alias("sxx"),
+    )
+    n = F.col("n")
+    xd, sx, sxx = (
+        F.col("x").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    var_num = n * sxx - sx * sx
+    z = (xd - sx / n) / F.sqrt(var_num / (n.cast("double") * (n - 1)))
+    return (
+        w.filter((n >= 10) & (var_num > 0) & (F.abs(z) >= 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            xd.alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
