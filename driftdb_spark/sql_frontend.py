@@ -342,6 +342,16 @@ class DriftSession:
         r"^CREATE\s+TABLE\s+(\w+)\s*\((.*)\)$",
         _re.IGNORECASE | _re.DOTALL,
     )
+    _CTAS_RE = _re.compile(
+        r"^CREATE\s+TABLE\s+(\w+)\s+AS\s+((?:SELECT|WITH)\b.*)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _ON_CONFLICT_RE = _re.compile(
+        r"\s+ON\s+CONFLICT\s+DO\s+(NOTHING|UPDATE)$", _re.IGNORECASE
+    )
+    _DROP_COLUMN_RE = _re.compile(
+        r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$", _re.IGNORECASE
+    )
 
     _EXPLAIN_RE = _re.compile(r"^EXPLAIN\s+(.*)$", _re.IGNORECASE | _re.DOTALL)
     _ALTER_RE = _re.compile(
@@ -647,12 +657,45 @@ class DriftSession:
             # engine's analog of the reference's secondary indexes
             # (SURVEY §2.9 mapping; engine.rs:662-712 builds real ones).
             return 0
+        m = self._DROP_COLUMN_RE.match(q)
+        if m and m.group(1) in self._tables:
+            # Event-sourced DROP COLUMN is pure schema deregistration:
+            # history keeps the payloads (FOR SYSTEM_TIME ALL still shows
+            # them), current reads stop projecting the column — the
+            # mirror image of ALTER ADD COLUMN's NULL-projection.
+            log, schema_cols = self._tables[m.group(1)]
+            if m.group(2) == log.pk_col:
+                raise ValueError("cannot drop the primary key column")
+            if m.group(2) not in schema_cols:
+                raise KeyError(f"no such column: {m.group(2)}")
+            del schema_cols[m.group(2)]
+            self._save_catalog()
+            return 0
         m = self._CREATE_RE.match(q)
         if m:
             return self._sql_create_table(m.group(1), m.group(2))
-        m = self._INSERT_RE.match(q)
+        m = self._CTAS_RE.match(q)
+        if m:
+            # CREATE TABLE AS SELECT: schema inferred from the query
+            # result, PK defaults to the first column (the reference's
+            # CREATE TABLE default), rows land through the normal
+            # PK-checked insert.
+            name, select_sql = m.group(1), m.group(2)
+            if name in self._tables:
+                raise ValueError(f"table {name} already exists")
+            df = self.sql(select_sql)
+            cols = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            self.create_table(name, cols)
+            return self._tables[name][0].insert(df)
+        conflict = None
+        mc = self._ON_CONFLICT_RE.search(q)
+        if mc:
+            conflict, q_ins = mc.group(1).upper(), q[: mc.start()].strip()
+        else:
+            q_ins = q
+        m = self._INSERT_RE.match(q_ins)
         if m and m.group(1) in self._tables:
-            return self._sql_insert(m.group(1), m.group(2), m.group(3))
+            return self._sql_insert(m.group(1), m.group(2), m.group(3), conflict)
         m = self._UPDATE_RE.match(q)
         if m and m.group(1) in self._tables:
             log, schema_cols = self._tables[m.group(1)]
@@ -807,7 +850,9 @@ class DriftSession:
             self.add_foreign_key(name, child_col, parent, parent_col, on_delete=action)
         return 0
 
-    def _sql_insert(self, table: str, col_list: str | None, tail: str) -> int:
+    def _sql_insert(
+        self, table: str, col_list: str | None, tail: str, conflict: str | None = None
+    ) -> int:
         from pyspark.sql import functions as F
 
         log, schema_cols = self._tables[table]
@@ -830,6 +875,25 @@ class DriftSession:
         typed = rows.select(
             *[F.col(c).cast(schema_cols[c]).alias(c) for c in cols]
         )
+        if conflict is not None:
+            # PostgreSQL upsert surface. DO NOTHING drops rows whose PK is
+            # already live (anti-join); DO UPDATE is last-writer-wins full
+            # row replacement (an Insert event superseding the old one —
+            # time travel keeps both versions).
+            if self._active_txn is not None:
+                raise ValueError(
+                    "ON CONFLICT is not supported inside a transaction block"
+                )
+            self._rls_check_insert(table, typed)
+            self._fk_check_rows(table, typed)
+            if conflict == "NOTHING":
+                fresh = typed.join(
+                    log.state_at().select("pk"),
+                    typed[log.pk_col].cast("string") == F.col("pk"),
+                    "left_anti",
+                )
+                return log.insert(fresh)
+            return log.upsert(typed)
         if self._active_txn is not None:
             return self._txn_stmt(lambda: self._txn_insert(table, typed))
         return self.insert_checked(table, typed)
@@ -885,10 +949,14 @@ class DriftSession:
         exist in the parent's current state. The check is one anti-join per
         FK — distributed, no driver-side row loop (reference validates
         row-at-a-time, fk.rs:73-150)."""
-        from pyspark.sql import functions as F
-
         log, _ = self._tables[table]
         self._rls_check_insert(table, rows)
+        self._fk_check_rows(table, rows)
+        return log.insert(rows)
+
+    def _fk_check_rows(self, table: str, rows: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
         for child, child_col, parent, parent_col, _action in self._fks:
             if child != table:
                 continue
@@ -905,7 +973,6 @@ class DriftSession:
                 raise ValueError(
                     f"FK violation: {table}.{child_col} -> {parent}.{parent_col}"
                 )
-        return log.insert(rows)
 
     def delete_checked(self, table: str, condition: str) -> int:
         """DELETE with FK enforcement on children: RESTRICT refuses if any

@@ -367,3 +367,41 @@ def test_create_table_registers_fks_from_sql(spark, tmp_path):
         sess.delete_checked("dept", "did = 1")
     sess.delete_checked("emp", "eid = 10")
     assert sess.sql("SELECT * FROM emp").count() == 0  # 11 cascaded via mgr
+
+
+def test_ctas_on_conflict_drop_column(spark, tmp_path):
+    """CTAS infers schema from the query; ON CONFLICT DO NOTHING/UPDATE is
+    the PostgreSQL upsert surface; DROP COLUMN deregisters the column while
+    history keeps the payloads (mirror of ADD COLUMN's NULL projection)."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE items (iid INT PRIMARY KEY, name STRING, qty INT)")
+    s.sql("INSERT INTO items VALUES (1, 'bolt', 5), (2, 'nut', 9)")
+
+    # CTAS: derived table with inferred schema, PK = first column
+    s.sql("CREATE TABLE big AS SELECT iid, qty * 10 AS bigqty FROM items WHERE qty > 4")
+    rows = {(r.iid, r.bigqty) for r in s.sql("SELECT iid, bigqty FROM big").collect()}
+    assert rows == {(1, 50), (2, 90)}
+    assert s._tables["big"][1] == {"iid": "int", "bigqty": "int"}
+    with pytest.raises(ValueError, match="already exists"):
+        s.sql("CREATE TABLE big AS SELECT 1 AS x")
+
+    # ON CONFLICT DO NOTHING: existing key skipped, new key lands
+    s.sql("INSERT INTO items VALUES (1, 'dup', 0), (3, 'gear', 2) ON CONFLICT DO NOTHING")
+    cur = {(r.iid, r.name, r.qty) for r in s.sql("SELECT * FROM items").collect()}
+    assert cur == {(1, "bolt", 5), (2, "nut", 9), (3, "gear", 2)}
+
+    # ON CONFLICT DO UPDATE: last-writer-wins full-row replace
+    s.sql("INSERT INTO items VALUES (1, 'bolt-v2', 50) ON CONFLICT DO UPDATE")
+    assert s.sql("SELECT qty FROM items WHERE iid = 1").first()["qty"] == 50
+    # time travel still shows the original row
+    assert (
+        s.sql("SELECT qty FROM items WHERE iid = 1 FOR SYSTEM_TIME AS OF @SEQ:2").first()["qty"]
+        == 5
+    )
+
+    # DROP COLUMN: schema-only; history intact
+    s.sql("ALTER TABLE items DROP COLUMN name")
+    assert "name" not in s.sql("SELECT * FROM items").columns
+    assert s.sql("SELECT * FROM items FOR SYSTEM_TIME ALL").count() > 0
+    with pytest.raises(ValueError, match="primary key"):
+        s.sql("ALTER TABLE items DROP COLUMN iid")
