@@ -1031,3 +1031,53 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    """,
+    tags=("events", "window"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered (previous event, next event) pair, the count and the
+    conditional probability P(next | previous). The per-user ordering is
+    one user-keyed window (LAG), transitions aggregate with map-side
+    partials, and the row-normalization is a tiny window over the K×K
+    matrix itself — at 100 TB the only data-sized exchange is the user
+    key, which sessionize/funnel/retention already share, so this composes
+    into their existing partitioning. Probabilities are divisions of
+    exact counts (IEEE-deterministic), rounded for the ulp."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )

@@ -319,3 +319,73 @@ def idempotent_parquet_sink(out_dir: str):
         df.write.mode("overwrite").parquet(target)
 
     return write
+
+
+ZSCORE_SCHEMA = "event_id long, event_type string, value double, zscore double"
+ZSCORE_STATE = "tail array<double>"
+
+
+def stateful_rolling_zscore(
+    events: DataFrame,
+    window: int = 20,
+    min_n: int = 10,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Streaming twin of the batch ``events_rolling_zscore`` operator:
+    per event type, each arriving value is scored against the TRAILING
+    ``window`` values (state carried across micro-batches via
+    ``applyInPandasWithState``), and |z| >= threshold rows emit as
+    anomalies. State per key is a bounded array of the last ``window``
+    values — O(window) per key regardless of stream length, sharded by
+    the event_type shuffle (RocksDB state store on a real cluster).
+
+    Ordering contract: rows are processed in (ts, event_id) order within
+    each micro-batch; the source must deliver micro-batches in
+    non-decreasing ts order per key (true for the append-only event log
+    with ordered file publication) for stream ≡ batch parity — the
+    parity pytest pins it against the registered batch operator."""
+    import math
+
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        tail: list[float] = list(state.get[0]) if state.exists else []
+        out_ids, out_vals, out_z = [], [], []
+        batch = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for eid, val in zip(batch["event_id"], batch["value"]):
+                x = float(val)
+                n = len(tail)
+                if n >= min_n:
+                    sx = math.fsum(tail)
+                    sxx = math.fsum(v * v for v in tail)
+                    var_num = n * sxx - sx * sx
+                    if var_num > 0:
+                        z = (x - sx / n) / math.sqrt(var_num / (n * (n - 1)))
+                        if abs(z) >= threshold:
+                            out_ids.append(int(eid))
+                            out_vals.append(x)
+                            out_z.append(round(z, 6))
+                tail.append(x)
+                if len(tail) > window:
+                    del tail[: len(tail) - window]
+        state.update((tail,))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_ids, dtype="int64"),
+                "event_type": pd.Series([key[0]] * len(out_ids), dtype="object"),
+                "value": pd.Series(out_vals, dtype="float64"),
+                "zscore": pd.Series(out_z, dtype="float64"),
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        ZSCORE_SCHEMA,
+        ZSCORE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -501,3 +501,48 @@ def test_interval_outer_join_stream_equals_batch(spark, tmp_path):
     }
     assert got_null_views <= batch_null_views
     assert (batch_null_views & provable) <= got_null_views
+
+
+def test_stateful_rolling_zscore_stream_equals_batch(spark, tmp_path):
+    """Stream ≡ batch parity for the anomaly detector: the stateful
+    streaming operator over two time-ordered micro-batches must flag the
+    same events as the registered batch window operator."""
+    from driftdb_spark.registry import QUERIES, query_map
+    from driftdb_spark.streaming.ingest import stateful_rolling_zscore
+
+    query_map()
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "evstream")
+    # two time-ordered files → two micro-batches (events are ts-ordered by
+    # event_id in the testdata generator; split preserves per-key ts order)
+    ev.filter(F.col("event_id") <= cut).coalesce(1).write.parquet(f"{src}/f1")
+    ev.filter(F.col("event_id") > cut).coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stateful_rolling_zscore(stream)
+        .writeStream.format("memory")
+        .queryName("zscore_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_z"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_id: r.zscore for r in spark.sql("SELECT * FROM zscore_stream").collect()
+    }
+    want = {
+        r.event_id: r.zscore
+        for r in QUERIES["events_rolling_zscore"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-5 for k in want)
+    assert len(want) > 0  # the parity is over a non-trivial anomaly set
