@@ -67,6 +67,7 @@ HEADLINE = [
     "sim_kmeans_lloyd",
     "dedup_substring_spans",
     "text_chunk_overlap",
+    "text_bpe_learn_merges",
 ]
 
 N_WARMUP = 2
@@ -78,7 +79,11 @@ N_REPEATS = 3
 # 0.05 s for connected components — nonsense). They are timed with a
 # fresh build per pass, cache cleared first, so every pass pays the full
 # iterative computation.
-ITERATIVE = {"dedup_cluster_components", "graph_pagerank_nations"}
+ITERATIVE = {
+    "dedup_cluster_components",
+    "graph_pagerank_nations",
+    "text_bpe_learn_merges",
+}
 
 
 def _materialize(df) -> None:

@@ -725,3 +725,116 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("stop").cast("bigint").alias("span_end"),
         (F.max("stop") - F.min("start") + 1).cast("bigint").alias("span_tokens"),
     ).drop("island")
+
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle() -> str:
+    prelude = """
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w)
+      WHERE length(w) > 0
+      GROUP BY w
+    ),
+    r0 AS (
+      SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS repr, cnt
+      FROM words
+    )"""
+    rounds = []
+    for k in range(_BPE_ROUNDS):
+        rounds.append(f""",
+    p{k} AS (
+      SELECT t[i] || ' ' || t[i+1] AS pair, SUM(cnt) AS pcnt
+      FROM (SELECT string_split(trim(repr), ' ') AS t, cnt FROM r{k}),
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+      GROUP BY 1
+    ),
+    b{k} AS (
+      SELECT pair, pcnt FROM p{k} ORDER BY pcnt DESC, pair LIMIT 1
+    ),
+    r{k + 1} AS (
+      SELECT replace(repr, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS repr, cnt
+      FROM r{k}, b{k} b
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS round, pair, "
+        f"CAST(pcnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(_BPE_ROUNDS)
+    )
+    return prelude + "".join(rounds) + f" SELECT * FROM ({union})"
+
+
+@register("text_bpe_learn_merges", oracle=_bpe_oracle(), tags=("text", "pipeline", "iterative"))
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learning — the actual tokenizer-training inner loop,
+    declarative: each round counts adjacent-symbol pairs over the corpus
+    word distribution (weighted by word frequency) and merges the most
+    frequent pair everywhere (greedy leftmost-first, the textbook BPE
+    semantics, which is exactly what non-overlapping string REPLACE
+    implements on the space-separated symbol representation). Both
+    engines learn the merge TRAJECTORY — pair chosen and its count, five
+    rounds — value-for-value.
+
+    Plan shape per round: the word distribution is a one-exchange
+    aggregate computed once (cached); pair counting is explode + one
+    pair-keyed exchange with map-side partials; the chosen pair is ONE
+    aggregated row collected to the driver (the connected-components
+    convergence-scalar pattern — the merge decision is inherently
+    sequential, everything data-sized stays distributed). Ties break
+    lexicographically on both engines."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("repr"),
+        "cnt",
+    ).persist()
+    merges = []
+    try:
+        for k in range(_BPE_ROUNDS):
+            t = "split(trim(repr), ' ')"
+            pairs = cur.select(
+                F.explode(
+                    # guard: Spark's sequence(1, 0) DESCENDS for
+                    # single-symbol words; DuckDB's generate_series is
+                    # empty there — make both empty explicitly
+                    F.expr(
+                        f"CASE WHEN size({t}) < 2 THEN array() "
+                        f"ELSE transform(sequence(1, size({t}) - 1), "
+                        f"i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1))) END"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("cnt").alias("pcnt"))
+                .orderBy(F.col("pcnt").desc(), F.col("pair"))
+                .limit(1)
+                .first()
+            )
+            merges.append((k + 1, best["pair"], int(best["pcnt"])))
+            nxt = cur.withColumn(
+                "repr",
+                F.replace(
+                    F.col("repr"),
+                    F.lit(f" {best['pair']} "),
+                    F.lit(" " + best["pair"].replace(" ", "") + " "),
+                ),
+            ).persist()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(merges, "round bigint, pair string, pair_count bigint")
