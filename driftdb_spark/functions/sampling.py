@@ -439,3 +439,94 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cut").alias("keep_cut"),
         )
     )
+
+
+@register(
+    "sample_importance_dsir",
+    oracle="""
+    WITH big AS (
+      SELECT doc_id,
+             CAST(SUBSTR(source, 4) AS INTEGER) >= 10
+               AND CAST(SUBSTR(source, 4) AS INTEGER) < 15 AS is_target,
+             UNNEST(list_transform(range(1, length(lower(text))),
+                    i -> substr(lower(text), i, 2))) AS bg
+      FROM documents WHERE length(text) >= 2
+    ),
+    model AS (
+      SELECT bg,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cs
+      FROM big GROUP BY bg
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM model),
+    ratio AS (
+      SELECT bg,
+             CAST(ROUND(LN(((ct + 0.5) * ts) / ((cs + 0.5) * tt)), 6)
+                  AS DECIMAL(12,6)) AS lr
+      FROM model, tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_feats,
+           CAST(SUM(lr) AS DOUBLE) AS log_weight
+    FROM big JOIN ratio USING (bg)
+    GROUP BY doc_id
+    ORDER BY log_weight DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR-style): score every
+    document by how much more likely its hashed n-gram features are under
+    the TARGET distribution (here the 'books' domain) than under the raw
+    corpus, then keep the top-k. The per-feature log ratio
+    ln(p_target(f)/p_raw(f)) — Laplace-smoothed so unseen features stay
+    finite — is computed ONCE per feature, rounded, and summed per
+    document as an exact decimal, so ranking is bit-stable cross-engine
+    (a raw double sum over a variable-length feature bag is not).
+
+    Plan shape: one bigram explode feeds a vocabulary-sized model
+    aggregate; the (feature -> log-ratio) table broadcasts back onto the
+    feature stream; the corpus shuffles once on doc_id for the weight
+    sum; TakeOrderedAndProject cuts the top-k. At 100 TB the model stays
+    broadcast-size (|charset|^2) and everything else is the same two
+    exchanges."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.length("text") >= 2)
+    idx = F.expr("substring(source, 4)").cast("int")
+    big = d.select(
+        "doc_id",
+        ((idx >= 10) & (idx < 15)).alias("is_target"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 1), "
+                "i -> substring(lower(text), i, 2))"
+            )
+        ).alias("bg"),
+    )
+    model = big.groupBy("bg").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cs"),
+    )
+    tot = model.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
+    ratio = model.crossJoin(F.broadcast(tot)).select(
+        "bg",
+        F.round(
+            F.log(
+                ((F.col("ct") + 0.5) * F.col("ts"))
+                / ((F.col("cs") + 0.5) * F.col("tt"))
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("lr"),
+    )
+    return (
+        big.join(F.broadcast(ratio), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr").cast("double").alias("log_weight"),
+        )
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(100)
+    )
