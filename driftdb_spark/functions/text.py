@@ -500,14 +500,24 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc average. At 100 TB the seed slice is the same hash filter and
     the model is still broadcast-size (|charset|²)."""
     d = load_tables(spark, sf_dir)["documents"]
-    big = d.filter(F.length("text") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(lower(text)) - 1), "
-                "i -> substring(lower(text), i, 2))"
-            )
-        ).alias("bg"),
+    # repartition before the explode (a tiny source file is one input
+    # split — the O(chars) generate must not run on one core) and hoist
+    # lower(text) out of the lambda (referenced inside, it re-lowercases
+    # the whole doc per element: O(len^2)) — the sample_importance_dsir
+    # scaling fix, same shape.
+    big = (
+        d.filter(F.length("text") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.lower(F.col("text")).alias("lt"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(lt) - 1), "
+                    "i -> substring(lt, i, 2))"
+                )
+            ).alias("bg"),
+        )
     )
     model = (
         big.filter(F.expr(_LM_SEED_SPARK))
@@ -786,6 +796,10 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential, everything data-sized stays distributed). Ties break
     lexicographically on both engines."""
     d = load_tables(spark, sf_dir)["documents"]
+    # NOTE: no repartition here, unlike the other document explodes — the
+    # rounds operate on the VOCAB (small), so fanning the initial word
+    # explode to 32 partitions only multiplies per-round task overhead
+    # (A/B at sf0.1: 2.2 s without vs 3.9 s with).
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") > 0)
@@ -803,16 +817,21 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = []
     try:
         for k in range(_BPE_ROUNDS):
-            t = "split(trim(repr), ' ')"
             pairs = cur.select(
+                # hoist the symbol array to a column: referenced inside
+                # the lambda, split(trim(repr)) would re-split the whole
+                # word per element (O(len^2))
+                F.split(F.trim(F.col("repr")), " ").alias("t"),
+                "cnt",
+            ).select(
                 F.explode(
                     # guard: Spark's sequence(1, 0) DESCENDS for
                     # single-symbol words; DuckDB's generate_series is
                     # empty there — make both empty explicitly
                     F.expr(
-                        f"CASE WHEN size({t}) < 2 THEN array() "
-                        f"ELSE transform(sequence(1, size({t}) - 1), "
-                        f"i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1))) END"
+                        "CASE WHEN size(t) < 2 THEN array() "
+                        "ELSE transform(sequence(1, size(t) - 1), "
+                        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"
                     )
                 ).alias("pair"),
                 "cnt",
