@@ -797,3 +797,91 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cluster_size"),
     )
+
+
+@register(
+    "sim_hard_negatives",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    anchors AS (SELECT vec_id AS aid, label AS alabel, e AS ae, nrm AS anrm
+                FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT a.aid, v.vec_id, v.label = a.alabel AS same_label,
+             ROUND(list_dot_product(v.e, a.ae) / (v.nrm * a.anrm), 6) AS cos_sim
+      FROM v, anchors a WHERE v.vec_id <> a.aid
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY aid, same_label
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT aid AS anchor_id, vec_id, cos_sim,
+           CASE WHEN same_label THEN 'positive' ELSE 'hard_negative' END AS role,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked
+    WHERE (same_label AND rnk <= 1) OR (NOT same_label AND rnk <= 3)
+    """,
+    tags=("similarity", "pipeline"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each anchor,
+    the top same-label neighbor (positive) and the top-3 most-similar
+    DIFFERENT-label vectors (hard negatives — the pairs that actually
+    move a contrastive loss). Anchors broadcast onto the corpus (zero
+    corpus shuffle for scoring, the cosine-top-k pattern), one
+    (anchor, label-match) window ranks the candidates. Cosines round to
+    6 before ranking with vec_id tie-breaks, so the mined pair set is
+    value-exact cross-engine. At scale, anchors stream through in
+    broadcast-sized batches and the ranking stays per-anchor."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    from pyspark.sql.window import Window as W
+
+    v = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dots("embedding", "embedding")).alias("nrm"),
+    )
+    anchors = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("ae"),
+        F.col("nrm").alias("anrm"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            "vec_id",
+            (F.col("label") == F.col("alabel")).alias("same_label"),
+            F.round(
+                _dots("embedding", "ae") / (F.col("nrm") * F.col("anrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("aid", "same_label").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.filter(
+            (F.col("same_label") & (F.col("rnk") <= 1))
+            | (~F.col("same_label") & (F.col("rnk") <= 3))
+        )
+        .select(
+            F.col("aid").alias("anchor_id"),
+            "vec_id",
+            "cos_sim",
+            F.when(F.col("same_label"), "positive")
+            .otherwise("hard_negative")
+            .alias("role"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
