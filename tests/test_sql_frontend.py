@@ -405,3 +405,34 @@ def test_ctas_on_conflict_drop_column(spark, tmp_path):
     assert s.sql("SELECT * FROM items FOR SYSTEM_TIME ALL").count() > 0
     with pytest.raises(ValueError, match="primary key"):
         s.sql("ALTER TABLE items DROP COLUMN iid")
+
+
+def test_temporal_clause_spans_joins(spark, tmp_path):
+    """FOR SYSTEM_TIME applies to EVERY event-backed table in the query,
+    joins included (reference sql_bridge.rs:1316-1321): a timestamp
+    target resolves each table to its own state at that wall-clock
+    instant, so the join is a consistent cross-table snapshot."""
+    import datetime
+    import time
+
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE dept (d int PRIMARY KEY, dname string)")
+    s.sql("CREATE TABLE emp (e int PRIMARY KEY, d int, ename string)")
+    s.sql("INSERT INTO dept VALUES (1, 'eng')")
+    s.sql("INSERT INTO emp VALUES (10, 1, 'ada')")
+    time.sleep(1.2)
+    cut = datetime.datetime.now()
+    time.sleep(1.2)
+    s.sql("UPDATE dept SET dname = 'platform' WHERE d = 1")
+    s.sql("INSERT INTO emp VALUES (11, 1, 'bob')")
+    # current join: renamed dept, two employees
+    cur = s.sql(
+        "SELECT e.ename, d.dname FROM emp e JOIN dept d ON e.d = d.d"
+    ).collect()
+    assert {(r.ename, r.dname) for r in cur} == {("ada", "platform"), ("bob", "platform")}
+    # as-of join: BOTH tables at the cut — old name, one employee
+    old = s.sql(
+        "SELECT e.ename, d.dname FROM emp e JOIN dept d ON e.d = d.d "
+        f"FOR SYSTEM_TIME AS OF '{cut.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    ).collect()
+    assert {(r.ename, r.dname) for r in old} == {("ada", "eng")}
