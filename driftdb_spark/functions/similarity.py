@@ -885,3 +885,82 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@register(
+    "sim_retrieval_metrics",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    anchors AS (SELECT vec_id AS aid, label AS alabel, e AS ae, nrm AS anrm
+                FROM v WHERE vec_id < 8),
+    ranked AS (
+      SELECT a.aid, a.alabel, v.label,
+             ROW_NUMBER() OVER (PARTITION BY a.aid ORDER BY
+               ROUND(list_dot_product(v.e, a.ae) / (v.nrm * a.anrm), 6) DESC,
+               v.vec_id) AS rnk
+      FROM v, anchors a WHERE v.vec_id <> a.aid
+    )
+    SELECT aid AS anchor_id, MAX(alabel) AS label,
+           CAST(SUM(CASE WHEN label = alabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_10,
+           ROUND(SUM(CASE WHEN label = alabel THEN 1.0 ELSE 0.0 END) / 10.0, 6)
+             AS precision_at_10,
+           ROUND(COALESCE(MAX(CASE WHEN label = alabel
+                 THEN 1.0 / rnk END), 0.0), 6) AS reciprocal_rank
+    FROM ranked WHERE rnk <= 10 GROUP BY aid
+    """,
+    tags=("similarity", "pipeline"),
+)
+def sim_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation — precision@10 and MRR per anchor, with
+    same-label as the relevance oracle. This is the measurement loop any
+    embedding-pipeline change (quantization, ANN indexing, dedup) is
+    judged by, expressed as the same broadcast-anchor scoring pass as
+    the mining/top-k operators plus one per-anchor ranking window; the
+    metric arithmetic is exact ratios of small integers (1/rnk, hits/10),
+    so values hash-match cross-engine."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dots("embedding", "embedding")).alias("nrm"),
+    )
+    anchors = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("ae"),
+        F.col("nrm").alias("anrm"),
+    )
+    cos = F.round(_dots("embedding", "ae") / (F.col("nrm") * F.col("anrm")), 6)
+    ranked = (
+        v.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select("aid", "alabel", "label", cos.alias("cos_sim"), "vec_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("aid").orderBy(F.col("cos_sim").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+    rel = F.col("label") == F.col("alabel")
+    return ranked.groupBy(F.col("aid").alias("anchor_id")).agg(
+        F.max("alabel").alias("label"),
+        F.sum(F.when(rel, 1).otherwise(0)).cast("bigint").alias("hits_at_10"),
+        F.round(F.sum(F.when(rel, 1.0).otherwise(0.0)) / 10.0, 6).alias(
+            "precision_at_10"
+        ),
+        F.round(
+            F.coalesce(F.max(F.when(rel, 1.0 / F.col("rnk"))), F.lit(0.0)), 6
+        ).alias("reciprocal_rank"),
+    )
