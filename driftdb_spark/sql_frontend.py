@@ -50,6 +50,11 @@ def _split_top_level(s: str) -> list[str]:
     return [p for p in (x.strip() for x in parts) if p]
 
 
+class QueryCancelled(RuntimeError):
+    """A statement exceeded its timeout and its Spark job group was
+    cancelled (reference query_cancellation.rs)."""
+
+
 def _extract_clause(text: str, keyword: str) -> str | None:
     """Extract the balanced-paren expression after ``keyword (`` — e.g.
     ``USING (f(x) = 1)`` → ``f(x) = 1`` (regex can't balance parens)."""
@@ -292,6 +297,46 @@ class DriftSession:
 
     def clear_query_log(self) -> None:
         self._query_log.clear()
+
+    def sql_with_timeout(self, query: str, timeout_sec: float, args=None):
+        """Execute a statement with a wall-clock budget (reference
+        query_cancellation.rs: cooperative cancellation checked during
+        execution; Spark's native form is job-group cancellation, which
+        interrupts running tasks). The statement executes EAGERLY — a
+        SELECT returns its collected rows — because a lazy DataFrame
+        could not be covered by the budget. On expiry every job in the
+        statement's group is cancelled and :class:`QueryCancelled`
+        raises; partial work is discarded (reads are side-effect-free
+        and DML publishes atomically at the end, so a cancelled write
+        publishes nothing)."""
+        import threading
+        import uuid
+
+        sc = self.spark.sparkContext
+        group = f"drift-timeout-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, query[:100], interruptOnCancel=True)
+        fired = threading.Event()
+
+        def cancel():
+            fired.set()
+            sc.cancelJobGroup(group)
+
+        timer = threading.Timer(timeout_sec, cancel)
+        timer.start()
+        try:
+            out = self.sql(query, args)
+            if isinstance(out, DataFrame):
+                out = out.collect()
+            return out
+        except Exception as exc:
+            if fired.is_set():
+                raise QueryCancelled(
+                    f"statement exceeded {timeout_sec}s and was cancelled"
+                ) from exc
+            raise
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
 
     def _sql_impl(self, query: str, args=None) -> DataFrame | int:
         stripped = query.strip().rstrip(";").strip()

@@ -436,3 +436,29 @@ def test_temporal_clause_spans_joins(spark, tmp_path):
         f"FOR SYSTEM_TIME AS OF '{cut.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     ).collect()
     assert {(r.ename, r.dname) for r in old} == {("ada", "eng")}
+
+
+def test_sql_with_timeout_cancels_runaway_query(spark, tmp_path):
+    """Statement timeout: a runaway query's job group is cancelled at the
+    budget and QueryCancelled raises; the session stays usable
+    (reference query_cancellation.rs)."""
+    import time
+
+    from driftdb_spark.sql_frontend import QueryCancelled
+
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE t (id int PRIMARY KEY)")
+    s.sql("INSERT INTO t VALUES (1)")
+    # fast statement completes inside the budget
+    rows = s.sql_with_timeout("SELECT COUNT(*) AS n FROM t", timeout_sec=60)
+    assert rows[0]["n"] == 1
+    # ~2e11-row cartesian count: minutes of work, cancelled at 1s
+    t0 = time.monotonic()
+    with pytest.raises(QueryCancelled, match="exceeded"):
+        s.sql_with_timeout(
+            "SELECT COUNT(*) AS n FROM range(2000000) a CROSS JOIN range(100000) b",
+            timeout_sec=1.0,
+        )
+    assert time.monotonic() - t0 < 30  # cancelled promptly, not run to completion
+    # session still healthy afterward
+    assert s.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 1
