@@ -298,6 +298,31 @@ class DriftSession:
     def clear_query_log(self) -> None:
         self._query_log.clear()
 
+    def statement_stats(self) -> DataFrame:
+        """Per-verb execution statistics over the query log (reference
+        SlowQueryStatistics, slow_query_log.rs:206-236): count, errors,
+        total/median/p95 wall time."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.query_log()
+            .select(
+                F.upper(F.split(F.col("statement"), r"\s+")[0]).alias("verb"),
+                "wall_ms",
+                "error",
+            )
+            .groupBy("verb")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                    "n_errors"
+                ),
+                F.round(F.sum("wall_ms"), 3).alias("total_ms"),
+                F.round(F.expr("percentile(wall_ms, 0.5)"), 3).alias("p50_ms"),
+                F.round(F.expr("percentile(wall_ms, 0.95)"), 3).alias("p95_ms"),
+            )
+        )
+
     def sql_with_timeout(self, query: str, timeout_sec: float, args=None):
         """Execute a statement with a wall-clock budget (reference
         query_cancellation.rs: cooperative cancellation checked during

@@ -78,3 +78,17 @@ def test_query_log_skips_nested_statements(spark, tmp_path):
     s.sql("CALL fill()")
     stmts = [r.statement for r in s.query_log().collect()]
     assert stmts == ["CALL fill()"]  # inner statements don't double-log
+
+
+def test_statement_stats_per_verb(spark, tmp_path):
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE t (id int PRIMARY KEY)")
+    s.sql("INSERT INTO t VALUES (1)")
+    s.sql("INSERT INTO t VALUES (2)")
+    s.sql("SELECT COUNT(*) AS n FROM t")
+    with pytest.raises(Exception):
+        s.sql("SELECT nope FROM nothing")
+    stats = {r.verb: r for r in s.statement_stats().collect()}
+    assert stats["INSERT"].n == 2 and stats["INSERT"].n_errors == 0
+    assert stats["SELECT"].n == 2 and stats["SELECT"].n_errors == 1
+    assert stats["CREATE"].p95_ms >= stats["CREATE"].p50_ms > 0
