@@ -15,9 +15,12 @@ wire-reachable.
 
 Every value serializes in text format with type OID 25 (text) — the
 protocol-legal lowest common denominator; clients render fine, and it
-sidesteps binary-format type mapping entirely. One session is shared
-across connections (an embedded analytics engine has one owner); a
-multi-tenant deployment would allocate a DriftSession per connection.
+sidesteps binary-format type mapping entirely. Each connection gets its
+OWN DriftSession over the shared storage dir (PostgreSQL's
+backend-per-connection model), so transaction state and SESSION
+AUTHORIZATION are connection-local while committed data is shared; a
+connection opened before another's CREATE TABLE re-reads the catalog on
+its next session construction, exactly like the CLI.
 """
 
 from __future__ import annotations
@@ -122,7 +125,13 @@ class _Handler(socketserver.BaseRequestHandler):
             self._send(_msg(b"I", b""))  # EmptyQueryResponse
             return
         verb = sql.split(None, 1)[0].upper()
-        result = self.server.session.sql(sql)
+        # Statement DISPATCH serializes across connections: sessions share
+        # the SparkSession's temp-view namespace, and _register_states →
+        # spark.sql must not interleave with another connection's (the
+        # analyzed plan binds its views eagerly, so execution after
+        # dispatch is safe to run concurrently).
+        with self.server.exec_lock:
+            result = self.session.sql(sql)
         if isinstance(result, int):
             tag = {
                 "INSERT": f"INSERT 0 {result}",
@@ -142,6 +151,16 @@ class _Handler(socketserver.BaseRequestHandler):
         self._complete(f"SELECT {len(rows)}")
 
     def handle(self) -> None:
+        # Per-connection DriftSession over the SAME storage dir + Spark:
+        # transaction state and SESSION AUTHORIZATION are connection-local
+        # (PostgreSQL semantics — one backend per connection), while the
+        # catalog/storage is shared. Falls back to the server's single
+        # session if it wasn't built from a storage dir.
+        base = self.server.session
+        try:
+            self.session = type(base)(base.spark, base.storage_dir)
+        except Exception:
+            self.session = base
         if not self._startup():
             return
         while True:
@@ -177,6 +196,7 @@ class PgWireServer:
         self._tcp.daemon_threads = True
         self._tcp.allow_reuse_address = True
         self._tcp.session = session
+        self._tcp.exec_lock = threading.Lock()
         self._thread: threading.Thread | None = None
 
     @property

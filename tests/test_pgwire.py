@@ -152,3 +152,23 @@ def test_wire_transactions_and_second_connection(server):
     _c, rows, _t, err = c2.query("SELECT COUNT(*) AS n FROM t")
     assert err is None and rows == [["0"]]
     c2.close()
+
+
+def test_connections_have_isolated_transactions(server):
+    """Backend-per-connection: one connection's open transaction (and its
+    read-your-writes view) is invisible to another; COMMIT publishes."""
+    host, port = server.address
+    a = Client(host, port)
+    a.startup()
+    a.query("CREATE TABLE iso (id INT PRIMARY KEY)")
+    b = Client(host, port)
+    b.startup()
+    a.query("BEGIN")
+    a.query("INSERT INTO iso VALUES (1)")
+    _c, rows_a, _t, _e = a.query("SELECT COUNT(*) AS n FROM iso")
+    _c, rows_b, _t, _e = b.query("SELECT COUNT(*) AS n FROM iso")
+    assert rows_a == [["1"]] and rows_b == [["0"]]  # buffered view is local
+    a.query("COMMIT")
+    _c, rows_b2, _t, _e = b.query("SELECT COUNT(*) AS n FROM iso")
+    assert rows_b2 == [["1"]]
+    a.close(); b.close()
