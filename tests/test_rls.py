@@ -107,3 +107,36 @@ def test_policies_persist_in_catalog(sess, spark, tmp_path):
     third = DriftSession(spark, str(tmp_path))
     third.sql("SET SESSION AUTHORIZATION alice")
     assert third.sql("SELECT COUNT(*) AS n FROM docs").first()["n"] == 0  # default deny
+
+
+def test_rls_applies_through_procedures_and_wire(sess, spark):
+    """RLS composes with the other surfaces: a procedure's DML executes
+    under the CALLER's security context, and a wire connection's
+    SET SESSION AUTHORIZATION gates its own SELECTs."""
+    sess.sql(
+        "CREATE PROCEDURE wipe_mine() AS $$ DELETE FROM docs $$"
+    )
+    sess.sql("SET SESSION AUTHORIZATION alice")
+    sess.sql("CALL wipe_mine()")  # unqualified DELETE, but RLS-scoped
+    sess.sql("RESET SESSION AUTHORIZATION")
+    assert _ids(sess) == {2}  # only bob's row survives
+
+    # over the wire: per-connection authorization
+    from driftdb_spark.server import PgWireServer
+    from tests.test_pgwire import Client
+
+    srv = PgWireServer(sess).start()
+    try:
+        host, port = srv.address
+        a = Client(host, port)
+        a.startup()
+        a.query("SET SESSION AUTHORIZATION bob")
+        _c, rows, _t, _e = a.query("SELECT COUNT(*) AS n FROM docs")
+        assert rows == [["1"]]
+        b = Client(host, port)
+        b.startup()  # no auth set: owner context sees everything
+        _c, rows_b, _t, _e = b.query("SELECT COUNT(*) AS n FROM docs")
+        assert rows_b == [["1"]]
+        a.close(); b.close()
+    finally:
+        srv.stop()
