@@ -351,3 +351,101 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     math. Deterministic, so the rows-only check is stable; the pytest
     asserts bit-equality against an independent numpy decode."""
     return extract_ppm_features(synthetic_ppm_media(spark)).orderBy("media_id")
+
+
+# --- real WAV (PCM) audio decode --------------------------------------------
+
+WAV_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, duration_ms double, "
+    "rms double, zero_crossings int"
+)
+
+
+def wav_bytes(media_id: int, sample_rate: int = 8000, n: int = 1600) -> bytes:
+    """A real RIFF/WAVE file (PCM16 mono) carrying a deterministic per-id
+    waveform — library-free, like the PPM generator."""
+    t = _np.arange(n, dtype=_np.float64)
+    freq = 110.0 * (1 + media_id % 7)
+    wave = _np.sin(2 * _np.pi * freq * t / sample_rate) * 0.5
+    wave += _np.sign(_np.sin(2 * _np.pi * (freq / 3.0) * t / sample_rate)) * 0.25
+    pcm = _np.clip(wave * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    import struct as _struct
+
+    hdr = b"RIFF" + _struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + _struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    data = b"data" + _struct.pack("<I", len(pcm))
+    return hdr + fmt + data + pcm
+
+
+def decode_wav(content: bytes) -> tuple[int, int, float, float, int]:
+    """REAL audio decode — RIFF header walk, PCM16 samples, RMS, zero
+    crossings — no audio library involved. Unknown chunks are skipped
+    (the RIFF contract), malformed input degrades to zeros."""
+    import struct as _struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return 0, 0, 0.0, 0.0, 0
+    pos, rate, pcm = 12, 0, b""
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = _struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            _fmt, _ch, rate = _struct.unpack("<HHI", body[:8])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate == 0 or not pcm:
+        return 0, 0, 0.0, 0.0, 0
+    x = _np.frombuffer(pcm, dtype="<i2").astype(_np.float64) / 32768.0
+    n = len(x)
+    rms = float(_np.sqrt(_np.mean(x * x))) if n else 0.0
+    zc = int(_np.count_nonzero(_np.diff(_np.signbit(x)))) if n > 1 else 0
+    return rate, n, round(n * 1000.0 / rate, 3), round(rms, 6), zc
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` over binary WAV payloads — the audio
+    twin of ``extract_ppm_features``: real sample math, batched transfer,
+    no per-row Python UDF."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_wav(c if c is not None else b"") for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_samples": [d[1] for d in decoded],
+                    "duration_ms": [d[2] for d in decoded],
+                    "rms": [d[3] for d in decoded],
+                    "zero_crossings": [d[4] for d in decoded],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        features, WAV_FEATURES_SCHEMA
+    )
+
+
+def synthetic_wav_media(spark, n: int = 6) -> DataFrame:
+    """Real WAV files as a binary-column DataFrame."""
+    rows = [(i, bytearray(wav_bytes(i))) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle=None,  # sample decode is not SQL-expressible; exactness is
+    # pinned by tests/test_multimodal.py::test_wav_decode_matches_struct
+    tags=("multimodal",),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding through the multimodal boundary: RIFF/PCM16 WAV
+    payloads decoded to sample rate, duration, RMS, and zero-crossing
+    counts inside an Arrow-batched mapInPandas — the audio twin of the
+    PPM image decode, proven with actual sample math. Deterministic, so
+    the rows-only check is stable."""
+    return extract_wav_features(synthetic_wav_media(spark)).orderBy("media_id")

@@ -100,3 +100,51 @@ def test_ppm_decode_matches_numpy(spark):
         assert got[i].channel_means == [
             float(v) for v in px.reshape(h, w, 3).astype(np.float64).mean(axis=(0, 1))
         ]
+
+
+def test_wav_decode_matches_struct(spark):
+    """The distributed WAV decode must bit-match an independent
+    struct-module decode of the same bytes (no numpy on the checker
+    side for the header walk)."""
+    import struct
+
+    import numpy as np
+
+    from driftdb_spark.functions.multimodal import (
+        extract_wav_features,
+        synthetic_wav_media,
+        wav_bytes,
+    )
+
+    got = {
+        r.media_id: r
+        for r in extract_wav_features(synthetic_wav_media(spark, 5)).collect()
+    }
+    for mid in range(5):
+        raw = wav_bytes(mid)
+        # independent parse: fixed offsets for the canonical layout
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+        rate = struct.unpack("<I", raw[24:28])[0]
+        (dlen,) = struct.unpack("<I", raw[40:44])
+        x = np.frombuffer(raw[44 : 44 + dlen], dtype="<i2").astype(np.float64) / 32768.0
+        r = got[mid]
+        assert r.sample_rate == rate and r.n_samples == len(x)
+        assert r.duration_ms == round(len(x) * 1000.0 / rate, 3)
+        assert abs(r.rms - float(np.sqrt(np.mean(x * x)))) < 1e-6
+        assert r.zero_crossings == int(np.count_nonzero(np.diff(np.signbit(x))))
+
+
+def test_wav_decode_handles_junk_and_extra_chunks(spark):
+    """RIFF contract: unknown chunks are skipped, malformed input decodes
+    to zeros instead of erroring the batch."""
+    import struct
+
+    from driftdb_spark.functions.multimodal import decode_wav, wav_bytes
+
+    assert decode_wav(b"not a wav") == (0, 0, 0.0, 0.0, 0)
+    raw = wav_bytes(1)
+    # splice an unknown chunk between fmt and data
+    junk = b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\x00"  # odd len, padded
+    spliced = raw[:36] + junk + raw[36:]
+    clean = decode_wav(raw)
+    assert decode_wav(spliced) == clean and clean[0] == 8000
