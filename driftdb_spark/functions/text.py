@@ -857,3 +857,89 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cur.unpersist()
     return spark.createDataFrame(merges, "round bigint, pair string, pair_count bigint")
+
+
+@register(
+    "corpus_health_report",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, lang, n_chars,
+             CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
+               AS n_tokens,
+             md5(text) AS fp
+      FROM documents
+    ),
+    dup AS (
+      SELECT SUM(cnt - 1) AS n_dup_docs
+      FROM (SELECT fp, COUNT(*) AS cnt FROM per_doc GROUP BY fp)
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST((SELECT n_dup_docs FROM dup) AS BIGINT) AS n_exact_dup_docs,
+           ROUND(CAST((SELECT n_dup_docs FROM dup) AS DOUBLE) / COUNT(*), 6)
+             AS dup_fraction,
+           CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens) AS DOUBLE)
+             AS p50_tokens,
+           CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY n_tokens) AS DOUBLE)
+             AS p95_tokens
+    FROM per_doc
+    """,
+    tags=("text", "pipeline"),
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus dashboard every ingest run publishes: document
+    and language counts, token totals, size extremes, the exact-duplicate
+    fraction (fingerprint groups), and token-count percentiles — all from
+    ONE scan feeding a fingerprint aggregate and a global aggregate.
+    Percentiles are exact (Spark ``percentile`` ≡ DuckDB
+    ``percentile_cont``: linear interpolation on sorted values), and the
+    duplicate count is a scalar subquery Catalyst folds into the final
+    single-row plan."""
+    d = load_tables(spark, sf_dir)["documents"]
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    dup = (
+        per_doc.groupBy("fp")
+        .count()
+        .agg(F.sum(F.col("count") - 1).alias("n_dup_docs"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(dup))
+        .groupBy("n_dup_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.round(
+                F.first("n_dup_docs").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_fraction"),
+            F.expr("CAST(percentile(n_tokens, 0.5) AS DOUBLE)").alias("p50_tokens"),
+            F.expr("CAST(percentile(n_tokens, 0.95) AS DOUBLE)").alias("p95_tokens"),
+        )
+        .select(
+            "n_docs",
+            "n_langs",
+            "total_tokens",
+            "min_chars",
+            "max_chars",
+            F.col("n_dup_docs").cast("bigint").alias("n_exact_dup_docs"),
+            "dup_fraction",
+            "p50_tokens",
+            "p95_tokens",
+        )
+    )
