@@ -116,3 +116,43 @@ def test_bucketed_join_skips_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zordered_layout_prunes_both_dimensions(spark):
+    """write_zordered must enable row-group pruning on EITHER z-order
+    column: range predicates on user_id alone AND on value alone each
+    scan far fewer rows than a 1-D layout clustered on the OTHER key
+    (where the second column's min/max bands are useless)."""
+    import tempfile
+
+    from driftdb_spark.plans.stats import explain_analyze
+    from driftdb_spark.sources.connectors import write_clustered, write_zordered
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        zordered = f"{tmp}/zordered"
+        one_d = f"{tmp}/one_d"
+        write_zordered(events, zordered, ("user_id", "value"), num_files=16)
+        # baseline: perfectly clustered, but on user_id ONLY
+        write_clustered(events, one_d, ["user_id"], num_files=16)
+
+        def rows_scanned(path, cond):
+            df = spark.read.parquet(path).filter(cond)
+            nodes = explain_analyze(df)
+            scan = next(n for n in nodes if "Scan" in n["node"])
+            return scan["metrics"]["numOutputRows"], df.count()
+
+        # predicate on the FIRST z column: both layouts should prune
+        za, ra = rows_scanned(zordered, F.col("user_id") < 20)
+        oa, ra2 = rows_scanned(one_d, F.col("user_id") < 20)
+        assert ra == ra2
+        total = events.count()
+        assert za < total / 2, (za, total)
+
+        # predicate on the SECOND z column: only the z-order layout prunes
+        zb, rb = rows_scanned(zordered, F.col("value") < 10.0)
+        ob, rb2 = rows_scanned(one_d, F.col("value") < 10.0)
+        assert rb == rb2  # same answer
+        assert ob == total  # 1-D layout cannot skip anything on value
+        assert zb < total / 2, (zb, ob, total)
