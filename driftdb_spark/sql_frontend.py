@@ -55,6 +55,35 @@ class QueryCancelled(RuntimeError):
     cancelled (reference query_cancellation.rs)."""
 
 
+class RateLimitExceeded(RuntimeError):
+    """The session's token bucket is empty (reference rate_limit/mod.rs
+    TokenBucket:132-195)."""
+
+
+class TokenBucket:
+    """Token-bucket rate limiter (reference rate_limit/mod.rs:132-195):
+    ``capacity`` tokens, refilled at ``refill_per_sec``; each statement
+    costs one token. ``clock`` is injectable for deterministic tests."""
+
+    def __init__(self, capacity: int, refill_per_sec: float, clock=None):
+        import time as _time
+
+        self.capacity = float(capacity)
+        self.refill = float(refill_per_sec)
+        self._clock = clock or _time.monotonic
+        self._tokens = self.capacity
+        self._last = self._clock()
+
+    def try_acquire(self, tokens: float = 1.0) -> bool:
+        now = self._clock()
+        self._tokens = min(self.capacity, self._tokens + (now - self._last) * self.refill)
+        self._last = now
+        if self._tokens >= tokens:
+            self._tokens -= tokens
+            return True
+        return False
+
+
 def _extract_clause(text: str, keyword: str) -> str | None:
     """Extract the balanced-paren expression after ``keyword (`` — e.g.
     ``USING (f(x) = 1)`` → ``f(x) = 1`` (regex can't balance parens)."""
@@ -114,7 +143,17 @@ class DriftSession:
         self._security = None  # None = embedded-engine owner (RLS bypass)
         self._query_log: list[dict] = []
         self._sql_depth = 0  # only top-level statements are logged
+        self._rate_limiter: TokenBucket | None = None
         self._load_catalog()
+
+    def set_rate_limit(self, statements_per_sec: float, burst: int = 10, clock=None):
+        """Throttle top-level statements with a token bucket (reference
+        rate_limit/mod.rs). ``None``-able by passing 0."""
+        self._rate_limiter = (
+            None
+            if statements_per_sec <= 0
+            else TokenBucket(burst, statements_per_sec, clock)
+        )
 
     def set_security_context(self, username: str | None, roles=None, superuser=False):
         """Adopt a user identity for RLS enforcement (reference
@@ -257,6 +296,14 @@ class DriftSession:
         """
         import time as _time
 
+        if (
+            self._sql_depth == 0
+            and self._rate_limiter is not None
+            and not self._rate_limiter.try_acquire()
+        ):
+            raise RateLimitExceeded(
+                "statement rate limit exceeded; retry after backoff"
+            )
         self._sql_depth += 1
         t0 = _time.perf_counter()
         err = None

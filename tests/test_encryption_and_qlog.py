@@ -92,3 +92,29 @@ def test_statement_stats_per_verb(spark, tmp_path):
     assert stats["INSERT"].n == 2 and stats["INSERT"].n_errors == 0
     assert stats["SELECT"].n == 2 and stats["SELECT"].n_errors == 1
     assert stats["CREATE"].p95_ms >= stats["CREATE"].p50_ms > 0
+
+
+def test_rate_limit_token_bucket(spark, tmp_path):
+    """Token-bucket throttling with an injected clock: burst drains, refill
+    restores, nested statements (procedures) don't double-charge."""
+    from driftdb_spark.sql_frontend import RateLimitExceeded
+
+    now = [0.0]
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE t (id int PRIMARY KEY)")
+    s.sql(
+        "CREATE PROCEDURE two() AS $$ SELECT 1 AS a; SELECT 2 AS b $$"
+    )
+    s.set_rate_limit(1.0, burst=3, clock=lambda: now[0])
+    for _ in range(3):  # burst
+        s.sql("SELECT 1 AS x")
+    with pytest.raises(RateLimitExceeded):
+        s.sql("SELECT 1 AS x")
+    now[0] += 2.0  # refill 2 tokens
+    s.sql("SELECT 1 AS x")
+    # a CALL costs ONE token even though it runs two inner statements
+    s.sql("CALL two()")
+    with pytest.raises(RateLimitExceeded):
+        s.sql("SELECT 1 AS x")
+    s.set_rate_limit(0)  # disable
+    s.sql("SELECT 1 AS x")
