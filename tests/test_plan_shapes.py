@@ -250,9 +250,11 @@ def test_no_python_or_cartesian_in_any_registered_plan(spark):
         "FlatMapGroupsInPandas",
     )
     PY_ALLOWED = {
+        # the four sanctioned Arrow-batched decode boundaries
         "multimodal_audio_features",
         "multimodal_image_features",
         "multimodal_ppm_decode",
+        "multimodal_wav_decode",
     }
     offenders_py, offenders_cart = [], []
     for name, spec in sorted(QUERIES.items()):
