@@ -1081,3 +1081,83 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    tags=("events",),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path mining: the 20 most common full event-type journeys per
+    user-day (the sequence-mining counterpart of the funnel, which fixes
+    the steps in advance). Path assembly is the sort_array(collect_list
+    (struct(...))) recipe — per-group ordered concatenation with NO
+    global sort, the same fold discipline as event reconstruction — so
+    one user-keyed exchange plus a path-keyed count, then
+    TakeOrderedAndProject for the top-k with lexicographic tie-breaks."""
+    ev = load_tables(spark, sf_dir)["events"]
+    paths = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(ts, event_id, "
+                "event_type))), e -> e.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_quantity,
+           cnt AS mode_count
+    FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group (most frequent value, lexicographic
+    tie-break) — the two-level aggregate recipe: count (group, value)
+    pairs, then rank within group. Spark's built-in ``mode()`` breaks
+    ties arbitrarily, so the explicit rank is what makes the answer
+    deterministic and cross-engine exact. Two exchanges, the second over
+    the already-aggregated (group, value) table — tiny at any scale."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    from pyspark.sql.window import Window as W
+
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "l_quantity")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("mode_quantity"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
