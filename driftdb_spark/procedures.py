@@ -41,15 +41,17 @@ def _MARKER(name: str) -> re.Pattern:
 
 def _render_literal(v) -> str:
     """Render one parameter value as a SQL literal for DML statement
-    templates. Strings escape embedded quotes by doubling; everything
-    else renders from a fixed type table — there is no raw passthrough."""
+    templates. Strings escape backslashes AND embedded quotes — Spark SQL
+    processes C-style escapes in string literals, so a bare trailing ``\\``
+    would swallow the closing quote (injection vector); everything else
+    renders from a fixed type table — there is no raw passthrough."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
-    s = str(v).replace("'", "''")
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 
 
@@ -117,7 +119,10 @@ class ProcedureRegistry:
                     # parameters become SQL literals via a typed renderer
                     # (quotes escaped by doubling), not raw concatenation.
                     for k, v in bound.items():
-                        stmt = _MARKER(k).sub(_render_literal(v), stmt)
+                        lit = _render_literal(v)
+                        # lambda replacement: re.sub would otherwise
+                        # re-process backslashes in the rendered literal.
+                        stmt = _MARKER(k).sub(lambda _m: lit, stmt)
                     result = self._session.sql(stmt)
             return result
         raise KeyError(f"no such procedure: {name}")

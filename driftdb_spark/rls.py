@@ -72,8 +72,12 @@ _USER_MARKER = re.compile(r"\bcurrent_user\b")
 
 
 def _bind_user(expr: str, ctx: SecurityContext) -> str:
-    literal = "'" + ctx.username.replace("'", "''") + "'"
-    return _USER_MARKER.sub(literal, expr)
+    # Backslashes escape too: Spark SQL string literals process C-style
+    # escapes, so a username ending in "\" would otherwise swallow the
+    # closing quote and corrupt the compiled predicate.
+    escaped = ctx.username.replace("\\", "\\\\").replace("'", "''")
+    literal = "'" + escaped + "'"
+    return _USER_MARKER.sub(lambda _m: literal, expr)
 
 
 class RlsManager:
@@ -131,15 +135,19 @@ class RlsManager:
         clauses = ["(" + " OR ".join(perm) + ")"] + restr
         return " AND ".join(clauses)
 
-    def check_predicate(self, table: str, ctx: SecurityContext | None) -> str | None:
-        """WITH CHECK gate for INSERT: same combination shape, using each
-        policy's check_expr (falling back to its USING expr, as
+    def check_predicate(
+        self, table: str, ctx: SecurityContext | None, action: str = "insert"
+    ) -> str | None:
+        """WITH CHECK gate for writes (INSERT, and the post-image of
+        UPDATE — PostgreSQL applies WITH CHECK to the NEW row of both, as
+        does the reference's check_access): same combination shape, using
+        each policy's check_expr (falling back to its USING expr, as
         PostgreSQL does)."""
         if ctx is None or ctx.is_superuser or not self.is_enabled(table):
             return None
         perm, restr = [], []
         for p in self.policies(table):
-            if not p.applies_to("insert", ctx):
+            if not p.applies_to(action, ctx):
                 continue
             expr = p.check_expr or p.using_expr
             if expr is None:

@@ -133,9 +133,15 @@ def write_encrypted(
     cols = []
     for c in df.columns:
         if c in columns:
+            # Column-API construction: the key is a bound literal, never
+            # interpolated into SQL text — a key containing a quote or
+            # backslash cannot break (or inject into) the expression.
+            # NOTE: a literal key still appears in df.explain()/UI plans;
+            # for plan-hygiene, resolve the key on executors from a Spark
+            # conf instead of passing it here.
             cols.append(
-                F.expr(
-                    f"aes_encrypt(cast({c} as string), '{key}', 'GCM')"
+                F.aes_encrypt(
+                    F.col(c).cast("string"), F.lit(key.encode()), F.lit("GCM")
                 ).alias(c)
             )
         else:
@@ -158,7 +164,8 @@ def read_encrypted(
     for c in df.columns:
         if c in encrypted_cols:
             cols.append(
-                F.expr(f"cast(aes_decrypt({c}, '{key}', 'GCM') as string)")
+                F.aes_decrypt(F.col(c), F.lit(key.encode()), F.lit("GCM"))
+                .cast("string")
                 .cast(encrypted_cols[c])
                 .alias(c)
             )

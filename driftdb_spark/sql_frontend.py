@@ -132,6 +132,7 @@ class DriftSession:
         self._tables: dict[str, tuple[EventLog, dict[str, str]]] = {}
         self._sequences: dict[str, tuple[int, int]] = {}
         self._fks: list[tuple[str, str, str, str, str]] = []
+        self._constraints: dict = {}  # table -> TableConstraints
         self._views: dict[str, str] = {}
         self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
         self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
@@ -191,11 +192,21 @@ class DriftSession:
             log = EventLog(
                 self.spark, f"{self.storage_dir}/{name}", pk_col=meta["pk"]
             )
-            self._tables[name] = (log, dict(meta["cols"]))
+            # cols persist as an ORDERED [name, type] list — a plain JSON
+            # object would be alphabetized by sort_keys and positional
+            # INSERT ... VALUES would bind to the wrong columns on reopen.
+            cols = meta["cols"]
+            if isinstance(cols, list):
+                cols = {c: t for c, t in cols}
+            self._tables[name] = (log, dict(cols))
         self._fks = [tuple(fk) for fk in cat.get("fks", [])]
         self._views = dict(cat.get("views", {}))
         self.procedures.load_catalog(cat.get("procedures", {}))
         self.rls.load_catalog(cat.get("rls", {}))
+        from driftdb_spark.constraints import TableConstraints
+
+        for tname, meta in cat.get("constraints", {}).items():
+            self._constraints[tname] = TableConstraints.from_catalog(meta)
 
     def _save_catalog(self) -> None:
         import json
@@ -204,13 +215,18 @@ class DriftSession:
         os.makedirs(self.storage_dir, exist_ok=True)
         cat = {
             "tables": {
-                name: {"pk": log.pk_col, "cols": cols}
+                name: {"pk": log.pk_col, "cols": [[c, t] for c, t in cols.items()]}
                 for name, (log, cols) in self._tables.items()
             },
             "fks": [list(fk) for fk in self._fks],
             "views": self._views,
             "procedures": self.procedures.to_catalog(),
             "rls": self.rls.to_catalog(),
+            "constraints": {
+                n: c.to_catalog()
+                for n, c in self._constraints.items()
+                if not c.is_empty()
+            },
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -220,14 +236,24 @@ class DriftSession:
     # -- DDL -----------------------------------------------------------------
 
     def create_table(
-        self, name: str, schema_cols: dict[str, str], pk: str | None = None
+        self,
+        name: str,
+        schema_cols: dict[str, str],
+        pk: str | None = None,
+        constraints=None,
     ) -> EventLog:
         """CREATE TABLE → an EventLog + schema registration (reference
         execute_create_table sql_bridge.rs:5724-5926; PK defaults to the
-        first column as the reference does :5872-5886)."""
+        first column as the reference does :5872-5886). ``constraints`` is
+        a :class:`driftdb_spark.constraints.TableConstraints` — declared
+        UNIQUE/CHECK/NOT NULL enforce on every SQL write path (reference
+        constraint model constraints.rs:10-34)."""
+        from driftdb_spark.constraints import TableConstraints
+
         pk = pk or next(iter(schema_cols))
         log = EventLog(self.spark, f"{self.storage_dir}/{name}", pk_col=pk)
         self._tables[name] = (log, dict(schema_cols))
+        self._constraints[name] = constraints or TableConstraints()
         self._save_catalog()
         return log
 
@@ -236,6 +262,7 @@ class DriftSession:
 
     def drop_table(self, name: str) -> None:
         self._tables.pop(name, None)
+        self._constraints.pop(name, None)
         self._save_catalog()
 
     def alter_table_add_column(
@@ -821,12 +848,19 @@ class DriftSession:
                 col, _, expr = part.partition("=")
                 assigns[col.strip()] = expr.strip()
             upd_cond = self._rls_condition(m.group(1), m.group(3) or "true", "update")
+            tname = m.group(1)
             if self._active_txn is not None:
-                return self._txn_stmt(
-                    lambda: self._active_txn.table(m.group(1)).update_where(
+
+                def _upd():
+                    self._constraint_check_update(tname, upd_cond, assigns)
+                    self._rls_check_update(tname, upd_cond, assigns)
+                    self._active_txn.table(tname).update_where(
                         schema_cols, upd_cond, assigns
                     )
-                )
+
+                return self._txn_stmt(_upd)
+            self._constraint_check_update(tname, upd_cond, assigns)
+            self._rls_check_update(tname, upd_cond, assigns)
             return log.update_where(schema_cols, upd_cond, assigns)
         m = self._DELETE_RE.match(q)
         if m and m.group(1) in self._tables:
@@ -839,14 +873,50 @@ class DriftSession:
         m = self._TRUNCATE_RE.match(q)
         if m and m.group(1) in self._tables:
             log, schema_cols = self._tables[m.group(1)]
+            # TRUNCATE must not bypass RLS: under a restricted context it
+            # routes through the RLS-conditioned DELETE, wiping only rows
+            # the context can see (PostgreSQL instead requires ownership;
+            # conditioning is the stricter row-sound choice here).
+            trunc_cond = self._rls_condition(m.group(1), "true", "delete")
             if self._active_txn is not None:
                 return self._txn_stmt(
                     lambda: self._active_txn.table(m.group(1)).delete_where(
-                        schema_cols, "true"
+                        schema_cols, trunc_cond
                     )
                 )
-            return log.truncate(schema_cols)
+            return log.delete_where(schema_cols, trunc_cond)
         return None
+
+    def _constraint_check_insert(
+        self, table: str, rows: DataFrame, state_of=None
+    ) -> None:
+        """UNIQUE/CHECK/NOT NULL gate for an INSERT batch (reference
+        constraints.rs validation before apply). ``state_of`` lets the
+        transaction path validate against its own committed ∪ buffer
+        view; violations inside a txn abort it via ``_txn_stmt``."""
+        cons = self._constraints.get(table)
+        if cons is None or cons.is_empty():
+            return
+        from driftdb_spark import constraints as C
+
+        state = (state_of or self._txn_state_df)(table)
+        C.validate_insert(table, cons, rows, state)
+
+    def _constraint_check_update(
+        self, table: str, condition: str, assigns: dict[str, str]
+    ) -> None:
+        """Constraint gate for UPDATE: post-update rows must satisfy
+        NOT NULL / CHECK, and assigned UNIQUE keys must not collide with
+        surviving rows. Uses the txn view when one is open."""
+        cons = self._constraints.get(table)
+        if cons is None or cons.is_empty():
+            return
+        from driftdb_spark import constraints as C
+
+        _log, schema_cols = self._tables[table]
+        C.validate_update(
+            table, cons, self._txn_state_df(table), condition, assigns, schema_cols
+        )
 
     def _rls_check_insert(self, table: str, rows: DataFrame) -> None:
         """WITH CHECK gate (reference row_level_security.rs check side):
@@ -861,6 +931,34 @@ class DriftSession:
             return
         violations = rows.filter(~F.coalesce(F.expr(pred), F.lit(False)))
         if not violations.isEmpty():
+            raise RlsDenied(
+                f"new row violates row-level security policy for table {table}"
+            )
+
+    def _rls_check_update(
+        self, table: str, condition: str, assigns: dict[str, str]
+    ) -> None:
+        """WITH CHECK gate on the UPDATE post-image (reference check_access
+        write side; PostgreSQL applies WITH CHECK to the NEW row of an
+        UPDATE): the old rows with assignments applied must satisfy the
+        compiled check predicate — a restricted user cannot UPDATE a
+        visible row into a state the policy forbids (e.g. reassign its
+        owner). A NULL result fails, as in PostgreSQL."""
+        from pyspark.sql import functions as F
+
+        from driftdb_spark.rls import RlsDenied
+
+        pred = self.rls.check_predicate(table, self._security, "update")
+        if pred is None:
+            return
+        _log, schema_cols = self._tables[table]
+        updated = self._txn_state_df(table).filter(condition).select(
+            *[
+                F.expr(str(assigns[c])).alias(c) if c in assigns else F.col(c)
+                for c in schema_cols
+            ]
+        )
+        if not updated.filter(~F.coalesce(F.expr(pred), F.lit(False))).isEmpty():
             raise RlsDenied(
                 f"new row violates row-level security policy for table {table}"
             )
@@ -915,14 +1013,27 @@ class DriftSession:
         be inline (``col type PRIMARY KEY``) or table-level (``PRIMARY KEY
         (col)`` — composite keeps the first column, exactly the reference's
         behavior, sql_bridge.rs:5794-5797); missing PK defaults to the
-        first column (:5872-5886)."""
+        first column (:5872-5886).
+
+        UNIQUE / CHECK / NOT NULL — inline or table-level, optionally
+        ``CONSTRAINT <name>``-prefixed — register as enforced constraints
+        (reference constraints.rs:10-34; inline UNIQUE ⇒ implicit unique
+        index, sql_bridge.rs:5748-5751). A constraint clause this parser
+        cannot understand is REJECTED loudly — accepting DDL and then not
+        enforcing it would be a silent correctness trap."""
         re = _re
+        from driftdb_spark.constraints import TableConstraints
 
         cols: dict[str, str] = {}
         pk = None
         fks: list[tuple[str, str, str, str]] = []
+        cons = TableConstraints()
         for part in _split_top_level(body):
             part = part.strip()
+            named = re.match(r"CONSTRAINT\s+(\w+)\s+(.*)$", part, re.IGNORECASE | re.DOTALL)
+            cname = None
+            if named:
+                cname, part = named.group(1), named.group(2).strip()
             tl = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", part, re.IGNORECASE)
             if tl:
                 pk = tl.group(1).split(",")[0].strip()
@@ -938,14 +1049,39 @@ class DriftSession:
                     (fk.group(1), fk.group(2), fk.group(3), (fk.group(4) or "restrict").lower())
                 )
                 continue
-            if re.match(r"(FOREIGN\s+KEY|UNIQUE|CHECK|CONSTRAINT)\b", part, re.IGNORECASE):
+            tu = re.match(r"UNIQUE\s*\(([^)]*)\)$", part, re.IGNORECASE)
+            if tu:
+                cons.uniques.append([c.strip() for c in tu.group(1).split(",")])
                 continue
+            if re.match(r"CHECK\s*\(", part, re.IGNORECASE):
+                cons.checks.append(
+                    (
+                        cname or f"{name}_check_{len(cons.checks) + 1}",
+                        _extract_clause(part, "CHECK"),
+                    )
+                )
+                continue
+            if re.match(r"(FOREIGN\s+KEY|UNIQUE|CHECK)\b", part, re.IGNORECASE) or cname:
+                raise ValueError(
+                    f"unsupported constraint clause (would not be enforced): {part!r}"
+                )
             toks = part.split()
             if len(toks) < 2:
                 raise ValueError(f"bad column def: {part!r}")
             col, coltype = toks[0], toks[1]
             if re.search(r"\bPRIMARY\s+KEY\b", part, re.IGNORECASE):
                 pk = col
+            else:
+                # Inline column constraints (PK implies unique+not-null via
+                # its own gate, so only non-PK columns register here).
+                if re.search(r"\bNOT\s+NULL\b", part, re.IGNORECASE):
+                    cons.not_null.append(col)
+                if re.search(r"\bUNIQUE\b", part, re.IGNORECASE):
+                    cons.uniques.append([col])
+                if re.search(r"\bCHECK\s*\(", part, re.IGNORECASE):
+                    cons.checks.append(
+                        (f"{name}_{col}_check", _extract_clause(part, "CHECK"))
+                    )
             inline_fk = re.search(
                 r"\bREFERENCES\s+(\w+)\s*\((\w+)\)"
                 r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE))?",
@@ -962,7 +1098,7 @@ class DriftSession:
                     )
                 )
             cols[col] = coltype
-        self.create_table(name, cols, pk=pk)
+        self.create_table(name, cols, pk=pk, constraints=cons)
         for child_col, parent, parent_col, action in fks:
             self.add_foreign_key(name, child_col, parent, parent_col, on_delete=action)
         return 0
@@ -1003,6 +1139,31 @@ class DriftSession:
                 )
             self._rls_check_insert(table, typed)
             self._fk_check_rows(table, typed)
+            cons = self._constraints.get(table)
+            if cons is not None and not cons.is_empty():
+                from driftdb_spark import constraints as C
+
+                state = log.state_df(schema_cols)
+                if conflict == "NOTHING":
+                    # Only genuinely-new rows land; validate exactly those.
+                    will_land = typed.join(
+                        log.state_at().select("pk"),
+                        typed[log.pk_col].cast("string") == F.col("pk"),
+                        "left_anti",
+                    )
+                    C.validate_insert(table, cons, will_land, state)
+                else:
+                    # DO UPDATE replaces same-PK rows, vacating their
+                    # unique slots: validate against the survivors.
+                    C.check_not_null(table, cons, typed)
+                    C.check_checks(table, cons, typed)
+                    batch_pks = typed.select(
+                        F.col(log.pk_col).cast("string").alias("_bpk")
+                    )
+                    survivors = state.join(
+                        batch_pks, state["pk"] == F.col("_bpk"), "left_anti"
+                    )
+                    C.check_unique_insert(table, cons, typed, survivors)
             if conflict == "NOTHING":
                 fresh = typed.join(
                     log.state_at().select("pk"),
@@ -1039,6 +1200,7 @@ class DriftSession:
                 raise ValueError(
                     f"FK violation: {table}.{child_col} -> {parent}.{parent_col}"
                 )
+        self._constraint_check_insert(table, rows)
         self._active_txn.table(table).insert(rows)
 
     # -- foreign keys ---------------------------------------------------------
@@ -1069,6 +1231,7 @@ class DriftSession:
         log, _ = self._tables[table]
         self._rls_check_insert(table, rows)
         self._fk_check_rows(table, rows)
+        self._constraint_check_insert(table, rows)
         return log.insert(rows)
 
     def _fk_check_rows(self, table: str, rows: DataFrame) -> None:

@@ -1,0 +1,211 @@
+"""UNIQUE / CHECK / NOT NULL constraint enforcement.
+
+Reference: crates/driftdb-core/src/constraints.rs:10-34 (Unique/Check/
+NotNull model), sql_bridge.rs:5748-5751 (inline UNIQUE ⇒ implicit unique
+index at CREATE TABLE). Every violation must fail BEFORE any event
+publishes — inside and outside transactions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from driftdb_spark.constraints import ConstraintViolation
+from driftdb_spark.sql_frontend import DriftSession
+from driftdb_spark.transactions import TransactionAborted
+
+DDL = (
+    "CREATE TABLE users ("
+    " id INT PRIMARY KEY,"
+    " email STRING UNIQUE,"
+    " name STRING NOT NULL,"
+    " age INT CHECK (age >= 0 AND age < 150),"
+    " UNIQUE (name, age),"
+    " CONSTRAINT sane_email CHECK (email IS NULL OR email LIKE '%@%')"
+    ")"
+)
+
+
+@pytest.fixture
+def sess(spark, tmp_path):
+    s = DriftSession(spark, str(tmp_path))
+    s.sql(DDL)
+    s.sql("INSERT INTO users VALUES (1, 'a@x.io', 'ann', 30)")
+    return s
+
+
+def _count(sess):
+    return sess.sql("SELECT count(*) AS n FROM users").first()["n"]
+
+
+# -- DDL parsing -------------------------------------------------------------
+
+
+def test_constraints_registered(sess):
+    cons = sess._constraints["users"]
+    assert ["email"] in cons.uniques
+    assert ["name", "age"] in cons.uniques
+    assert "name" in cons.not_null
+    names = [n for n, _e in cons.checks]
+    assert "sane_email" in names and any("age" in n for n in names)
+
+
+def test_constraints_persist_in_catalog(sess, spark):
+    fresh = DriftSession(spark, sess.storage_dir)
+    with pytest.raises(ConstraintViolation):
+        fresh.sql("INSERT INTO users VALUES (2, 'a@x.io', 'bob', 1)")
+
+
+def test_unparseable_constraint_rejected_loudly(sess):
+    with pytest.raises(ValueError, match="constraint"):
+        sess.sql(
+            "CREATE TABLE t2 (id INT PRIMARY KEY, "
+            "CONSTRAINT weird EXCLUDE USING gist (id WITH =))"
+        )
+
+
+# -- INSERT ------------------------------------------------------------------
+
+
+def test_duplicate_unique_insert_fails_before_publish(sess):
+    with pytest.raises(ConstraintViolation, match="unique"):
+        sess.sql("INSERT INTO users VALUES (2, 'a@x.io', 'bob', 40)")
+    assert _count(sess) == 1  # nothing published
+
+
+def test_unique_within_batch_fails(sess):
+    with pytest.raises(ConstraintViolation, match="unique"):
+        sess.sql(
+            "INSERT INTO users VALUES (2, 'b@x.io', 'bob', 40), "
+            "(3, 'b@x.io', 'cal', 50)"
+        )
+    assert _count(sess) == 1
+
+
+def test_unique_allows_multiple_nulls(sess):
+    # SQL UNIQUE: NULL != NULL — two NULL emails coexist.
+    sess.sql("INSERT INTO users VALUES (2, NULL, 'bob', 40)")
+    sess.sql("INSERT INTO users VALUES (3, NULL, 'cal', 50)")
+    assert _count(sess) == 3
+
+
+def test_composite_unique_enforced(sess):
+    sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'ann', 31)")  # (ann,31) ok
+    with pytest.raises(ConstraintViolation, match="unique"):
+        sess.sql("INSERT INTO users VALUES (3, 'c@x.io', 'ann', 30)")  # dup (ann,30)
+
+
+def test_check_violating_insert_fails(sess):
+    with pytest.raises(ConstraintViolation, match="check"):
+        sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'bob', -5)")
+    with pytest.raises(ConstraintViolation, match="sane_email"):
+        sess.sql("INSERT INTO users VALUES (2, 'not-an-email', 'bob', 20)")
+    assert _count(sess) == 1
+
+
+def test_check_null_passes(sess):
+    # SQL CHECK passes on NULL (tri-state), like PostgreSQL.
+    sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'bob', NULL)")
+    assert _count(sess) == 2
+
+
+def test_not_null_insert_fails(sess):
+    with pytest.raises(ConstraintViolation, match="not-null"):
+        sess.sql("INSERT INTO users VALUES (2, 'b@x.io', NULL, 20)")
+    # Omitting the column entirely is the same violation.
+    with pytest.raises(ConstraintViolation, match="not-null"):
+        sess.sql("INSERT INTO users (id, email) VALUES (3, 'c@x.io')")
+    assert _count(sess) == 1
+
+
+# -- UPDATE ------------------------------------------------------------------
+
+
+def test_update_into_check_violation_fails(sess):
+    with pytest.raises(ConstraintViolation, match="check"):
+        sess.sql("UPDATE users SET age = -1 WHERE id = 1")
+    assert sess.sql("SELECT age FROM users WHERE id = 1").first()["age"] == 30
+
+
+def test_update_into_unique_collision_fails(sess):
+    sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'bob', 40)")
+    with pytest.raises(ConstraintViolation, match="unique"):
+        sess.sql("UPDATE users SET email = 'a@x.io' WHERE id = 2")
+    assert (
+        sess.sql("SELECT email FROM users WHERE id = 2").first()["email"] == "b@x.io"
+    )
+
+
+def test_update_to_null_not_null_fails(sess):
+    with pytest.raises(ConstraintViolation, match="not-null"):
+        sess.sql("UPDATE users SET name = NULL WHERE id = 1")
+
+
+def test_update_keeping_own_unique_value_ok(sess):
+    # A row may keep its own unique value through an update that matches it.
+    sess.sql("UPDATE users SET age = 31 WHERE id = 1")
+    assert sess.sql("SELECT age FROM users WHERE id = 1").first()["age"] == 31
+
+
+# -- transactions ------------------------------------------------------------
+
+
+def test_txn_unique_violation_aborts_and_publishes_nothing(sess):
+    sess.sql("BEGIN")
+    sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'bob', 40)")
+    with pytest.raises(ConstraintViolation):
+        sess.sql("INSERT INTO users VALUES (3, 'a@x.io', 'cal', 50)")
+    # Transaction is poisoned (PostgreSQL aborted-txn gate).
+    with pytest.raises(TransactionAborted):
+        sess.sql("SELECT 1")
+    sess.sql("ROLLBACK")
+    assert _count(sess) == 1
+
+
+def test_txn_unique_sees_buffered_rows(sess):
+    sess.sql("BEGIN")
+    sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'bob', 40)")
+    # Duplicate of a row staged IN THIS txn (not yet committed).
+    with pytest.raises(ConstraintViolation):
+        sess.sql("INSERT INTO users VALUES (3, 'b@x.io', 'cal', 50)")
+    sess.sql("ROLLBACK")
+
+
+def test_txn_check_violation_in_update_aborts(sess):
+    sess.sql("BEGIN")
+    with pytest.raises(ConstraintViolation):
+        sess.sql("UPDATE users SET age = 999 WHERE id = 1")
+    sess.sql("ROLLBACK")
+    assert sess.sql("SELECT age FROM users WHERE id = 1").first()["age"] == 30
+
+
+# -- ON CONFLICT -------------------------------------------------------------
+
+
+def test_on_conflict_do_update_respects_check(sess):
+    with pytest.raises(ConstraintViolation, match="check"):
+        sess.sql(
+            "INSERT INTO users VALUES (1, 'a@x.io', 'ann', -9) "
+            "ON CONFLICT DO UPDATE"
+        )
+    assert sess.sql("SELECT age FROM users WHERE id = 1").first()["age"] == 30
+
+
+def test_on_conflict_do_update_same_row_unique_ok(sess):
+    # Replacing row 1 with itself keeps email 'a@x.io' — its old slot is
+    # vacated by the replacement, so no self-collision.
+    sess.sql(
+        "INSERT INTO users VALUES (1, 'a@x.io', 'ann', 33) ON CONFLICT DO UPDATE"
+    )
+    assert sess.sql("SELECT age FROM users WHERE id = 1").first()["age"] == 33
+
+
+def test_on_conflict_do_nothing_skips_validation_of_dropped_rows(sess):
+    # Row with id=1 is dropped (conflict) — its duplicate email must not
+    # trip the gate; the genuinely-new row inserts.
+    sess.sql(
+        "INSERT INTO users VALUES (1, 'a@x.io', 'zzz', 99), "
+        "(2, 'b@x.io', 'bob', 40) ON CONFLICT DO NOTHING"
+    )
+    assert _count(sess) == 2
+    assert sess.sql("SELECT name FROM users WHERE id = 1").first()["name"] == "ann"

@@ -114,3 +114,16 @@ def test_create_or_replace_and_empty_body(sess):
     assert sess.sql("CALL p(41)").first()["v"] == 42
     with pytest.raises(ValueError, match="empty body"):
         sess.sql("CREATE PROCEDURE q() AS $$ $$")
+
+
+def test_backslash_parameter_renders_safely(sess):
+    """A string parameter ending in a backslash must not escape the
+    closing quote of the rendered literal (injection vector: Spark SQL
+    processes C-style escapes in string literals)."""
+    sess.sql(
+        "CREATE PROCEDURE add_item(nm) AS $$ "
+        "INSERT INTO products VALUES (77, :nm, 1) $$"
+    )
+    sess.procedures.call("add_item", {"nm": "trailing\\"})
+    got = sess.sql("SELECT name FROM products WHERE id = 77").first()["name"]
+    assert got == "trailing\\"

@@ -140,3 +140,33 @@ def test_rls_applies_through_procedures_and_wire(sess, spark):
         a.close(); b.close()
     finally:
         srv.stop()
+
+
+def test_update_with_check_blocks_owner_reassignment(sess):
+    """WITH CHECK applies to the UPDATE post-image (PostgreSQL / reference
+    check_access): a restricted user cannot move a visible row into a
+    state the policy forbids — e.g. give their row away."""
+    sess.sql("SET SESSION AUTHORIZATION alice")
+    with pytest.raises(RlsDenied):
+        sess.sql("UPDATE docs SET owner = 'bob' WHERE id = 1")
+    sess.sql("RESET SESSION AUTHORIZATION")
+    assert (
+        sess.sql("SELECT owner FROM docs WHERE id = 1").first()["owner"] == "alice"
+    )
+
+
+def test_truncate_respects_rls(sess):
+    """TRUNCATE routes through the RLS-conditioned delete: a restricted
+    context wipes only rows it can see."""
+    sess.sql("SET SESSION AUTHORIZATION alice")
+    sess.sql("TRUNCATE docs")
+    sess.sql("RESET SESSION AUTHORIZATION")
+    assert _ids(sess) == {2}  # bob's row survives
+
+
+def test_backslash_username_binds_safely(sess):
+    """A username ending in a backslash must not corrupt the compiled
+    predicate (Spark string literals process C-style escapes)."""
+    sess.set_security_context("evil\\")
+    assert _ids(sess) == set()  # no rows owned; predicate stays well-formed
+    sess.set_security_context(None)
