@@ -87,6 +87,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp = sub.add_parser("serve", help="serve --data over the Postgres wire protocol")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=5432)
+    sp.add_argument(
+        "--auth",
+        action="append",
+        default=[],
+        metavar="USER:PASSWORD",
+        help="require password auth; repeatable (reference protocol/auth.rs)",
+    )
+    sp.add_argument(
+        "--superuser",
+        action="append",
+        default=[],
+        metavar="USER",
+        help="grant an authenticated user the RLS-bypassing superuser context",
+    )
+    sp.add_argument(
+        "--auth-method", choices=("md5", "cleartext"), default="md5"
+    )
+    sp.add_argument(
+        "--allow-insecure",
+        action="store_true",
+        help="permit trust mode (no --auth) on a non-loopback --host",
+    )
 
     args = p.parse_args(argv)
 
@@ -150,7 +172,29 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.cmd == "serve":
         from driftdb_spark.server import PgWireServer
 
-        srv = PgWireServer(sess, host=args.host, port=args.port).start()
+        users = dict(a.split(":", 1) for a in args.auth)
+        if not users and args.host not in ("127.0.0.1", "localhost", "::1") and not args.allow_insecure:
+            # Trust mode hands every TCP client an owner-level session;
+            # beyond loopback that must be an explicit opt-in.
+            print(
+                json.dumps(
+                    {
+                        "ok": False,
+                        "error": "refusing trust mode (no --auth) on a "
+                        "non-loopback host; pass --auth user:pw or "
+                        "--allow-insecure",
+                    }
+                )
+            )
+            return 2
+        srv = PgWireServer(
+            sess,
+            host=args.host,
+            port=args.port,
+            users=users,
+            superusers=set(args.superuser),
+            auth_method=args.auth_method,
+        ).start()
         print(json.dumps({"ok": True, "address": list(srv.address)}), flush=True)
         srv._thread.join()  # serve until interrupted
     return 0

@@ -1,30 +1,56 @@
-"""Minimal PostgreSQL wire-protocol (v3) server — the reference's pgwire
-entry, Spark-first.
+"""PostgreSQL wire-protocol (v3) server — the reference's pgwire entry,
+Spark-first.
 
 The reference's driftdb-server speaks the Postgres frontend/backend
-protocol (driftdb-server/src/protocol/codec.rs + messages.rs encode the
-same message types emitted here; executor.rs:351-460 routes statements to
-sql_bridge). This implementation covers the *simple query* protocol —
-startup (incl. SSLRequest/GSSENCRequest refusal), AuthenticationOk,
-ParameterStatus, ReadyForQuery, 'Q' query → RowDescription / DataRow* /
-CommandComplete, ErrorResponse with recovery, Terminate — which is what
-``psql -c`` and most drivers' autocommit paths use. Statements execute
-through :class:`DriftSession.sql`, so the full dispatcher surface
-(DML-as-events, temporal clauses, transactions, policies, procedures) is
-wire-reachable.
+protocol (driftdb-server/src/protocol/{codec,messages}.rs encode the same
+message types emitted here; executor.rs:351-460 routes statements to
+sql_bridge). This implementation covers:
 
-Every value serializes in text format with type OID 25 (text) — the
-protocol-legal lowest common denominator; clients render fine, and it
-sidesteps binary-format type mapping entirely. Each connection gets its
-OWN DriftSession over the shared storage dir (PostgreSQL's
-backend-per-connection model), so transaction state and SESSION
-AUTHORIZATION are connection-local while committed data is shared; a
-connection opened before another's CREATE TABLE re-reads the catalog on
-its next session construction, exactly like the CLI.
+- **Simple query** protocol — startup (incl. SSLRequest/GSSENCRequest
+  refusal), ParameterStatus, ReadyForQuery with live transaction status
+  ('I' idle / 'T' in txn / 'E' aborted — PostgreSQL drivers key
+  rollback-on-error logic off this byte), 'Q' → RowDescription /
+  DataRow* / CommandComplete, ErrorResponse with recovery, Terminate.
+- **Extended query** protocol (reference
+  session/extended_protocol.rs, executor.rs:603-765) —
+  Parse/Bind/Describe/Execute/Close/Flush/Sync with named prepared
+  statements and portals. ``$N`` parameters map onto the session's
+  parameterized SQL (``:pN`` named markers); after an error, messages
+  are discarded until Sync, per protocol. This is what psycopg2 /
+  libpq's ``PQexecParams`` and most drivers' prepared paths speak.
+- **Authentication** (reference protocol/auth.rs: cleartext + MD5
+  PostgreSQL-compatible): pass ``users={name: password}`` to require a
+  password (``auth="md5"`` default, or ``"cleartext"``); with no users
+  configured the server runs in *trust* mode — loopback/test use only
+  (``cli.py serve`` refuses trust mode on non-loopback binds). An
+  authenticated non-superuser connection starts with its RLS security
+  context set to the authenticated user, and SET/RESET SESSION
+  AUTHORIZATION over the wire requires superuser (RESET restores the
+  *authenticated* identity, not owner bypass).
+- **Client-compat shim** (reference executor.rs:351-460 answers these
+  locally): ``SHOW server_version`` / ``SHOW transaction_isolation`` /
+  benign ``SET``/``RESET`` parameters complete without touching the
+  engine, so psql's startup chatter succeeds.
+
+Results STREAM: rows leave via ``toLocalIterator(prefetchPartitions=1)``
+so driver memory is bounded by one partition at a time — a ``SELECT *``
+over a fact table never materializes server-side (the reference collects
+a Vec of rows; at this engine's scale that would OOM). Every value
+serializes in text format with type OID 25 (text) — the protocol-legal
+lowest common denominator.
+
+Each connection gets its OWN DriftSession over the shared storage dir
+(PostgreSQL's backend-per-connection model), so transaction state and
+SESSION AUTHORIZATION are connection-local while committed data is
+shared. Frame lengths are capped (1 MiB startup / 16 MiB message) so a
+hostile client cannot allocate arbitrary memory.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import re
 import socketserver
 import struct
 import threading
@@ -34,13 +60,62 @@ _SSL_REQUEST = 80877103
 _GSSENC_REQUEST = 80877104
 _CANCEL_REQUEST = 80877102
 
+_MAX_STARTUP = 1 << 20  # 1 MiB
+_MAX_FRAME = 16 << 20  # 16 MiB
 
-def _msg(type_byte: bytes, payload: bytes) -> bytes:
-    return type_byte + struct.pack("!I", len(payload) + 4) + payload
+_QUERYLIKE = re.compile(r"^\s*(SELECT|WITH|VALUES|EXPLAIN|TABLE|SHOW)\b", re.IGNORECASE)
+_SET_AUTH = re.compile(r"^SET\s+SESSION\s+AUTHORIZATION\s+(\w+)$", re.IGNORECASE)
+_RESET_AUTH = re.compile(r"^RESET\s+SESSION\s+AUTHORIZATION$", re.IGNORECASE)
+_SHOW = re.compile(r"^SHOW\s+(\w+(?:\s+\w+)*)$", re.IGNORECASE)
+_BENIGN_SET = re.compile(r"^(SET|RESET)\s+(?!SESSION\s+AUTHORIZATION)\w+", re.IGNORECASE)
+_PARAM = re.compile(r"\$(\d+)")
+
+_SHOW_VALUES = {
+    "server_version": "16.0 (driftdb_spark)",
+    "transaction_isolation": "serializable",
+    "transaction isolation level": "serializable",
+    "client_encoding": "UTF8",
+    "datestyle": "ISO",
+    "standard_conforming_strings": "on",
+    "server_encoding": "UTF8",
+    "integer_datetimes": "on",
+    "is_superuser": "off",
+    "application_name": "",
+    "search_path": "public",
+    "timezone": "UTC",
+}
 
 
-def _cstr(s: str) -> bytes:
-    return s.encode() + b"\x00"
+def md5_password_hash(password: str, username: str) -> str:
+    """hex(md5(password + username)) — the PostgreSQL inner hash
+    (reference protocol/auth.rs:93-99)."""
+    return hashlib.md5((password + username).encode()).hexdigest()
+
+
+def md5_wire_response(password: str, username: str, salt: bytes) -> str:
+    """The PasswordMessage body a client sends under MD5 auth:
+    ``"md5" + hex(md5(inner_hash + salt))`` (reference auth.rs:101+)."""
+    inner = md5_password_hash(password, username)
+    return "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
+
+
+def _infer_param(text: str | None):
+    """Best-effort literal typing for text-format parameters (the client
+    usually declares OID 0 = unspecified; PostgreSQL infers from context,
+    we infer from shape)."""
+    if text is None:
+        return None
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text)
+    except ValueError:
+        pass
+    if text.lower() in ("true", "false"):
+        return text.lower() == "true"
+    return text
 
 
 class _Handler(socketserver.BaseRequestHandler):
@@ -56,14 +131,69 @@ class _Handler(socketserver.BaseRequestHandler):
             buf += chunk
         return buf
 
-    # -- startup --------------------------------------------------------------
+    # -- backend messages -----------------------------------------------------
+
+    @staticmethod
+    def _msg(type_byte: bytes, payload: bytes) -> bytes:
+        return type_byte + struct.pack("!I", len(payload) + 4) + payload
+
+    @staticmethod
+    def _cstr(s: str) -> bytes:
+        return s.encode() + b"\x00"
+
+    def _ready(self) -> None:
+        txn = getattr(self.session, "_active_txn", None)
+        if txn is None:
+            status = b"I"
+        elif getattr(txn, "aborted", False):
+            status = b"E"
+        else:
+            status = b"T"
+        self._send(self._msg(b"Z", status))
+
+    def _error(self, code: str, message: str) -> None:
+        fields = (
+            b"S"
+            + self._cstr("ERROR")
+            + b"C"
+            + self._cstr(code)
+            + b"M"
+            + self._cstr(message)
+            + b"\x00"
+        )
+        self._send(self._msg(b"E", fields))
+
+    def _row_description(self, columns: list[str]) -> None:
+        body = struct.pack("!H", len(columns))
+        for c in columns:
+            #          tableoid attnum typoid(25=text) typlen typmod fmt
+            body += self._cstr(c) + struct.pack("!IhIhih", 0, 0, 25, -1, -1, 0)
+        self._send(self._msg(b"T", body))
+
+    def _data_row(self, values: list) -> None:
+        body = struct.pack("!H", len(values))
+        for v in values:
+            if v is None:
+                body += struct.pack("!i", -1)
+            else:
+                b = str(v).encode()
+                body += struct.pack("!i", len(b)) + b
+        self._send(self._msg(b"D", body))
+
+    def _complete(self, tag: str) -> None:
+        self._send(self._msg(b"C", self._cstr(tag)))
+
+    # -- startup / auth -------------------------------------------------------
 
     def _startup(self) -> bool:
+        params: dict[str, str] = {}
         while True:
             head = self._recv_exact(4)
             if head is None:
                 return False
             (length,) = struct.unpack("!I", head)
+            if length < 8 or length > _MAX_STARTUP:
+                return False  # malformed or hostile; drop
             payload = self._recv_exact(length - 4)
             if payload is None:
                 return False
@@ -74,81 +204,295 @@ class _Handler(socketserver.BaseRequestHandler):
             if code == _CANCEL_REQUEST:
                 return False
             if code == _PROTO_V3:
+                parts = payload[4:].split(b"\x00")
+                for k, v in zip(parts[::2], parts[1::2]):
+                    if k:
+                        params[k.decode()] = v.decode()
                 break
             self._error("08P01", f"unsupported protocol {code}")
             return False
-        self._send(_msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
+        self.username = params.get("user", "")
+        if not self._authenticate():
+            return False
+        self._send(self._msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
         for k, v in (
             ("server_version", "16.0 (driftdb_spark)"),
             ("client_encoding", "UTF8"),
             ("DateStyle", "ISO"),
         ):
-            self._send(_msg(b"S", _cstr(k) + _cstr(v)))
-        self._send(_msg(b"K", struct.pack("!II", 1, 0)))  # BackendKeyData
+            self._send(self._msg(b"S", self._cstr(k) + self._cstr(v)))
+        self._send(self._msg(b"K", struct.pack("!II", 1, 0)))  # BackendKeyData
+        self._init_security()
         self._ready()
         return True
 
-    # -- backend messages -----------------------------------------------------
-
-    def _ready(self) -> None:
-        self._send(_msg(b"Z", b"I"))
-
-    def _error(self, code: str, message: str) -> None:
-        fields = b"S" + _cstr("ERROR") + b"C" + _cstr(code) + b"M" + _cstr(message) + b"\x00"
-        self._send(_msg(b"E", fields))
-
-    def _row_description(self, columns: list[str]) -> None:
-        body = struct.pack("!H", len(columns))
-        for c in columns:
-            #          tableoid attnum typoid(25=text) typlen typmod fmt
-            body += _cstr(c) + struct.pack("!IhIhih", 0, 0, 25, -1, -1, 0)
-        self._send(_msg(b"T", body))
-
-    def _data_row(self, values: list) -> None:
-        body = struct.pack("!H", len(values))
-        for v in values:
-            if v is None:
-                body += struct.pack("!i", -1)
+    def _authenticate(self) -> bool:
+        """Password check against the configured user map (reference
+        protocol/auth.rs cleartext + PostgreSQL-MD5). No users configured
+        = trust mode (loopback/test only — cli.py refuses non-loopback)."""
+        users = self.server.users
+        if not users:
+            return True
+        stored = users.get(self.username)
+        if self.server.auth_method == "md5":
+            salt = os.urandom(4)
+            self._send(self._msg(b"R", struct.pack("!I", 5) + salt))
+        else:
+            self._send(self._msg(b"R", struct.pack("!I", 3)))
+        head = self._recv_exact(5)
+        if head is None or head[:1] != b"p":
+            return False
+        (length,) = struct.unpack("!I", head[1:])
+        if length - 4 > _MAX_STARTUP:
+            return False
+        payload = self._recv_exact(length - 4)
+        if payload is None:
+            return False
+        given = payload.rstrip(b"\x00").decode()
+        if stored is not None:
+            if self.server.auth_method == "md5":
+                ok = given == md5_wire_response(stored, self.username, salt)
             else:
-                b = str(v).encode()
-                body += struct.pack("!i", len(b)) + b
-        self._send(_msg(b"D", body))
+                ok = given == stored
+        else:
+            ok = False  # unknown user: burn the exchange, then fail
+        if not ok:
+            self._error(
+                "28P01", f'password authentication failed for user "{self.username}"'
+            )
+            return False
+        return True
 
-    def _complete(self, tag: str) -> None:
-        self._send(_msg(b"C", _cstr(tag)))
+    def _init_security(self) -> None:
+        """An authenticated connection adopts its user as the RLS security
+        context; superusers get a bypassing superuser context. Trust mode
+        keeps the owner context (embedded/test semantics)."""
+        if not self.server.users:
+            self.wire_superuser = True  # trust mode: embedded owner
+            return
+        self.wire_superuser = self.username in self.server.superusers
+        self.session.set_security_context(
+            self.username, superuser=self.wire_superuser
+        )
 
-    # -- query execution -------------------------------------------------------
+    # -- statement dispatch ----------------------------------------------------
+
+    def _dispatch(self, sql: str, args=None):
+        """Route one statement through the session, applying the wire-level
+        authorization gate on SET/RESET SESSION AUTHORIZATION: only
+        superuser connections may assume another identity, and RESET
+        restores the *authenticated* user (reference executor.rs:351-460
+        gates these the same way)."""
+        m = _SET_AUTH.match(sql)
+        if m is not None or _RESET_AUTH.match(sql):
+            if not self.wire_superuser:
+                raise PermissionError(
+                    "permission denied to set session authorization"
+                )
+            if m is not None:
+                self.session.set_security_context(m.group(1))
+            elif self.server.users:
+                self.session.set_security_context(
+                    self.username, superuser=self.wire_superuser
+                )
+            else:
+                self.session.set_security_context(None)
+            return "SET" if m is not None else "RESET"
+        with self.server.exec_lock:
+            return self.session.sql(sql, args) if args else self.session.sql(sql)
+
+    def _compat_shim(self, sql: str) -> bool:
+        """Answer psql/driver startup chatter locally (reference
+        executor.rs:351-460): SHOW of a known GUC returns one row; other
+        SET/RESET parameters complete as no-ops. Returns True if the
+        statement was fully handled."""
+        m = _SHOW.match(sql)
+        if m:
+            name = m.group(1).lower()
+            if name in _SHOW_VALUES:
+                self._row_description([name.replace(" ", "_")])
+                self._data_row([_SHOW_VALUES[name]])
+                self._complete("SHOW")
+                return True
+            return False
+        if _BENIGN_SET.match(sql):
+            self._complete(sql.split(None, 1)[0].upper())
+            return True
+        return False
+
+    def _stream_result(self, result) -> int:
+        """RowDescription + DataRows streamed per partition — driver
+        memory is bounded by one partition (plus one prefetched) at a
+        time instead of the whole result set."""
+        self._row_description(result.columns)
+        n = 0
+        for r in result.toLocalIterator(prefetchPartitions=True):
+            self._data_row(list(r))
+            n += 1
+        return n
+
+    _TAGS = {
+        "INSERT": "INSERT 0 {n}",
+        "UPDATE": "UPDATE {n}",
+        "DELETE": "DELETE {n}",
+        "BEGIN": "BEGIN",
+        "START": "BEGIN",
+        "COMMIT": "COMMIT",
+        "ROLLBACK": "ROLLBACK",
+        "SET": "SET",
+        "RESET": "RESET",
+    }
+
+    def _tag_for(self, sql: str, result) -> str:
+        verb = sql.split(None, 1)[0].upper()
+        if isinstance(result, str):
+            return result
+        return self._TAGS.get(verb, verb).format(n=result)
+
+    # -- simple query ----------------------------------------------------------
 
     def _run_query(self, sql: str) -> None:
         sql = sql.strip().rstrip(";").strip()
         if not sql:
-            self._send(_msg(b"I", b""))  # EmptyQueryResponse
+            self._send(self._msg(b"I", b""))  # EmptyQueryResponse
             return
-        verb = sql.split(None, 1)[0].upper()
+        if self._compat_shim(sql):
+            return
         # Statement DISPATCH serializes across connections: sessions share
         # the SparkSession's temp-view namespace, and _register_states →
         # spark.sql must not interleave with another connection's (the
         # analyzed plan binds its views eagerly, so execution after
         # dispatch is safe to run concurrently).
-        with self.server.exec_lock:
-            result = self.session.sql(sql)
-        if isinstance(result, int):
-            tag = {
-                "INSERT": f"INSERT 0 {result}",
-                "UPDATE": f"UPDATE {result}",
-                "DELETE": f"DELETE {result}",
-                "BEGIN": "BEGIN",
-                "START": "BEGIN",
-                "COMMIT": "COMMIT",
-                "ROLLBACK": "ROLLBACK",
-            }.get(verb, verb)
-            self._complete(tag)
+        result = self._dispatch(sql)
+        if isinstance(result, (int, str)):
+            self._complete(self._tag_for(sql, result))
             return
-        rows = result.collect()
-        self._row_description(result.columns)
-        for r in rows:
-            self._data_row(list(r))
-        self._complete(f"SELECT {len(rows)}")
+        n = self._stream_result(result)
+        self._complete(f"SELECT {n}")
+
+    # -- extended query (Parse/Bind/Describe/Execute/Close/Flush/Sync) ---------
+
+    def _handle_parse(self, payload: bytes) -> None:
+        name, off = self._read_cstr(payload, 0)
+        query, off = self._read_cstr(payload, off)
+        (n_oids,) = struct.unpack("!H", payload[off : off + 2])
+        # Declared parameter OIDs are accepted and ignored — every value
+        # travels in text format and types infer from shape.
+        sql = query.strip().rstrip(";").strip()
+        n_params = 0
+
+        def _sub(m: re.Match) -> str:
+            nonlocal n_params
+            n_params = max(n_params, int(m.group(1)))
+            return f":p{m.group(1)}"
+
+        sql = _PARAM.sub(_sub, sql)
+        self._stmts[name] = (sql, n_params)
+        self._send(self._msg(b"1", b""))  # ParseComplete
+
+    def _handle_bind(self, payload: bytes) -> None:
+        portal, off = self._read_cstr(payload, 0)
+        stmt_name, off = self._read_cstr(payload, off)
+        if stmt_name not in self._stmts:
+            raise KeyError(f'prepared statement "{stmt_name}" does not exist')
+        (n_fmt,) = struct.unpack("!H", payload[off : off + 2])
+        off += 2 + 2 * n_fmt  # per-parameter format codes (text assumed)
+        (n_vals,) = struct.unpack("!H", payload[off : off + 2])
+        off += 2
+        vals: list[str | None] = []
+        for _ in range(n_vals):
+            (ln,) = struct.unpack("!i", payload[off : off + 4])
+            off += 4
+            if ln == -1:
+                vals.append(None)
+            else:
+                vals.append(payload[off : off + ln].decode())
+                off += ln
+        sql, n_params = self._stmts[stmt_name]
+        if len(vals) != n_params:
+            raise ValueError(
+                f"bind supplies {len(vals)} parameters, statement needs {n_params}"
+            )
+        args = {f"p{i + 1}": _infer_param(v) for i, v in enumerate(vals)}
+        self._portals[portal] = (sql, args)
+        self._send(self._msg(b"2", b""))  # BindComplete
+
+    def _handle_describe(self, payload: bytes) -> None:
+        kind, target = payload[:1], payload[1:].rstrip(b"\x00").decode()
+        if kind == b"S":
+            if target not in self._stmts:
+                raise KeyError(f'prepared statement "{target}" does not exist')
+            sql, n_params = self._stmts[target]
+            body = struct.pack("!H", n_params) + b"".join(
+                struct.pack("!I", 25) for _ in range(n_params)
+            )
+            self._send(self._msg(b"t", body))  # ParameterDescription
+            self._describe_sql(sql, {f"p{i + 1}": None for i in range(n_params)})
+        else:
+            if target not in self._portals:
+                raise KeyError(f'portal "{target}" does not exist')
+            sql, args = self._portals[target]
+            self._describe_sql(sql, args)
+
+    def _describe_sql(self, sql: str, args: dict) -> None:
+        """RowDescription for query-like statements (planning only — a lazy
+        DataFrame has a schema without executing), NoData for DML (whose
+        execution is deferred to Execute, where side effects belong)."""
+        if _QUERYLIKE.match(sql) and not _SHOW.match(sql):
+            try:
+                with self.server.exec_lock:
+                    df = (
+                        self.session.sql(sql, args)
+                        if args
+                        else self.session.sql(sql)
+                    )
+                self._row_description(df.columns)
+                return
+            except Exception:
+                pass
+        self._send(self._msg(b"n", b""))  # NoData
+
+    def _handle_execute(self, payload: bytes) -> None:
+        portal, off = self._read_cstr(payload, 0)
+        # max-rows (4 bytes) follows; portal suspension is not offered —
+        # all rows stream (drivers overwhelmingly send 0 = unlimited).
+        if portal not in self._portals:
+            raise KeyError(f'portal "{portal}" does not exist')
+        sql, args = self._portals[portal]
+        if self._compat_shim(sql):
+            return
+        if not _QUERYLIKE.match(sql) and args:
+            # DML routes through the event dispatcher, which hands
+            # fragments (VALUES tails, WHERE conditions) to separate
+            # parsers that can't see a binding map — render parameters
+            # as typed, escaped literals (same policy as procedures).
+            from driftdb_spark.procedures import _render_literal
+
+            for k, v in args.items():
+                lit = _render_literal(v)
+                sql = re.sub(f":{k}\\b", lambda _m: lit, sql)
+            args = None
+        result = self._dispatch(sql, args)
+        if isinstance(result, (int, str)):
+            self._complete(self._tag_for(sql, result))
+            return
+        # Extended protocol: RowDescription was sent by Describe; but
+        # clients tolerate (and psycopg2 requires) rows to follow Execute
+        # directly — emit description + rows + completion.
+        n = self._stream_result(result)
+        self._complete(f"SELECT {n}")
+
+    def _handle_close(self, payload: bytes) -> None:
+        kind, target = payload[:1], payload[1:].rstrip(b"\x00").decode()
+        (self._stmts if kind == b"S" else self._portals).pop(target, None)
+        self._send(self._msg(b"3", b""))  # CloseComplete
+
+    @staticmethod
+    def _read_cstr(payload: bytes, off: int) -> tuple[str, int]:
+        end = payload.index(b"\x00", off)
+        return payload[off:end].decode(), end + 1
+
+    # -- connection loop -------------------------------------------------------
 
     def handle(self) -> None:
         # Per-connection DriftSession over the SAME storage dir + Spark:
@@ -161,6 +505,11 @@ class _Handler(socketserver.BaseRequestHandler):
             self.session = type(base)(base.spark, base.storage_dir)
         except Exception:
             self.session = base
+        self.username = ""
+        self.wire_superuser = False
+        self._stmts: dict[str, tuple[str, int]] = {}
+        self._portals: dict[str, tuple[str, dict]] = {}
+        ext_error = False  # after an extended-protocol error: skip to Sync
         if not self._startup():
             return
         while True:
@@ -169,6 +518,9 @@ class _Handler(socketserver.BaseRequestHandler):
                 return
             mtype = head[:1]
             (length,) = struct.unpack("!I", head[1:])
+            if length < 4 or length - 4 > _MAX_FRAME:
+                self._error("08P01", "message length out of bounds")
+                return
             payload = self._recv_exact(length - 4)
             if payload is None:
                 return
@@ -181,22 +533,60 @@ class _Handler(socketserver.BaseRequestHandler):
                 except Exception as exc:  # surface, stay usable
                     self._error("XX000", f"{type(exc).__name__}: {exc}")
                 self._ready()
+            elif mtype == b"S":  # Sync
+                ext_error = False
+                self._ready()
+            elif mtype == b"H":  # Flush — everything already sent eagerly
+                continue
+            elif mtype in (b"P", b"B", b"D", b"E", b"C"):
+                if ext_error:
+                    continue  # protocol: discard until Sync
+                try:
+                    {
+                        b"P": self._handle_parse,
+                        b"B": self._handle_bind,
+                        b"D": self._handle_describe,
+                        b"E": self._handle_execute,
+                        b"C": self._handle_close,
+                    }[mtype](payload)
+                except Exception as exc:
+                    ext_error = True
+                    self._error("XX000", f"{type(exc).__name__}: {exc}")
             else:
-                # extended protocol (Parse/Bind/...) not offered; per the
-                # protocol an error + ReadyForQuery resyncs the client
                 self._error("0A000", f"message type {mtype!r} not supported")
                 self._ready()
 
 
 class PgWireServer:
-    """Serve a DriftSession over the Postgres wire protocol."""
+    """Serve a DriftSession over the Postgres wire protocol.
 
-    def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
-        self._tcp = socketserver.ThreadingTCPServer((host, port), _Handler, bind_and_activate=True)
+    ``users`` maps username → password and turns authentication on
+    (``auth_method`` "md5" or "cleartext" — reference protocol/auth.rs);
+    names in ``superusers`` get an RLS-bypassing context and may SET
+    SESSION AUTHORIZATION. Without ``users`` the server runs in trust
+    mode for loopback/embedded use."""
+
+    def __init__(
+        self,
+        session,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        users: dict[str, str] | None = None,
+        superusers: set[str] | None = None,
+        auth_method: str = "md5",
+    ):
+        if auth_method not in ("md5", "cleartext"):
+            raise ValueError("auth_method must be 'md5' or 'cleartext'")
+        self._tcp = socketserver.ThreadingTCPServer(
+            (host, port), _Handler, bind_and_activate=True
+        )
         self._tcp.daemon_threads = True
         self._tcp.allow_reuse_address = True
         self._tcp.session = session
         self._tcp.exec_lock = threading.Lock()
+        self._tcp.users = dict(users or {})
+        self._tcp.superusers = set(superusers or ())
+        self._tcp.auth_method = auth_method
         self._thread: threading.Thread | None = None
 
     @property

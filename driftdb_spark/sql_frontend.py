@@ -338,6 +338,11 @@ class DriftSession:
             return self._sql_impl(query, args)
         except Exception as exc:
             err = f"{type(exc).__name__}: {exc}"
+            # ANY failed statement poisons an open transaction (PostgreSQL /
+            # reference aborted-txn gate, sql_bridge.rs:335-346) — including
+            # parse/analysis errors that never reach a statement handler.
+            if self._active_txn is not None:
+                self._active_txn.mark_aborted()
             raise
         finally:
             self._sql_depth -= 1

@@ -172,3 +172,243 @@ def test_connections_have_isolated_transactions(server):
     _c, rows_b2, _t, _e = b.query("SELECT COUNT(*) AS n FROM iso")
     assert rows_b2 == [["1"]]
     a.close(); b.close()
+
+
+# -- round-5 surface: extended protocol, auth, txn status, compat shim --------
+
+
+class ExtClient(Client):
+    """Adds startup-with-password and extended-protocol messages."""
+
+    def send_msg(self, t, payload):
+        self.sock.sendall(t + struct.pack("!I", len(payload) + 4) + payload)
+
+    def startup_auth(self, user, password, md5=True):
+        import hashlib
+
+        params = f"user\x00{user}\x00database\x00drift\x00\x00".encode()
+        payload = struct.pack("!I", 196608) + params
+        self.sock.sendall(struct.pack("!I", len(payload) + 4) + payload)
+        t, p = self.read_msg()
+        assert t == "R"
+        (code,) = struct.unpack("!I", p[:4])
+        if code == 5:  # MD5: md5(md5(pw+user) + salt)
+            salt = p[4:8]
+            inner = hashlib.md5((password + user).encode()).hexdigest()
+            resp = "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
+        elif code == 3:  # cleartext
+            resp = password
+        else:
+            raise AssertionError(f"unexpected auth code {code}")
+        self.send_msg(b"p", resp.encode() + b"\x00")
+        return self.read_until_ready()
+
+    def parse(self, name, query):
+        self.send_msg(b"P", query.encode() + b"\x00" if False else b"")
+        raise NotImplementedError
+
+    def ext_query(self, query, params=(), name=""):
+        """Parse/Bind/Describe(portal)/Execute/Sync — the libpq
+        PQexecParams flow."""
+        body = name.encode() + b"\x00" + query.encode() + b"\x00"
+        body += struct.pack("!H", 0)  # no declared param OIDs
+        self.send_msg(b"P", body)
+        bind = b"\x00" + name.encode() + b"\x00" + struct.pack("!H", 0)
+        bind += struct.pack("!H", len(params))
+        for p in params:
+            if p is None:
+                bind += struct.pack("!i", -1)
+            else:
+                b = str(p).encode()
+                bind += struct.pack("!i", len(b)) + b
+        bind += struct.pack("!H", 0)  # result formats: default text
+        self.send_msg(b"B", bind)
+        self.send_msg(b"D", b"P\x00")
+        self.send_msg(b"E", b"\x00" + struct.pack("!i", 0))
+        self.send_msg(b"S", b"")
+        msgs = self.read_until_ready()
+        cols, rows, tag, err = [], [], None, None
+        for t, p in msgs:
+            if t == "T":
+                (n,) = struct.unpack("!H", p[:2])
+                off = 2
+                cols = []
+                for _ in range(n):
+                    end = p.index(b"\x00", off)
+                    cols.append(p[off:end].decode())
+                    off = end + 1 + 18
+            elif t == "D":
+                (n,) = struct.unpack("!H", p[:2])
+                off, vals = 2, []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", p[off : off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(p[off : off + ln].decode())
+                        off += ln
+                rows.append(vals)
+            elif t == "C":
+                tag = p.rstrip(b"\x00").decode()
+            elif t == "E":
+                err = p
+        return cols, rows, tag, err
+
+    def txn_status(self):
+        """Send an empty Sync and return the ReadyForQuery status byte."""
+        self.send_msg(b"S", b"")
+        msgs = self.read_until_ready()
+        return msgs[-1][1].decode()
+
+
+def test_extended_protocol_prepared_statements(server):
+    """Parse/Bind/Describe/Execute/Sync round-trips with $N parameters
+    (reference session/extended_protocol.rs, executor.rs:603-765)."""
+    host, port = server.address
+    c = ExtClient(host, port)
+    c.startup()
+    c.query("CREATE TABLE pts (id INT PRIMARY KEY, label STRING, score INT)")
+    # parameterized DML through the extended path
+    _c, _r, tag, err = c.ext_query(
+        "INSERT INTO pts VALUES ($1, $2, $3)", [1, "alpha", 10]
+    )
+    assert err is None and tag == "INSERT 0 1"
+    c.ext_query("INSERT INTO pts VALUES ($1, $2, $3)", [2, "beta", 20])
+    # parameterized SELECT: $1 binds, RowDescription + rows stream back
+    cols, rows, tag, err = c.ext_query(
+        "SELECT label, score FROM pts WHERE id = $1", [2]
+    )
+    assert err is None and tag == "SELECT 1"
+    assert cols == ["label", "score"] and rows == [["beta", "20"]]
+    # parameter repetition and no-param statements both work
+    cols, rows, _t, err = c.ext_query(
+        "SELECT COUNT(*) AS n FROM pts WHERE score >= $1 AND score <= $1 + 15", [10]
+    )
+    assert err is None and rows == [["2"]]
+    cols, rows, _t, err = c.ext_query("SELECT 41 + 1 AS v")
+    assert err is None and rows == [["42"]]
+    # error inside extended flow: ErrorResponse, then Sync recovers
+    _c, _r, _t, err = c.ext_query("SELECT broken FROM nowhere")
+    assert err is not None
+    _c, rows, _t, err = c.ext_query("SELECT 7 AS v")
+    assert err is None and rows == [["7"]]
+    c.close()
+
+
+def test_ready_for_query_reports_txn_status(server):
+    """'I' idle / 'T' in transaction / 'E' aborted (PostgreSQL drivers
+    key rollback-on-error logic off this byte)."""
+    host, port = server.address
+    c = ExtClient(host, port)
+    c.startup()
+    assert c.txn_status() == "I"
+    c.query("CREATE TABLE ts (id INT PRIMARY KEY)")
+    c.query("BEGIN")
+    assert c.txn_status() == "T"
+    c.query("INSERT INTO ts VALUES (NOT_A_VALUE)")  # fails -> aborted
+    assert c.txn_status() == "E"
+    c.query("ROLLBACK")
+    assert c.txn_status() == "I"
+    c.close()
+
+
+def test_compat_shim_show_and_set(server):
+    """psql startup chatter: SHOW answers locally, benign SET completes
+    (reference executor.rs:351-460)."""
+    host, port = server.address
+    c = Client(host, port)
+    c.startup()
+    cols, rows, tag, err = c.query("SHOW server_version")
+    assert err is None and tag == "SHOW" and rows[0][0].startswith("16.0")
+    _c, _r, tag, err = c.query("SET extra_float_digits = 3")
+    assert err is None and tag == "SET"
+    c.close()
+
+
+def test_password_auth_md5_and_failure(spark, tmp_path):
+    sess = DriftSession(spark, str(tmp_path))
+    srv = PgWireServer(
+        sess, users={"admin": "sekret", "bob": "hunter2"}, superusers={"admin"}
+    ).start()
+    try:
+        host, port = srv.address
+        good = ExtClient(host, port)
+        msgs = good.startup_auth("admin", "sekret")
+        assert msgs[-1][0] == "Z"
+        _c, rows, _t, err = good.query("SELECT 1 AS ok")
+        assert err is None and rows == [["1"]]
+        good.close()
+        # wrong password -> ErrorResponse 28P01, no ReadyForQuery
+        bad = ExtClient(host, port)
+        with pytest.raises(AssertionError):
+            bad.startup_auth("admin", "wrong")
+        bad.close()
+    finally:
+        srv.stop()
+
+
+def test_auth_sets_rls_context_and_gates_set_authorization(spark, tmp_path):
+    """An authenticated non-superuser connection runs AS that user (RLS
+    applies) and may not SET SESSION AUTHORIZATION; a superuser may."""
+    sess = DriftSession(spark, str(tmp_path))
+    sess.sql("CREATE TABLE docs (id int PRIMARY KEY, owner string)")
+    sess.sql("INSERT INTO docs VALUES (1, 'alice'), (2, 'bob')")
+    sess.sql("ALTER TABLE docs ENABLE ROW LEVEL SECURITY")
+    sess.sql("CREATE POLICY own ON docs USING (owner = current_user)")
+    srv = PgWireServer(
+        sess,
+        users={"alice": "pw_a", "root": "pw_r"},
+        superusers={"root"},
+        auth_method="cleartext",
+    ).start()
+    try:
+        host, port = srv.address
+        a = ExtClient(host, port)
+        a.startup_auth("alice", "pw_a", md5=False)
+        _c, rows, _t, err = a.query("SELECT id FROM docs ORDER BY id")
+        assert err is None and rows == [["1"]]  # only alice's row
+        _c, _r, _t, err = a.query("SET SESSION AUTHORIZATION bob")
+        assert err is not None  # non-superuser may not switch identity
+        a.close()
+        r = ExtClient(host, port)
+        r.startup_auth("root", "pw_r", md5=False)
+        _c, rows, _t, err = r.query("SELECT id FROM docs ORDER BY id")
+        assert err is None and [v[0] for v in rows] == ["1", "2"]  # bypass
+        _c, _r, tag, err = r.query("SET SESSION AUTHORIZATION bob")
+        assert err is None
+        _c, rows, _t, _e = r.query("SELECT id FROM docs ORDER BY id")
+        assert rows == [["2"]]  # now bob's view
+        _c, _r, _t, err = r.query("RESET SESSION AUTHORIZATION")
+        assert err is None
+        _c, rows, _t, _e = r.query("SELECT id FROM docs ORDER BY id")
+        assert [v[0] for v in rows] == ["1", "2"]  # back to root, not owner
+        r.close()
+    finally:
+        srv.stop()
+
+
+def test_multi_partition_select_streams_all_rows(server):
+    """Rows stream per partition (toLocalIterator), not via collect():
+    a result spanning many partitions arrives complete and ordered."""
+    host, port = server.address
+    c = Client(host, port)
+    c.startup()
+    c.query("CREATE TABLE big (id INT PRIMARY KEY)")
+    vals = ", ".join(f"({i})" for i in range(500))
+    c.query(f"INSERT INTO big VALUES {vals}")
+    cols, rows, tag, err = c.query("SELECT id FROM big ORDER BY id")
+    assert err is None and tag == "SELECT 500"
+    assert [int(r[0]) for r in rows] == list(range(500))
+    c.close()
+
+
+def test_oversized_frame_rejected(server):
+    host, port = server.address
+    c = Client(host, port)
+    c.startup()
+    # a 'Q' frame claiming 1 GiB is refused without allocation
+    c.sock.sendall(b"Q" + struct.pack("!I", 1 << 30))
+    t, p = c.read_msg()
+    assert t == "E"
+    c.close()
