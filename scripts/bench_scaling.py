@@ -34,6 +34,10 @@ OPS = [
     ("sim_kmeans_lloyd", "embeddings"),
     ("sample_importance_dsir", "documents"),
     ("text_chunk_overlap", "documents"),
+    # iterative: min-label propagation, one pk-keyed shuffle per round +
+    # a scalar convergence check — separates per-iteration scheduling
+    # overhead from data cost on the curve
+    ("dedup_cluster_components", "documents"),
 ]
 
 
@@ -72,7 +76,7 @@ def main() -> None:
         )
         out["ops"][name] = entry
     print(json.dumps(out, indent=1))
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_scaling_r04.json"), "w") as fh:
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_scaling_r05.json"), "w") as fh:
         json.dump(out, fh, indent=1)
 
 
