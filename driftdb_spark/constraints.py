@@ -43,28 +43,62 @@ class ConstraintViolation(ValueError):
 @dataclass
 class TableConstraints:
     """Declared constraints of one table (reference ConstraintType,
-    constraints.rs:10-34; PK and FK live elsewhere in the session)."""
+    constraints.rs:10-34 — Unique/Check/NotNull/Default; PK and FK live
+    elsewhere in the session). ``unique_names`` parallels ``uniques`` so
+    DDL-added constraints can be dropped by name; ``defaults`` maps
+    column → SQL default expression, applied when an INSERT omits the
+    column (reference Default constraint, constraints.rs:30-33)."""
 
     uniques: list[list[str]] = field(default_factory=list)
+    unique_names: list[str | None] = field(default_factory=list)
     checks: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
     not_null: list[str] = field(default_factory=list)
+    defaults: dict[str, str] = field(default_factory=dict)  # col -> SQL expr
 
     def is_empty(self) -> bool:
+        """No *validating* constraints (defaults fill values, they never
+        reject — callers that only gate writes may skip when empty)."""
         return not (self.uniques or self.checks or self.not_null)
+
+    def add_unique(self, cols: list[str], name: str | None = None) -> None:
+        while len(self.unique_names) < len(self.uniques):
+            self.unique_names.append(None)
+        self.uniques.append(list(cols))
+        self.unique_names.append(name)
+
+    def drop_named(self, name: str) -> bool:
+        """Remove a named CHECK or UNIQUE constraint; True if found."""
+        for i, (n, _e) in enumerate(self.checks):
+            if n == name:
+                del self.checks[i]
+                return True
+        for i, n in enumerate(self.unique_names):
+            if n == name:
+                del self.uniques[i]
+                del self.unique_names[i]
+                return True
+        return False
 
     def to_catalog(self) -> dict:
         return {
             "uniques": [list(u) for u in self.uniques],
+            "unique_names": list(self.unique_names),
             "checks": [list(c) for c in self.checks],
             "not_null": list(self.not_null),
+            "defaults": dict(self.defaults),
         }
 
     @classmethod
     def from_catalog(cls, meta: dict) -> "TableConstraints":
+        uniques = [list(u) for u in meta.get("uniques", [])]
+        names = list(meta.get("unique_names", []))
+        names += [None] * (len(uniques) - len(names))
         return cls(
-            uniques=[list(u) for u in meta.get("uniques", [])],
+            uniques=uniques,
+            unique_names=names,
             checks=[(c[0], c[1]) for c in meta.get("checks", [])],
             not_null=list(meta.get("not_null", [])),
+            defaults=dict(meta.get("defaults", {})),
         )
 
 
@@ -146,6 +180,32 @@ def validate_insert(
     check_not_null(table, cons, rows)
     check_checks(table, cons, rows)
     check_unique_insert(table, cons, rows, state)
+
+
+def validate_existing(
+    table: str, cons: TableConstraints, state: DataFrame
+) -> None:
+    """ADD CONSTRAINT-time validation of EXISTING rows (PostgreSQL
+    semantics: the DDL fails if current data violates; the reference's
+    ALTER ADD CONSTRAINT arm stubs this out, sql_bridge.rs:6146-6166 —
+    executed for real here). ``cons`` holds only the constraints being
+    added. UNIQUE is a within-state duplicate check; CHECK/NOT NULL are
+    the same filters the write path uses."""
+    check_not_null(table, cons, state)
+    check_checks(table, cons, state)
+    for cols in cons.uniques:
+        dup = (
+            state.select(*cols)
+            .na.drop()
+            .groupBy(*cols)
+            .count()
+            .filter(F.col("count") > 1)
+        )
+        if not dup.isEmpty():
+            raise ConstraintViolation(
+                f'cannot add unique constraint to "{table}": existing rows '
+                f'duplicate key ({", ".join(cols)})'
+            )
 
 
 def validate_update(

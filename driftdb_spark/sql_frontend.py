@@ -225,7 +225,7 @@ class DriftSession:
             "constraints": {
                 n: c.to_catalog()
                 for n, c in self._constraints.items()
-                if not c.is_empty()
+                if not c.is_empty() or c.defaults
             },
         }
         tmp = self._catalog_path() + ".tmp"
@@ -286,6 +286,14 @@ class DriftSession:
         if default is not None:
             live = log.state_df(schema_cols).select(log.pk_col)
             log.patch(live.withColumn(col, F.lit(default).cast(coltype)))
+            # Future inserts that omit the column also get the default
+            # (reference Default constraint, constraints.rs:30-33).
+            from driftdb_spark.constraints import TableConstraints
+            from driftdb_spark.procedures import _render_literal
+
+            self._constraints.setdefault(table, TableConstraints()).defaults[
+                col
+            ] = _render_literal(default)
         schema_cols[col] = coltype
         self._save_catalog()
 
@@ -514,6 +522,23 @@ class DriftSession:
     )
     _CREATE_INDEX_RE = _re.compile(
         r"^CREATE\s+INDEX\s+\w+\s+ON\s+\w+\s*\([^)]*\)$", _re.IGNORECASE
+    )
+    _CREATE_UNIQUE_INDEX_RE = _re.compile(
+        r"^CREATE\s+UNIQUE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)$",
+        _re.IGNORECASE,
+    )
+    _ADD_CONSTRAINT_RE = _re.compile(
+        r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:CONSTRAINT\s+(\w+)\s+)?"
+        r"(UNIQUE\s*\(([^)]*)\)|CHECK\s*\(.*\))$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _DROP_CONSTRAINT_RE = _re.compile(
+        r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)$", _re.IGNORECASE
+    )
+    _SET_NOT_NULL_RE = _re.compile(
+        r"^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+(SET|DROP)\s+"
+        r"NOT\s+NULL$",
+        _re.IGNORECASE,
     )
     _CREATE_VIEW_RE = _re.compile(
         r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$",
@@ -799,12 +824,71 @@ class DriftSession:
                 return log.snapshot()
             log.compact()  # COMPACT implies a fresh snapshot first
             return log.last_sequence()
+        m = self._CREATE_UNIQUE_INDEX_RE.match(q)
+        if m and m.group(2) in self._tables:
+            # CREATE UNIQUE INDEX = a named UNIQUE constraint (the
+            # reference builds an implicit unique index for the same DDL,
+            # sql_bridge.rs:374, :5748-5751): existing rows validate
+            # first, then every future write is gated.
+            return self._add_constraint_validated(
+                m.group(2),
+                m.group(1),
+                unique_cols=[c.strip() for c in m.group(3).split(",")],
+            )
         m = self._CREATE_INDEX_RE.match(q)
         if m:
             # Accepted as metadata only: reads are served by Catalyst
             # data-skipping / clustered layout (sources/connectors), the
             # engine's analog of the reference's secondary indexes
             # (SURVEY §2.9 mapping; engine.rs:662-712 builds real ones).
+            return 0
+        m = self._ADD_CONSTRAINT_RE.match(q)
+        if m and m.group(1) in self._tables:
+            # ALTER TABLE ADD [CONSTRAINT name] UNIQUE(...)/CHECK(...) —
+            # the reference's AddConstraint arm acknowledges but never
+            # enforces ("indexes need implementation",
+            # sql_bridge.rs:6146-6166); here existing rows validate and
+            # the constraint becomes live (PostgreSQL semantics).
+            table, cname = m.group(1), m.group(2)
+            if m.group(3).upper().startswith("UNIQUE"):
+                return self._add_constraint_validated(
+                    table,
+                    cname,
+                    unique_cols=[c.strip() for c in m.group(4).split(",")],
+                )
+            return self._add_constraint_validated(
+                table, cname, check_expr=_extract_clause(m.group(3), "CHECK")
+            )
+        m = self._DROP_CONSTRAINT_RE.match(q)
+        if m and m.group(1) in self._tables:
+            cons = self._constraints.get(m.group(1))
+            if cons is None or not cons.drop_named(m.group(2)):
+                raise KeyError(
+                    f'no such constraint: {m.group(2)} on {m.group(1)}'
+                )
+            self._save_catalog()
+            return 0
+        m = self._SET_NOT_NULL_RE.match(q)
+        if m and m.group(1) in self._tables:
+            from driftdb_spark import constraints as C
+
+            table, col, verb = m.group(1), m.group(2), m.group(3).upper()
+            log, schema_cols = self._tables[table]
+            if col not in schema_cols:
+                raise KeyError(f"no such column: {col}")
+            cons = self._constraints.setdefault(table, C.TableConstraints())
+            if verb == "SET":
+                if col not in cons.not_null:
+                    # existing rows must already satisfy it (PostgreSQL)
+                    C.check_not_null(
+                        table,
+                        C.TableConstraints(not_null=[col]),
+                        log.state_df(schema_cols),
+                    )
+                    cons.not_null.append(col)
+            else:
+                cons.not_null = [c for c in cons.not_null if c != col]
+            self._save_catalog()
             return 0
         m = self._DROP_COLUMN_RE.match(q)
         if m and m.group(1) in self._tables:
@@ -818,6 +902,25 @@ class DriftSession:
             if m.group(2) not in schema_cols:
                 raise KeyError(f"no such column: {m.group(2)}")
             del schema_cols[m.group(2)]
+            cons = self._constraints.get(m.group(1))
+            if cons is not None:
+                dropped = m.group(2)
+                keep = [
+                    i for i, u in enumerate(cons.uniques) if dropped not in u
+                ]
+                names = cons.unique_names + [None] * (
+                    len(cons.uniques) - len(cons.unique_names)
+                )
+                cons.uniques = [cons.uniques[i] for i in keep]
+                cons.unique_names = [names[i] for i in keep]
+                cons.not_null = [c for c in cons.not_null if c != dropped]
+                cons.defaults.pop(dropped, None)
+                # CHECK expressions aren't column-parsed; conservatively
+                # drop any that mention the column.
+                pat = _re.compile(rf"\b{_re.escape(dropped)}\b")
+                cons.checks = [
+                    (n, e) for n, e in cons.checks if not pat.search(e)
+                ]
             self._save_catalog()
             return 0
         m = self._CREATE_RE.match(q)
@@ -891,6 +994,34 @@ class DriftSession:
                 )
             return log.delete_where(schema_cols, trunc_cond)
         return None
+
+    def _add_constraint_validated(
+        self,
+        table: str,
+        cname: str | None,
+        unique_cols: list[str] | None = None,
+        check_expr: str | None = None,
+    ) -> int:
+        """Validate EXISTING rows against the new constraint (PostgreSQL:
+        ADD CONSTRAINT fails on violating data), then register it live."""
+        from driftdb_spark import constraints as C
+
+        log, schema_cols = self._tables[table]
+        delta = C.TableConstraints()
+        if unique_cols is not None:
+            for c in unique_cols:
+                if c not in schema_cols:
+                    raise KeyError(f"no such column: {c}")
+            delta.add_unique(unique_cols, cname)
+        if check_expr is not None:
+            delta.checks.append((cname or f"{table}_check_added", check_expr))
+        C.validate_existing(table, delta, log.state_df(schema_cols))
+        cons = self._constraints.setdefault(table, C.TableConstraints())
+        for cols, nm in zip(delta.uniques, delta.unique_names):
+            cons.add_unique(cols, nm)
+        cons.checks.extend(delta.checks)
+        self._save_catalog()
+        return 0
 
     def _constraint_check_insert(
         self, table: str, rows: DataFrame, state_of=None
@@ -1056,7 +1187,9 @@ class DriftSession:
                 continue
             tu = re.match(r"UNIQUE\s*\(([^)]*)\)$", part, re.IGNORECASE)
             if tu:
-                cons.uniques.append([c.strip() for c in tu.group(1).split(",")])
+                cons.add_unique(
+                    [c.strip() for c in tu.group(1).split(",")], cname
+                )
                 continue
             if re.match(r"CHECK\s*\(", part, re.IGNORECASE):
                 cons.checks.append(
@@ -1082,11 +1215,21 @@ class DriftSession:
                 if re.search(r"\bNOT\s+NULL\b", part, re.IGNORECASE):
                     cons.not_null.append(col)
                 if re.search(r"\bUNIQUE\b", part, re.IGNORECASE):
-                    cons.uniques.append([col])
+                    cons.add_unique([col])
                 if re.search(r"\bCHECK\s*\(", part, re.IGNORECASE):
                     cons.checks.append(
                         (f"{name}_{col}_check", _extract_clause(part, "CHECK"))
                     )
+                dm = re.search(
+                    # literal ('..', number, TRUE) or a zero/one-arg call
+                    # (current_timestamp, now()) — the shapes the reference's
+                    # Default constraint stores (constraints.rs:30-33)
+                    r"\bDEFAULT\s+('(?:[^']|'')*'|\w+\s*\([^)]*\)|[^\s,)]+)",
+                    part,
+                    re.IGNORECASE,
+                )
+                if dm:
+                    cons.defaults[col] = dm.group(1)
             inline_fk = re.search(
                 r"\bREFERENCES\s+(\w+)\s*\((\w+)\)"
                 r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE))?",
@@ -1133,6 +1276,18 @@ class DriftSession:
         typed = rows.select(
             *[F.col(c).cast(schema_cols[c]).alias(c) for c in cols]
         )
+        cons0 = self._constraints.get(table)
+        if cons0 is not None and cons0.defaults:
+            # Columns omitted from the INSERT list fill from their DEFAULT
+            # expression (reference Default constraint,
+            # constraints.rs:30-33; PostgreSQL applies defaults to omitted
+            # columns, not explicit NULLs) — before constraint validation,
+            # so a NOT NULL column with a default is satisfied by it.
+            for c, dexpr in cons0.defaults.items():
+                if c not in cols and c in schema_cols:
+                    typed = typed.withColumn(
+                        c, F.expr(dexpr).cast(schema_cols[c])
+                    )
         if conflict is not None:
             # PostgreSQL upsert surface. DO NOTHING drops rows whose PK is
             # already live (anti-join); DO UPDATE is last-writer-wins full

@@ -209,3 +209,104 @@ def test_on_conflict_do_nothing_skips_validation_of_dropped_rows(sess):
     )
     assert _count(sess) == 2
     assert sess.sql("SELECT name FROM users WHERE id = 1").first()["name"] == "ann"
+
+
+# -- DEFAULT values (reference Default constraint, constraints.rs:30-33) ------
+
+
+def test_default_fills_omitted_columns(sess, spark):
+    s = DriftSession(spark, sess.storage_dir)
+    s.sql(
+        "CREATE TABLE cfg (id INT PRIMARY KEY, kind STRING DEFAULT 'std', "
+        "n INT DEFAULT 7, note STRING)"
+    )
+    s.sql("INSERT INTO cfg (id) VALUES (1)")
+    s.sql("INSERT INTO cfg (id, kind) VALUES (2, 'custom')")
+    rows = {
+        (r.id, r.kind, r.n, r.note)
+        for r in s.sql("SELECT id, kind, n, note FROM cfg").collect()
+    }
+    assert rows == {(1, "std", 7, None), (2, "custom", 7, None)}
+
+
+def test_default_satisfies_not_null(sess, spark):
+    s = DriftSession(spark, sess.storage_dir)
+    s.sql(
+        "CREATE TABLE jobs (id INT PRIMARY KEY, "
+        "state STRING DEFAULT 'queued' NOT NULL)"
+    )
+    s.sql("INSERT INTO jobs (id) VALUES (1)")  # default fills NOT NULL
+    assert s.sql("SELECT state FROM jobs").first()["state"] == "queued"
+    with pytest.raises(ConstraintViolation):
+        s.sql("INSERT INTO jobs VALUES (2, NULL)")  # explicit NULL still fails
+
+
+def test_alter_add_column_default_applies_to_future_inserts(sess):
+    sess.sql("ALTER TABLE users ADD COLUMN tier STRING DEFAULT 'free'")
+    # backfill hit existing rows...
+    assert sess.sql("SELECT tier FROM users WHERE id = 1").first()["tier"] == "free"
+    # ...and a future insert omitting the column gets it too
+    sess.sql("INSERT INTO users (id, email, name, age) VALUES (9, 'z@x.io', 'zed', 20)")
+    assert sess.sql("SELECT tier FROM users WHERE id = 9").first()["tier"] == "free"
+
+
+# -- ALTER TABLE ADD/DROP CONSTRAINT; CREATE UNIQUE INDEX ---------------------
+
+
+def test_add_unique_constraint_validates_existing_rows(sess):
+    sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'bob', 30)")
+    # ages 30 and 30 duplicate -> ADD CONSTRAINT fails on existing data
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        sess.sql("ALTER TABLE users ADD CONSTRAINT age_u UNIQUE (age)")
+    # a satisfiable one registers and then gates writes
+    sess.sql("ALTER TABLE users ADD CONSTRAINT id_age_u UNIQUE (email, age)")
+    with pytest.raises(ConstraintViolation, match="unique"):
+        sess.sql("INSERT INTO users VALUES (3, 'a@x.io', 'cal', 30)")
+
+
+def test_add_check_constraint_validates_existing_rows(sess):
+    with pytest.raises(ConstraintViolation):
+        sess.sql("ALTER TABLE users ADD CONSTRAINT young CHECK (age < 10)")
+    sess.sql("ALTER TABLE users ADD CONSTRAINT adult CHECK (age >= 18)")
+    with pytest.raises(ConstraintViolation, match="adult"):
+        sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'kid', 12)")
+
+
+def test_drop_constraint_by_name(sess):
+    sess.sql("ALTER TABLE users ADD CONSTRAINT adult CHECK (age >= 18)")
+    sess.sql("ALTER TABLE users DROP CONSTRAINT adult")
+    sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'kid', 12)")  # now fine
+    with pytest.raises(KeyError):
+        sess.sql("ALTER TABLE users DROP CONSTRAINT no_such")
+    # named table-level constraints from CREATE TABLE drop too
+    sess.sql("ALTER TABLE users DROP CONSTRAINT sane_email")
+    sess.sql("INSERT INTO users VALUES (3, 'not-an-email', 'cal', 20)")
+
+
+def test_create_unique_index_registers_constraint(sess):
+    sess.sql("CREATE UNIQUE INDEX name_idx ON users (name)")
+    with pytest.raises(ConstraintViolation, match="unique"):
+        sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'ann', 40)")
+    sess.sql("ALTER TABLE users DROP CONSTRAINT name_idx")
+    sess.sql("INSERT INTO users VALUES (2, 'b@x.io', 'ann', 40)")
+
+
+def test_set_and_drop_not_null(sess):
+    sess.sql("INSERT INTO users VALUES (2, NULL, 'bob', 40)")
+    # existing NULL email -> SET NOT NULL refused
+    with pytest.raises(ConstraintViolation):
+        sess.sql("ALTER TABLE users ALTER COLUMN email SET NOT NULL")
+    sess.sql("DELETE FROM users WHERE id = 2")
+    sess.sql("ALTER TABLE users ALTER COLUMN email SET NOT NULL")
+    with pytest.raises(ConstraintViolation, match="not-null"):
+        sess.sql("INSERT INTO users VALUES (3, NULL, 'cal', 50)")
+    sess.sql("ALTER TABLE users ALTER COLUMN email DROP NOT NULL")
+    sess.sql("INSERT INTO users VALUES (3, NULL, 'cal', 50)")
+
+
+def test_drop_column_scrubs_its_constraints(sess):
+    sess.sql("ALTER TABLE users DROP COLUMN age")
+    # age CHECK + (name, age) UNIQUE are gone; email UNIQUE survives
+    sess.sql("INSERT INTO users (id, email, name) VALUES (2, 'b@x.io', 'ann')")
+    with pytest.raises(ConstraintViolation, match="unique"):
+        sess.sql("INSERT INTO users (id, email, name) VALUES (3, 'a@x.io', 'z')")
