@@ -943,3 +943,181 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_tokens",
         )
     )
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE n_chars > 0
+    ), big AS (
+      SELECT t[s.s] AS w1, t[s.s + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, n - 1)) AS s) s
+      WHERE n >= 2
+    ), pair_counts AS (
+      SELECT w1, w2, COUNT(*) AS pair_n FROM big GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1 AS w, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), uni2 AS (
+      SELECT w2 AS w, COUNT(*) AS c2 FROM big GROUP BY w2
+    ), tot AS (
+      SELECT COUNT(*) AS n_pairs FROM big
+    )
+    SELECT w1, w2, pair_n,
+           ROUND(LN(CAST(pair_n AS DOUBLE) * n_pairs / (c1 * c2)), 6) AS pmi
+    FROM pair_counts
+    JOIN uni  ON uni.w = w1
+    JOIN uni2 ON uni2.w = w2
+    CROSS JOIN tot
+    WHERE pair_n >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 30
+    """,
+    tags=("text", "pipeline"),
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual information
+    ``ln(p(xy) / (p(x)·p(y)))`` over adjacent-token pairs — the classic
+    corpus-analysis pass for multiword expressions ("new york"-style
+    units) a tokenizer or phrase-mining stage feeds on.
+
+    Plan shape: one explode to the bigram stream (map-only HOF slice+zip),
+    ONE exchange keyed on the pair for counts; the two marginal count
+    tables and the scalar total are vocabulary-bounded, so they broadcast
+    back onto the pair counts — at 100 TB the corpus crosses the wire
+    once, the model tables never grow past |V| and |V|² · selectivity.
+    Counts are exact integers; the single LN rounds at 6 to absorb libm
+    last-ulp differences (module-header determinism discipline)."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
+    toks = d.select(F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    big = (
+        toks.filter(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    pair_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = big.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        pair_counts.filter(F.col("pair_n") >= 5)
+        .join(F.broadcast(uni), "w1")
+        .join(F.broadcast(uni2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            F.round(
+                F.log(
+                    F.col("pair_n").cast("double")
+                    * F.col("n_pairs")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+@register(
+    "text_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE n_chars > 0
+    ), big AS (
+      SELECT doc_id, t[s.s] AS w1, t[s.s + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, n - 1)) AS s) s
+      WHERE n >= 2
+    ), pair_counts AS (
+      SELECT w1, w2, COUNT(*) AS pc FROM big GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1 AS w, COUNT(*) AS uc FROM big GROUP BY w1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT w1 AS tok FROM big UNION SELECT w2 FROM big
+      )
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN(CAST(pc + 1 AS DOUBLE) / (uc + v))), 6) AS cross_entropy
+    FROM big
+    JOIN pair_counts USING (w1, w2)
+    JOIN uni ON uni.w = w1
+    CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+    tags=("text", "pipeline", "quality"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed bigram LM
+    trained on the corpus itself — the CCNet-style perplexity filter
+    (Wenzek et al. 2020): documents whose token transitions are unlikely
+    under the corpus model (boilerplate, gibberish, wrong language) score
+    high and get filtered or bucketed before pretraining.
+
+    Plan shape: explode once to the per-doc bigram stream; the LM —
+    bigram counts, unigram counts, vocab scalar — is aggregated from that
+    stream and is vocabulary-bounded, so it BROADCASTS back onto the
+    stream (the scoring join carries no corpus-sized shuffle); the only
+    doc-keyed exchange is the final per-doc average. At 100 TB the model
+    side stays |V|²-bounded exactly like the DSIR importance model
+    (sampling.py). Counts are exact; the per-bigram LN rounds only after
+    the per-doc average (per-doc sums are ~10² doubles, far inside the
+    6-decimal round's absorption)."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    big = (
+        toks.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    pair_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pc"))
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    vocab = (
+        big.select(F.col("w1").alias("tok"))
+        .union(big.select("w2"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    return (
+        big.join(F.broadcast(pair_counts), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("pc") + 1).cast("double") / (F.col("uc") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )
