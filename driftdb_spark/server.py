@@ -69,6 +69,16 @@ _RESET_AUTH = re.compile(r"^RESET\s+SESSION\s+AUTHORIZATION$", re.IGNORECASE)
 _SHOW = re.compile(r"^SHOW\s+(\w+(?:\s+\w+)*)$", re.IGNORECASE)
 _BENIGN_SET = re.compile(r"^(SET|RESET)\s+(?!SESSION\s+AUTHORIZATION)\w+", re.IGNORECASE)
 _PARAM = re.compile(r"\$(\d+)")
+_COPY_IN = re.compile(
+    r"^COPY\s+(\w+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN"
+    r"(?:\s+WITH)?(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?$",
+    re.IGNORECASE,
+)
+_COPY_OUT = re.compile(
+    r"^COPY\s+(\w+|\(.*\))\s+TO\s+STDOUT"
+    r"(?:\s+WITH)?(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _SHOW_VALUES = {
     "server_version": "16.0 (driftdb_spark)",
@@ -349,6 +359,119 @@ class _Handler(socketserver.BaseRequestHandler):
             return result
         return self._TAGS.get(verb, verb).format(n=result)
 
+    # -- COPY (bulk data transfer; the reference declares CopyIn/CopyOut
+    # messages but leaves them unimplemented — protocol/messages.rs:111-117;
+    # executed for real here: psql \copy works) -------------------------------
+
+    @staticmethod
+    def _copy_unescape(field: str):
+        r"""PostgreSQL COPY text format: \N = NULL; backslash escapes."""
+        if field == "\\N":
+            return None
+        return (
+            field.replace("\\t", "\t")
+            .replace("\\n", "\n")
+            .replace("\\r", "\r")
+            .replace("\\\\", "\\")
+        )
+
+    @staticmethod
+    def _copy_escape(v) -> str:
+        if v is None:
+            return "\\N"
+        return (
+            str(v)
+            .replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+
+    def _copy_in(self, table: str, col_list: str | None, fmt: str) -> None:
+        if table not in self.session._tables:
+            raise KeyError(f'relation "{table}" does not exist')
+        _log, schema_cols = self.session._tables[table]
+        cols = (
+            [c.strip() for c in col_list.split(",")]
+            if col_list
+            else list(schema_cols)
+        )
+        # CopyInResponse: overall format 0 (text), per-column format 0
+        body = struct.pack("!bH", 0, len(cols)) + struct.pack(
+            f"!{len(cols)}H", *([0] * len(cols))
+        )
+        self._send(self._msg(b"G", body))
+        buf = b""
+        failed = None
+        while True:
+            head = self._recv_exact(5)
+            if head is None:
+                raise ConnectionError("client vanished during COPY")
+            mtype = head[:1]
+            (length,) = struct.unpack("!I", head[1:])
+            if length < 4 or length - 4 > _MAX_FRAME:
+                raise ValueError("COPY frame length out of bounds")
+            payload = self._recv_exact(length - 4)
+            if payload is None:
+                raise ConnectionError("client vanished during COPY")
+            if mtype == b"d":  # CopyData
+                buf += payload
+            elif mtype == b"c":  # CopyDone
+                break
+            elif mtype == b"f":  # CopyFail
+                failed = payload.rstrip(b"\x00").decode()
+                break
+            # Flush/Sync during COPY are ignored, per protocol
+        if failed is not None:
+            raise RuntimeError(f"COPY failed by client: {failed}")
+        sep = "," if fmt.lower() == "csv" else "\t"
+        rows = []
+        for line in buf.decode().split("\n"):
+            line = line.rstrip("\r")
+            if not line or line == "\\.":
+                continue
+            if fmt.lower() == "csv":
+                import csv as _csv
+                import io as _io
+
+                vals = next(_csv.reader(_io.StringIO(line)))
+                rows.append([v if v != "" else None for v in vals])
+            else:
+                rows.append([self._copy_unescape(f) for f in line.split(sep)])
+        if any(len(r) != len(cols) for r in rows):
+            raise ValueError("COPY row has wrong number of columns")
+        from pyspark.sql import functions as F
+
+        schema = ", ".join(f"{c} string" for c in cols)
+        df = self.session.spark.createDataFrame(
+            [tuple(r) for r in rows], schema
+        ).select(*[F.col(c).cast(schema_cols[c]).alias(c) for c in cols])
+        with self.server.exec_lock:
+            # the session insert path: RLS WITH CHECK + FK + constraints
+            self.session.insert_checked(table, df)
+        self._complete(f"COPY {len(rows)}")
+
+    def _copy_out(self, source: str, fmt: str) -> None:
+        sql = (
+            f"SELECT * FROM {source}"
+            if not source.startswith("(")
+            else source[1:-1]
+        )
+        result = self._dispatch(sql)
+        cols = result.columns
+        body = struct.pack("!bH", 0, len(cols)) + struct.pack(
+            f"!{len(cols)}H", *([0] * len(cols))
+        )
+        self._send(self._msg(b"H", body))  # CopyOutResponse
+        sep = "," if fmt.lower() == "csv" else "\t"
+        n = 0
+        for r in result.toLocalIterator(prefetchPartitions=True):
+            line = sep.join(self._copy_escape(v) for v in r) + "\n"
+            self._send(self._msg(b"d", line.encode()))
+            n += 1
+        self._send(self._msg(b"c", b""))  # CopyDone
+        self._complete(f"COPY {n}")
+
     # -- simple query ----------------------------------------------------------
 
     def _run_query(self, sql: str) -> None:
@@ -357,6 +480,14 @@ class _Handler(socketserver.BaseRequestHandler):
             self._send(self._msg(b"I", b""))  # EmptyQueryResponse
             return
         if self._compat_shim(sql):
+            return
+        m = _COPY_IN.match(sql)
+        if m:
+            self._copy_in(m.group(1), m.group(2), m.group(3) or "text")
+            return
+        m = _COPY_OUT.match(sql)
+        if m:
+            self._copy_out(m.group(1), m.group(2) or "text")
             return
         # Statement DISPATCH serializes across connections: sessions share
         # the SparkSession's temp-view namespace, and _register_states →

@@ -134,6 +134,7 @@ class DriftSession:
         self._fks: list[tuple[str, str, str, str, str]] = []
         self._constraints: dict = {}  # table -> TableConstraints
         self._views: dict[str, str] = {}
+        self._prepared: dict[str, tuple[str, int]] = {}  # PREPARE name -> (sql, n)
         self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
         self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
         from driftdb_spark.procedures import ProcedureRegistry
@@ -564,6 +565,16 @@ class DriftSession:
     _RELEASE_RE = _re.compile(
         r"^RELEASE\s+(?:SAVEPOINT\s+)?(\w+)$", _re.IGNORECASE
     )
+    _PREPARE_RE = _re.compile(
+        r"^PREPARE\s+(\w+)\s*(?:\([^)]*\)\s*)?AS\s+(.*)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _EXECUTE_RE = _re.compile(
+        r"^EXECUTE\s+(\w+)\s*(?:\((.*)\))?$", _re.IGNORECASE | _re.DOTALL
+    )
+    _DEALLOCATE_RE = _re.compile(
+        r"^DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)$", _re.IGNORECASE
+    )
     _CREATE_PROC_RE = _re.compile(
         r"^CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(\w+)\s*\(([^)]*)\)\s+AS\s+(.*)$",
         _re.IGNORECASE | _re.DOTALL,
@@ -634,6 +645,48 @@ class DriftSession:
         routed = self._dispatch_rls(q)
         if routed is not None:
             return routed
+        m = self._PREPARE_RE.match(q)
+        if m:
+            # PREPARE name [(types)] AS stmt — session-level prepared
+            # statements (PostgreSQL surface; the reference serves the
+            # equivalent over the wire, extended_protocol.rs, and
+            # sql_bridge.rs:183-226 binds $N parameters). $N markers
+            # rewrite to the session's :pN named parameters; declared
+            # type lists are accepted and ignored (text-shape inference,
+            # like the wire path).
+            body = m.group(2).strip().rstrip(";")
+            n_params = 0
+
+            def _sub(pm):
+                nonlocal n_params
+                n_params = max(n_params, int(pm.group(1)))
+                return f":p{pm.group(1)}"
+
+            body = _re.sub(r"\$(\d+)", _sub, body)
+            self._prepared[m.group(1)] = (body, n_params)
+            return 0
+        m = self._EXECUTE_RE.match(q)
+        if m and m.group(1) in self._prepared:
+            body, n_params = self._prepared[m.group(1)]
+            exprs = _split_top_level(m.group(2) or "")
+            if len(exprs) != n_params:
+                raise ValueError(
+                    f"prepared statement {m.group(1)} expects {n_params} "
+                    f"argument(s), got {len(exprs)}"
+                )
+            # Constant argument expressions fold via Catalyst (no table
+            # access) — same policy as CALL.
+            vals = [
+                self.spark.sql(f"SELECT ({e}) AS v").first()["v"] for e in exprs
+            ]
+            return self._run_with_params(body, vals)
+        m = self._DEALLOCATE_RE.match(q)
+        if m:
+            if m.group(1).upper() == "ALL":
+                self._prepared.clear()
+            elif self._prepared.pop(m.group(1), None) is None:
+                raise KeyError(f"no such prepared statement: {m.group(1)}")
+            return 0
         m = self._CREATE_PROC_RE.match(q)
         if m:
             # CREATE [OR REPLACE] PROCEDURE name(p1, p2) AS $$ s1; s2 $$
@@ -1106,6 +1159,27 @@ class DriftSession:
         if pred is None:
             return condition
         return f"({condition}) AND ({pred})"
+
+    _QUERYLIKE_RE = _re.compile(
+        r"^\s*(SELECT|WITH|VALUES|EXPLAIN|TABLE)\b", _re.IGNORECASE
+    )
+
+    def _run_with_params(self, sql: str, vals: list):
+        """Execute a ``:pN``-parameterized statement with bound values —
+        query-like statements use Spark's native parameter binding (values
+        never touch the SQL text); DML routes through the event dispatcher,
+        whose fragment parsers can't see a binding map, so parameters
+        render as typed escaped literals (same policy as procedures and
+        the wire server's Execute)."""
+        args = {f"p{i + 1}": v for i, v in enumerate(vals)}
+        if self._QUERYLIKE_RE.match(sql):
+            return self.sql(sql, args) if args else self.sql(sql)
+        from driftdb_spark.procedures import _render_literal
+
+        for k, v in args.items():
+            lit = _render_literal(v)
+            sql = _re.sub(f":{k}\\b", lambda _m: lit, sql)
+        return self.sql(sql)
 
     def _txn_stmt(self, thunk) -> int:
         """Run one buffered-transaction statement; ANY failure poisons the

@@ -412,3 +412,51 @@ def test_oversized_frame_rejected(server):
     t, p = c.read_msg()
     assert t == "E"
     c.close()
+
+
+def test_copy_in_and_out(server):
+    """COPY t FROM STDIN / COPY ... TO STDOUT — the reference declares the
+    CopyIn/CopyOut protocol messages but never implements them
+    (protocol/messages.rs:111-117); executed for real here."""
+    host, port = server.address
+    c = ExtClient(host, port)
+    c.startup()
+    c.query("CREATE TABLE stock (id INT PRIMARY KEY, name STRING, qty INT)")
+    # -- COPY IN (text format: tab-separated, \N = NULL) --
+    payload = "COPY stock FROM STDIN".encode() + b"\x00"
+    c.sock.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+    t, p = c.read_msg()
+    assert t == "G"  # CopyInResponse
+    data = "1\tbolt\t5\n2\t\\N\t9\n3\twasher\t\\N\n".encode()
+    c.send_msg(b"d", data)
+    c.send_msg(b"c", b"")  # CopyDone
+    msgs = c.read_until_ready()
+    tags = [p.rstrip(b"\x00").decode() for t, p in msgs if t == "C"]
+    assert tags == ["COPY 3"]
+    cols, rows, _t, err = c.query("SELECT id, name, qty FROM stock ORDER BY id")
+    assert err is None
+    assert rows == [["1", "bolt", "5"], ["2", None, "9"], ["3", "washer", None]]
+    # COPY goes through the session insert path: PK gate applies
+    payload = "COPY stock FROM STDIN".encode() + b"\x00"
+    c.sock.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+    t, _ = c.read_msg()
+    assert t == "G"
+    c.send_msg(b"d", b"1\tdup\t0\n")
+    c.send_msg(b"c", b"")
+    msgs = c.read_until_ready()
+    assert any(t == "E" for t, _p in msgs)  # duplicate PK rejected
+    # -- COPY OUT --
+    payload = "COPY (SELECT id, name FROM stock ORDER BY id) TO STDOUT".encode() + b"\x00"
+    c.sock.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+    out_rows, tag = [], None
+    while True:
+        t, p = c.read_msg()
+        if t == "d":
+            out_rows.append(p.decode().rstrip("\n"))
+        elif t == "C":
+            tag = p.rstrip(b"\x00").decode()
+        elif t == "Z":
+            break
+    assert tag == "COPY 3"
+    assert out_rows == ["1\tbolt", "2\t\\N", "3\twasher"]
+    c.close()

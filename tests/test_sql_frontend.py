@@ -462,3 +462,29 @@ def test_sql_with_timeout_cancels_runaway_query(spark, tmp_path):
     assert time.monotonic() - t0 < 30  # cancelled promptly, not run to completion
     # session still healthy afterward
     assert s.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 1
+
+
+def test_prepare_execute_deallocate(spark, tmp_path):
+    """Session-level PREPARE/EXECUTE/DEALLOCATE (PostgreSQL surface; the
+    reference binds $N parameters in sql_bridge.rs:183-226 and serves the
+    equivalent over the wire)."""
+    import pytest
+
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE kv (id INT PRIMARY KEY, v STRING)")
+    s.sql("PREPARE ins (int, text) AS INSERT INTO kv VALUES ($1, $2)")
+    s.sql("EXECUTE ins(1, 'one')")
+    s.sql("EXECUTE ins(2, 'two')")
+    s.sql("PREPARE get AS SELECT v FROM kv WHERE id = $1")
+    assert s.sql("EXECUTE get(2)").first()["v"] == "two"
+    # arity is validated
+    with pytest.raises(ValueError, match="expects 2"):
+        s.sql("EXECUTE ins(3)")
+    # argument expressions fold (no table access)
+    s.sql("EXECUTE ins(1 + 2, upper('three'))")
+    assert s.sql("SELECT v FROM kv WHERE id = 3").first()["v"] == "THREE"
+    s.sql("DEALLOCATE get")
+    with pytest.raises(Exception):
+        s.sql("EXECUTE get(1)")  # falls through to Catalyst -> error
+    s.sql("DEALLOCATE ALL")
+    assert s._prepared == {}
