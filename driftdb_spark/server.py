@@ -180,15 +180,20 @@ class _Handler(socketserver.BaseRequestHandler):
             body += self._cstr(c) + struct.pack("!IhIhih", 0, 0, 25, -1, -1, 0)
         self._send(self._msg(b"T", body))
 
-    def _data_row(self, values: list) -> None:
-        body = struct.pack("!H", len(values))
+    @staticmethod
+    def _data_row_bytes(values: list) -> bytes:
+        parts = [struct.pack("!H", len(values))]
         for v in values:
             if v is None:
-                body += struct.pack("!i", -1)
+                parts.append(struct.pack("!i", -1))
             else:
                 b = str(v).encode()
-                body += struct.pack("!i", len(b)) + b
-        self._send(self._msg(b"D", body))
+                parts.append(struct.pack("!i", len(b)) + b)
+        body = b"".join(parts)
+        return b"D" + struct.pack("!I", len(body) + 4) + body
+
+    def _data_row(self, values: list) -> None:
+        self._send(self._data_row_bytes(values))
 
     def _complete(self, tag: str) -> None:
         self._send(self._msg(b"C", self._cstr(tag)))
@@ -333,12 +338,24 @@ class _Handler(socketserver.BaseRequestHandler):
     def _stream_result(self, result) -> int:
         """RowDescription + DataRows streamed per partition — driver
         memory is bounded by one partition (plus one prefetched) at a
-        time instead of the whole result set."""
+        time instead of the whole result set. Rows coalesce into ~64 KiB
+        socket writes: one sendall per DataRow is syscall-bound
+        (measured 6.5 K rows/s; batched ≫), and the buffer bound keeps
+        the memory story unchanged."""
         self._row_description(result.columns)
         n = 0
+        buf: list[bytes] = []
+        buflen = 0
         for r in result.toLocalIterator(prefetchPartitions=True):
-            self._data_row(list(r))
+            b = self._data_row_bytes(list(r))
+            buf.append(b)
+            buflen += len(b)
+            if buflen >= 65536:
+                self._send(b"".join(buf))
+                buf, buflen = [], 0
             n += 1
+        if buf:
+            self._send(b"".join(buf))
         return n
 
     _TAGS = {
@@ -465,10 +482,19 @@ class _Handler(socketserver.BaseRequestHandler):
         self._send(self._msg(b"H", body))  # CopyOutResponse
         sep = "," if fmt.lower() == "csv" else "\t"
         n = 0
+        buf: list[bytes] = []
+        buflen = 0
         for r in result.toLocalIterator(prefetchPartitions=True):
             line = sep.join(self._copy_escape(v) for v in r) + "\n"
-            self._send(self._msg(b"d", line.encode()))
+            b = self._msg(b"d", line.encode())
+            buf.append(b)
+            buflen += len(b)
+            if buflen >= 65536:
+                self._send(b"".join(buf))
+                buf, buflen = [], 0
             n += 1
+        if buf:
+            self._send(b"".join(buf))
         self._send(self._msg(b"c", b""))  # CopyDone
         self._complete(f"COPY {n}")
 
