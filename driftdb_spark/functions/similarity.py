@@ -964,3 +964,92 @@ def sim_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.max(F.when(rel, 1.0 / F.col("rnk"))), F.lit(0.0)), 6
         ).alias("reciprocal_rank"),
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_KM_ORACLE_PRELUDE
+    + ","
+    + _km_oracle_round("c0", "a1", "c1")
+    + ","
+    + _km_oracle_round("c1", "a2", "c2")
+    + f""",
+    v AS (
+      SELECT e.vec_id, a.cluster,
+        list_transform(range(1, {DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE)) AS ev,
+        sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings e JOIN a2 a USING (vec_id)
+    )
+    SELECT CAST(a.cluster AS BIGINT) AS cluster,
+           a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(range(1, {DIM + 1}),
+                 i -> a.ev[i] * b.ev[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, {DIM + 1}), i -> a.ev[i] * b.ev[i]))
+          / (a.nrm * b.nrm) >= 0.5
+    """,
+    tags=("dedup", "similarity", "pipeline", "iterative"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED semantic near-duplicate detection — the SemDeDup pattern
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): k-means-cluster the embeddings,
+    then compute cosine pairs only WITHIN clusters. This closes the
+    documented bounded-slice limitation of `dedup_embedding_cosine`
+    (vec_id < 300): here every vector participates, and the candidate
+    set is bounded by cluster size instead of corpus size — O(Σ|C_k|²)
+    not O(n²), with K growing ∝ corpus so |C_k| stays constant.
+
+    Clustering reuses the integer-exact Lloyd machinery
+    (`sim_kmeans_lloyd`, same 2-iteration trajectory), so the oracle
+    reproduces the exact same assignment and the pair set is
+    value-checked end-to-end — a clustered ANN dedup whose output is
+    provably identical on two engines.
+
+    Plan shape: the k-means rounds are broadcast-assign + (cluster, dim)
+    tree aggregates (see sim_kmeans_lloyd); the pairing stage is ONE
+    exchange of the corpus on the cluster key followed by a within-
+    partition self-join. Skew guard at 100 TB: a runaway cluster is
+    re-split by another Lloyd round or LSH-bucketed internally — the
+    per-cluster quadratic never sees the whole corpus."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = _km_quantize(emb)
+    cents = q.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qx").alias("s"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    assigned = None
+    for i in range(KM_ITERS):
+        assigned = _km_assign(q, cents)
+        if i < KM_ITERS - 1:
+            cents = _km_update(assigned)
+    v = (
+        emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ev"),
+        )
+        .withColumn("nrm", F.sqrt(_dots("ev", "ev")))
+    )
+    a = v.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("ev").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("ev").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, ["cluster"]).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dots("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.5)
+        .select("cluster", "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )

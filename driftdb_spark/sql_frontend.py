@@ -251,6 +251,17 @@ class DriftSession:
         constraint model constraints.rs:10-34)."""
         from driftdb_spark.constraints import TableConstraints
 
+        # `pk` and `last_seq` are the engine's reconstruction columns
+        # (EventLog.state_df); a user column with either name would be
+        # ambiguous inside every DML/validation plan. Reject loudly —
+        # the system-column-collision rule every event-sourced engine
+        # has (the reference reserves its own event envelope fields).
+        reserved = {"pk", "last_seq"} & {c.lower() for c in schema_cols}
+        if reserved:
+            raise ValueError(
+                f"column name(s) {sorted(reserved)} are reserved "
+                f"(engine reconstruction columns); rename the column"
+            )
         pk = pk or next(iter(schema_cols))
         log = EventLog(self.spark, f"{self.storage_dir}/{name}", pk_col=pk)
         self._tables[name] = (log, dict(schema_cols))

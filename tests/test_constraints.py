@@ -310,3 +310,13 @@ def test_drop_column_scrubs_its_constraints(sess):
     sess.sql("INSERT INTO users (id, email, name) VALUES (2, 'b@x.io', 'ann')")
     with pytest.raises(ConstraintViolation, match="unique"):
         sess.sql("INSERT INTO users (id, email, name) VALUES (3, 'a@x.io', 'z')")
+
+
+def test_reserved_column_names_rejected(sess):
+    """`pk` / `last_seq` are engine reconstruction columns; a user column
+    with either name would be ambiguous in every DML plan (found by the
+    constraint fuzz) — the DDL fails loudly instead."""
+    with pytest.raises(ValueError, match="reserved"):
+        sess.sql("CREATE TABLE bad (pk INT PRIMARY KEY, v STRING)")
+    with pytest.raises(ValueError, match="reserved"):
+        sess.sql("CREATE TABLE bad2 (id INT PRIMARY KEY, last_seq INT)")
