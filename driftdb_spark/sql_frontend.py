@@ -839,7 +839,23 @@ class DriftSession:
             out = out.unionByName(f)
         return out
 
+    _RETURNING_RE = _re.compile(
+        r"\s+RETURNING\s+(.+)$", _re.IGNORECASE | _re.DOTALL
+    )
+
     def _dispatch_dml(self, q: str):
+        # Peel a trailing RETURNING clause off DML (PostgreSQL surface):
+        # the statement executes normally, then the affected rows project
+        # through the requested expressions — INSERT returns the inserted
+        # batch (defaults applied), UPDATE the post-image, DELETE the
+        # pre-image, each pinned BEFORE the write so the returned frame
+        # cannot observe its own mutation.
+        self._returning = None
+        if _re.match(r"^\s*(INSERT|UPDATE|DELETE)\b", q, _re.IGNORECASE):
+            mr = self._RETURNING_RE.search(q)
+            if mr:
+                self._returning = mr.group(1).strip()
+                q = q[: mr.start()].strip()
         m = self._EXPLAIN_RE.match(q)
         if m:
             # EXPLAIN <query> → the formatted physical plan as a one-column
@@ -1011,7 +1027,8 @@ class DriftSession:
             q_ins = q
         m = self._INSERT_RE.match(q_ins)
         if m and m.group(1) in self._tables:
-            return self._sql_insert(m.group(1), m.group(2), m.group(3), conflict)
+            out = self._sql_insert(m.group(1), m.group(2), m.group(3), conflict)
+            return out
         m = self._UPDATE_RE.match(q)
         if m and m.group(1) in self._tables:
             log, schema_cols = self._tables[m.group(1)]
@@ -1021,6 +1038,25 @@ class DriftSession:
                 assigns[col.strip()] = expr.strip()
             upd_cond = self._rls_condition(m.group(1), m.group(3) or "true", "update")
             tname = m.group(1)
+            post = None
+            if self._returning is not None:
+                from pyspark.sql import functions as F
+
+                # UPDATE ... RETURNING yields the POST-image (PostgreSQL):
+                # old rows with assignments applied, pinned before the
+                # Patch events land.
+                post = self._pin(
+                    self._txn_state_df(tname)
+                    .filter(upd_cond)
+                    .select(
+                        *[
+                            F.expr(str(assigns[c])).alias(c)
+                            if c in assigns
+                            else F.col(c)
+                            for c in schema_cols
+                        ]
+                    )
+                )
             if self._active_txn is not None:
 
                 def _upd():
@@ -1030,18 +1066,32 @@ class DriftSession:
                         schema_cols, upd_cond, assigns
                     )
 
-                return self._txn_stmt(_upd)
-            self._constraint_check_update(tname, upd_cond, assigns)
-            self._rls_check_update(tname, upd_cond, assigns)
-            return log.update_where(schema_cols, upd_cond, assigns)
+                out = self._txn_stmt(_upd)
+            else:
+                self._constraint_check_update(tname, upd_cond, assigns)
+                self._rls_check_update(tname, upd_cond, assigns)
+                out = log.update_where(schema_cols, upd_cond, assigns)
+            return self._project_returning(post) if post is not None else out
         m = self._DELETE_RE.match(q)
         if m and m.group(1) in self._tables:
             del_cond = self._rls_condition(m.group(1), m.group(2) or "true", "delete")
+            pre = None
+            if self._returning is not None:
+                _dlog, dcols = self._tables[m.group(1)]
+                # DELETE ... RETURNING yields the PRE-image, pinned before
+                # the tombstones land.
+                pre = self._pin(
+                    self._txn_state_df(m.group(1))
+                    .filter(del_cond)
+                    .select(*dcols)
+                )
             if self._active_txn is not None:
-                return self._txn_stmt(
+                out = self._txn_stmt(
                     lambda: self._txn_delete(m.group(1), del_cond)
                 )
-            return self.delete_checked(m.group(1), del_cond)
+            else:
+                out = self.delete_checked(m.group(1), del_cond)
+            return self._project_returning(pre) if pre is not None else out
         m = self._TRUNCATE_RE.match(q)
         if m and m.group(1) in self._tables:
             log, schema_cols = self._tables[m.group(1)]
@@ -1058,6 +1108,23 @@ class DriftSession:
                 )
             return log.delete_where(schema_cols, trunc_cond)
         return None
+
+    def _project_returning(self, df: DataFrame) -> DataFrame:
+        """Project the affected-rows frame through the RETURNING list."""
+        from pyspark.sql import functions as F
+
+        exprs = _split_top_level(self._returning)
+        if exprs == ["*"]:
+            return df
+        return df.select(*[F.expr(e) for e in exprs])
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Materialize a frame BEFORE a write mutates the state it reads
+        (persist spills rather than recomputes — the same pinning
+        contract as EventLog._append's)."""
+        df = df.persist()
+        df.count()
+        return df
 
     def _add_constraint_validated(
         self,
@@ -1361,6 +1428,7 @@ class DriftSession:
         typed = rows.select(
             *[F.col(c).cast(schema_cols[c]).alias(c) for c in cols]
         )
+        ret = getattr(self, "_returning", None)
         cons0 = self._constraints.get(table)
         if cons0 is not None and cons0.defaults:
             # Columns omitted from the INSERT list fill from their DEFAULT
@@ -1373,6 +1441,11 @@ class DriftSession:
                     typed = typed.withColumn(
                         c, F.expr(dexpr).cast(schema_cols[c])
                     )
+        if ret is not None:
+            # Pin before the write: an INSERT...SELECT source reads state
+            # lazily and must not observe its own insert when RETURNING
+            # re-projects it.
+            typed = self._pin(typed)
         if conflict is not None:
             # PostgreSQL upsert surface. DO NOTHING drops rows whose PK is
             # already live (anti-join); DO UPDATE is last-writer-wins full
@@ -1415,11 +1488,18 @@ class DriftSession:
                     typed[log.pk_col].cast("string") == F.col("pk"),
                     "left_anti",
                 )
-                return log.insert(fresh)
-            return log.upsert(typed)
+                if ret is not None:
+                    fresh = self._pin(fresh)  # lazy anti-join would see its
+                    # own insert and return nothing
+                out = log.insert(fresh)
+                return self._project_returning(fresh) if ret is not None else out
+            out = log.upsert(typed)
+            return self._project_returning(typed) if ret is not None else out
         if self._active_txn is not None:
-            return self._txn_stmt(lambda: self._txn_insert(table, typed))
-        return self.insert_checked(table, typed)
+            out = self._txn_stmt(lambda: self._txn_insert(table, typed))
+            return self._project_returning(typed) if ret is not None else out
+        out = self.insert_checked(table, typed)
+        return self._project_returning(typed) if ret is not None else out
 
     def _txn_insert(self, table: str, rows: DataFrame) -> None:
         """INSERT inside a transaction: FK-RESTRICT validated against the

@@ -488,3 +488,33 @@ def test_prepare_execute_deallocate(spark, tmp_path):
         s.sql("EXECUTE get(1)")  # falls through to Catalyst -> error
     s.sql("DEALLOCATE ALL")
     assert s._prepared == {}
+
+
+def test_dml_returning(spark, tmp_path):
+    """INSERT/UPDATE/DELETE ... RETURNING (PostgreSQL surface): INSERT
+    returns the inserted batch (defaults applied), UPDATE the post-image,
+    DELETE the pre-image — each pinned before the write."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql(
+        "CREATE TABLE acc (id INT PRIMARY KEY, owner STRING, "
+        "bal INT DEFAULT 100)"
+    )
+    out = s.sql("INSERT INTO acc (id, owner) VALUES (1, 'ann'), (2, 'bob') RETURNING id, bal")
+    rows = {(r.id, r.bal) for r in out.collect()}
+    assert rows == {(1, 100), (2, 100)}  # defaults visible in RETURNING
+    out = s.sql("UPDATE acc SET bal = bal + 50 WHERE owner = 'ann' RETURNING id, bal")
+    assert [(r.id, r.bal) for r in out.collect()] == [(1, 150)]
+    # post-image, not pre-image
+    assert s.sql("SELECT bal FROM acc WHERE id = 1").first()["bal"] == 150
+    out = s.sql("DELETE FROM acc WHERE id = 2 RETURNING *")
+    assert [(r.id, r.owner, r.bal) for r in out.collect()] == [(2, "bob", 100)]
+    assert s.sql("SELECT COUNT(*) AS n FROM acc").first()["n"] == 1
+    # expressions in the RETURNING list
+    out = s.sql("INSERT INTO acc VALUES (3, 'cal', 7) RETURNING id * 10 AS id10")
+    assert out.first()["id10"] == 30
+    # inside a transaction: returns staged post-image, nothing published
+    s.sql("BEGIN")
+    out = s.sql("UPDATE acc SET bal = 0 WHERE id = 1 RETURNING bal")
+    assert out.first()["bal"] == 0
+    s.sql("ROLLBACK")
+    assert s.sql("SELECT bal FROM acc WHERE id = 1").first()["bal"] == 150
