@@ -285,3 +285,57 @@ def events_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change_type"),
         )
     )
+
+
+@register(
+    "events_change_feed",
+    oracle="""
+    WITH e AS (
+      SELECT event_id AS seq, user_id AS pk, event_type,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS new_value
+      FROM events
+    )
+    SELECT seq, pk,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                           WHEN 'error' THEN 'delete'
+                           ELSE 'update' END AS change_type,
+           LAG(new_value) OVER (PARTITION BY pk ORDER BY seq) AS old_value,
+           new_value,
+           ROUND(new_value - LAG(new_value) OVER (PARTITION BY pk ORDER BY seq), 6)
+             AS delta
+    FROM e
+    """,
+    tags=("temporal", "cdc"),
+)
+def events_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the event log: every event emitted as a
+    typed change record with before/after images — Delta Lake's CDF /
+    Debezium envelope, derived from the reference's drift history
+    (SHOW DRIFT gives the raw events, query/executor.rs:327-354; this
+    adds the old-image join downstream consumers actually need).
+
+    Plan shape: ONE pk-keyed exchange carrying a single LAG window —
+    the old image comes from the previous event in the same partition,
+    never from a self-join. At 100 TB this is the cheapest possible CDC
+    materialization: the feed is a map over the sorted partition, and a
+    consumer resuming from sequence N pushes `seq > N` into the scan."""
+    e = _events(spark, sf_dir).select(
+        "seq",
+        "pk",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("new_value"),
+    )
+    w = W.partitionBy("pk").orderBy("seq")
+    return e.select(
+        "seq",
+        "pk",
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        F.lag("new_value").over(w).alias("old_value"),
+        "new_value",
+        F.round(F.col("new_value") - F.lag("new_value").over(w), 6).alias("delta"),
+    )

@@ -842,6 +842,16 @@ class DriftSession:
     _RETURNING_RE = _re.compile(
         r"\s+RETURNING\s+(.+)$", _re.IGNORECASE | _re.DOTALL
     )
+    _MERGE_RE = _re.compile(
+        r"^MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)"
+        r"\s+ON\s+(.+?)\s+(WHEN\s+.*)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _MERGE_WHEN_RE = _re.compile(
+        r"^\s*(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+"
+        r"(UPDATE\s+SET\s+.+|DELETE|INSERT\s*(?:\([^)]*\))?\s*VALUES\s*\(.+\))\s*$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
 
     def _dispatch_dml(self, q: str):
         # Peel a trailing RETURNING clause off DML (PostgreSQL surface):
@@ -856,6 +866,11 @@ class DriftSession:
             if mr:
                 self._returning = mr.group(1).strip()
                 q = q[: mr.start()].strip()
+        m = self._MERGE_RE.match(q)
+        if m and m.group(1) in self._tables:
+            return self._sql_merge(
+                m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+            )
         m = self._EXPLAIN_RE.match(q)
         if m:
             # EXPLAIN <query> → the formatted physical plan as a one-column
@@ -1108,6 +1123,199 @@ class DriftSession:
                 )
             return log.delete_where(schema_cols, trunc_cond)
         return None
+
+    def _sql_merge(
+        self, table: str, talias: str | None, source: str, on: str, whens: str
+    ) -> int:
+        """MERGE INTO — the SQL-standard / Delta-Lake upsert statement:
+
+        ``MERGE INTO t [AS a] USING src|(query) [AS s] ON cond
+        WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | DELETE
+        WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (exprs)``
+
+        The reference has no MERGE (its upsert surface is ON CONFLICT);
+        this is the Spark-native equivalent of a Delta ``MERGE``. All
+        staged changes publish as ONE atomic event batch through the same
+        buffered-transaction commit the DML paths use, so readers see the
+        whole merge or none of it.
+
+        Semantics (SQL standard / PostgreSQL 15):
+        - clauses apply in declaration order; a matched row is consumed
+          by the first clause whose AND-condition it satisfies;
+        - a source row may not touch the same target row twice — the
+          duplicate-match check raises before anything stages;
+        - assignments and insert values may reference both aliases; the
+          join itself is Catalyst SQL over the registered state views.
+
+        Plan shape: one target⋈source join on the ON condition feeds every
+        matched clause (ReuseExchange dedupes the join across clauses);
+        NOT MATCHED is the same join flipped to left-anti. At 100 TB this
+        is the canonical CDC-apply: the join shuffles on the merge key
+        once, and the atomic batch is the Delta commit analog."""
+        from pyspark.sql import functions as F
+
+        from driftdb_spark import constraints as C
+        from driftdb_spark.temporal import AsOf
+
+        log, schema_cols = self._tables[table]
+        pk = log.pk_col
+        talias = talias or table
+        self._register_states(AsOf.now())
+        src = source.strip()
+        # `USING (subquery) [AS] alias` or `USING table [AS] alias`
+        ms = _re.match(r"^(\(.*\)|\w+)\s*(?:AS\s+)?(\w+)?$", src, _re.DOTALL)
+        if ms is None:
+            raise ValueError(f"cannot parse MERGE source: {src!r}")
+        src_sql, salias = ms.group(1), (ms.group(2) or "__src")
+        clauses = []
+        for part in _re.split(r"\bWHEN\b", whens, flags=_re.IGNORECASE):
+            part = part.strip()
+            if not part:
+                continue
+            mw = self._MERGE_WHEN_RE.match(part)
+            if mw is None:
+                raise ValueError(f"cannot parse MERGE WHEN clause: {part!r}")
+            clauses.append((mw.group(1) is not None, mw.group(2), mw.group(3)))
+
+        base_from = f"FROM {table} {talias} JOIN {src_sql} {salias} ON {on}"
+        # duplicate-match guard (PostgreSQL: "MERGE command cannot affect
+        # row a second time")
+        dup = self.spark.sql(
+            f"SELECT {talias}.{pk} AS k {base_from} "
+            f"GROUP BY {talias}.{pk} HAVING COUNT(*) > 1"
+        )
+        if not dup.isEmpty():
+            raise ValueError(
+                "MERGE: a target row matches more than one source row"
+            )
+        txn = (
+            self._active_txn.table(table)
+            if self._active_txn is not None
+            else log.begin()
+        )
+        cons = self._constraints.get(table) or C.TableConstraints()
+        consumed = None  # matched pks already claimed by an earlier clause
+        n_changes = 0
+        for is_not_matched, extra, action in clauses:
+            cond = f" WHERE {extra}" if extra else ""
+            au = action.upper()
+            if is_not_matched:
+                if not au.startswith("INSERT"):
+                    raise ValueError("WHEN NOT MATCHED supports INSERT only")
+                mi = _re.match(
+                    r"INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.+)\)\s*$",
+                    action,
+                    _re.IGNORECASE | _re.DOTALL,
+                )
+                cols = (
+                    [c.strip() for c in mi.group(1).split(",")]
+                    if mi.group(1)
+                    else list(schema_cols)
+                )
+                exprs = _split_top_level(mi.group(2))
+                sel = ", ".join(
+                    f"({e}) AS {c}" for c, e in zip(cols, exprs)
+                )
+                anti = (
+                    f"SELECT {sel} FROM {src_sql} {salias} "
+                    f"WHERE NOT EXISTS (SELECT 1 FROM {table} {talias} "
+                    f"WHERE {on})" + (f" AND ({extra})" if extra else "")
+                )
+                rows = self.spark.sql(anti).select(
+                    *[
+                        F.col(c).cast(schema_cols[c]).alias(c)
+                        for c in cols
+                        if c in schema_cols
+                    ]
+                )
+                self._constraint_check_insert(
+                    table, rows, state_of=lambda _t: txn.state_df(schema_cols)
+                )
+                self._fk_check_rows(table, rows)
+                txn.insert(rows)
+                n_changes += 1
+                continue
+            keys_sql = f"SELECT {talias}.{pk} AS {pk} {base_from}{cond}"
+            keys = self.spark.sql(keys_sql)
+            if consumed is not None:
+                keys = keys.join(consumed, pk, "left_anti")
+            keys = self._pin(keys)
+            consumed = keys if consumed is None else consumed.unionByName(keys)
+            if au == "DELETE":
+                # FK RESTRICT on merge-deletes (cascades are not offered
+                # through MERGE — use DELETE for cascading semantics)
+                for child, child_col, parent, _pcol, action in self._fks:
+                    if parent != table:
+                        continue
+                    clog, ccols = self._tables[child]
+                    referencing = clog.state_df(ccols).join(
+                        keys.select(F.col(pk).cast("string").alias("__dpk")),
+                        F.col(child_col).cast("string") == F.col("__dpk"),
+                        "left_semi",
+                    )
+                    if not referencing.isEmpty():
+                        raise ValueError(
+                            f"FK {action.upper()}: {child}.{child_col} "
+                            f"references {table}.{pk}; MERGE does not cascade"
+                        )
+                txn.soft_delete(keys)
+                n_changes += 1
+                continue
+            assigns = {}
+            for a in _split_top_level(action[len("UPDATE SET") :]):
+                col, _, expr = a.partition("=")
+                assigns[col.strip()] = expr.strip()
+            if pk in assigns:
+                raise ValueError("MERGE may not assign the primary key")
+            patch_sel = ", ".join(
+                [f"{talias}.{pk} AS {pk}"]
+                + [f"({e}) AS {c}" for c, e in assigns.items()]
+            )
+            patch = self._pin(
+                self.spark.sql(f"SELECT {patch_sel} {base_from}{cond}").join(
+                    keys.select(pk), pk, "left_semi"
+                )
+            )
+            # constraint gate on the post-image (NOT NULL / CHECK on
+            # touched columns; UNIQUE vs rows this merge doesn't touch)
+            narrowed = C.TableConstraints(
+                uniques=[u for u in cons.uniques if set(assigns) & set(u)],
+                checks=list(cons.checks),
+                not_null=[c for c in cons.not_null if c in assigns],
+            )
+            if not narrowed.is_empty():
+                state = txn.state_df(schema_cols)
+                # post-image: patched columns take the patch value
+                post = state.join(
+                    patch.select(
+                        F.col(pk).cast("string").alias("__mpk"),
+                        *[F.col(c).alias(f"__new_{c}") for c in assigns],
+                    ),
+                    state[pk].cast("string") == F.col("__mpk"),
+                ).select(
+                    *[
+                        (
+                            F.col(f"__new_{c}").cast(schema_cols[c])
+                            if c in assigns
+                            else F.col(c)
+                        ).alias(c)
+                        for c in schema_cols
+                    ]
+                )
+                C.check_not_null(table, narrowed, post)
+                C.check_checks(table, narrowed, post)
+                if narrowed.uniques:
+                    survivors = state.join(
+                        keys.select(F.col(pk).cast("string").alias("__kpk")),
+                        state[pk].cast("string") == F.col("__kpk"),
+                        "left_anti",
+                    )
+                    C.check_unique_insert(table, narrowed, post, survivors)
+            txn.patch(patch)
+            n_changes += 1
+        if self._active_txn is not None:
+            return 0  # publishes at COMMIT
+        return txn.commit() if n_changes else 0
 
     def _project_returning(self, df: DataFrame) -> DataFrame:
         """Project the affected-rows frame through the RETURNING list."""

@@ -518,3 +518,53 @@ def test_dml_returning(spark, tmp_path):
     assert out.first()["bal"] == 0
     s.sql("ROLLBACK")
     assert s.sql("SELECT bal FROM acc WHERE id = 1").first()["bal"] == 150
+
+
+def test_merge_into(spark, tmp_path):
+    """MERGE INTO (SQL-standard / Delta upsert; the reference's upsert
+    surface is ON CONFLICT only): matched updates, matched-conditional
+    deletes, not-matched inserts — all published as ONE atomic batch."""
+    import pytest
+
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE inv (sku INT PRIMARY KEY, qty INT, status STRING)")
+    s.sql(
+        "INSERT INTO inv VALUES (1, 10, 'ok'), (2, 0, 'ok'), (3, 7, 'ok')"
+    )
+    s.sql("CREATE TABLE delta (sku INT PRIMARY KEY, dq INT)")
+    s.sql("INSERT INTO delta VALUES (1, 5), (2, -0), (4, 3)")
+    seq_before = s.table("inv").last_sequence()
+    s.sql(
+        "MERGE INTO inv AS t USING delta AS d ON t.sku = d.sku "
+        "WHEN MATCHED AND t.qty + d.dq <= 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET qty = t.qty + d.dq "
+        "WHEN NOT MATCHED THEN INSERT (sku, qty, status) VALUES (d.sku, d.dq, 'new')"
+    )
+    rows = {
+        (r.sku, r.qty, r.status)
+        for r in s.sql("SELECT sku, qty, status FROM inv").collect()
+    }
+    # sku 1 updated (15), sku 2 deleted (qty+dq <= 0), sku 3 untouched,
+    # sku 4 inserted
+    assert rows == {(1, 15, "ok"), (3, 7, "ok"), (4, 3, "new")}
+    # the whole merge published as ONE atomic event batch
+    drift = s.table("inv").events().filter(f"sequence > {seq_before}")
+    assert drift.count() == 3  # 1 patch + 1 delete + 1 insert
+
+    # subquery source + duplicate-match guard
+    s.sql("CREATE TABLE dup_src (k INT PRIMARY KEY, sku INT)")
+    s.sql("INSERT INTO dup_src VALUES (1, 1), (2, 1)")
+    with pytest.raises(ValueError, match="more than one source row"):
+        s.sql(
+            "MERGE INTO inv t USING (SELECT sku FROM dup_src) s ON t.sku = s.sku "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+    # constraint gate applies to merge updates
+    s.sql("ALTER TABLE inv ADD CONSTRAINT nonneg CHECK (qty >= 0)")
+    with pytest.raises(Exception, match="nonneg"):
+        s.sql(
+            "MERGE INTO inv t USING delta d ON t.sku = d.sku "
+            "WHEN MATCHED THEN UPDATE SET qty = -99"
+        )
+    assert s.sql("SELECT qty FROM inv WHERE sku = 1").first()["qty"] == 15
