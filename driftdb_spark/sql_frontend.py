@@ -576,6 +576,13 @@ class DriftSession:
     _RELEASE_RE = _re.compile(
         r"^RELEASE\s+(?:SAVEPOINT\s+)?(\w+)$", _re.IGNORECASE
     )
+    _DESCRIBE_RE = _re.compile(
+        r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)$", _re.IGNORECASE
+    )
+    _SHOW_TABLES_RE = _re.compile(r"^SHOW\s+TABLES$", _re.IGNORECASE)
+    _SHOW_CREATE_RE = _re.compile(
+        r"^SHOW\s+CREATE\s+TABLE\s+(\w+)$", _re.IGNORECASE
+    )
     _PREPARE_RE = _re.compile(
         r"^PREPARE\s+(\w+)\s*(?:\([^)]*\)\s*)?AS\s+(.*)$",
         _re.IGNORECASE | _re.DOTALL,
@@ -656,6 +663,79 @@ class DriftSession:
         routed = self._dispatch_rls(q)
         if routed is not None:
             return routed
+        m = self._SHOW_TABLES_RE.match(q)
+        if m:
+            # Session-catalog introspection (the reference CLI's `tables`;
+            # psql's \dt shape): event-backed tables with pk + row-ish
+            # metadata, plus registered view names.
+            rows = [
+                (name, "table", log.pk_col, len(cols))
+                for name, (log, cols) in sorted(self._tables.items())
+            ] + [(name, "view", None, None) for name in sorted(self._views)]
+            return self.spark.createDataFrame(
+                rows, "name string, kind string, primary_key string, n_columns int"
+            )
+        m = self._DESCRIBE_RE.match(q)
+        if m and m.group(1) in self._tables:
+            # DESCRIBE over an event-backed table: engine metadata the
+            # temp-view DESCRIBE cannot know — PK, NOT NULL, UNIQUE
+            # membership, CHECKs, DEFAULTs.
+            from driftdb_spark.constraints import TableConstraints
+
+            log, schema_cols = self._tables[m.group(1)]
+            cons = self._constraints.get(m.group(1)) or TableConstraints()
+            uniq_cols = {c for u in cons.uniques for c in u if len(u) == 1}
+            rows = []
+            for c, t in schema_cols.items():
+                rows.append(
+                    (
+                        c,
+                        t,
+                        c != log.pk_col and c not in cons.not_null,
+                        "PRI" if c == log.pk_col else ("UNI" if c in uniq_cols else None),
+                        cons.defaults.get(c),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "column string, type string, nullable boolean, key string, default string",
+            )
+        m = self._SHOW_CREATE_RE.match(q)
+        if m and m.group(1) in self._tables:
+            from driftdb_spark.constraints import TableConstraints
+
+            name = m.group(1)
+            log, schema_cols = self._tables[name]
+            cons = self._constraints.get(name) or TableConstraints()
+            parts = []
+            for c, t in schema_cols.items():
+                bits = [c, t.upper()]
+                if c == log.pk_col:
+                    bits.append("PRIMARY KEY")
+                if c in cons.not_null:
+                    bits.append("NOT NULL")
+                if [c] in cons.uniques:
+                    bits.append("UNIQUE")
+                if c in cons.defaults:
+                    bits.append(f"DEFAULT {cons.defaults[c]}")
+                parts.append(" ".join(bits))
+            names = cons.unique_names + [None] * (
+                len(cons.uniques) - len(cons.unique_names)
+            )
+            for u, nm in zip(cons.uniques, names):
+                if len(u) > 1:
+                    prefix = f"CONSTRAINT {nm} " if nm else ""
+                    parts.append(f"{prefix}UNIQUE ({', '.join(u)})")
+            for cname, expr in cons.checks:
+                parts.append(f"CONSTRAINT {cname} CHECK ({expr})")
+            for child, ccol, parent, pcol, action in self._fks:
+                if child == name:
+                    parts.append(
+                        f"FOREIGN KEY ({ccol}) REFERENCES {parent} ({pcol})"
+                        + (" ON DELETE CASCADE" if action == "cascade" else "")
+                    )
+            ddl = f"CREATE TABLE {name} (\n  " + ",\n  ".join(parts) + "\n)"
+            return self.spark.createDataFrame([(ddl,)], "ddl string")
         m = self._PREPARE_RE.match(q)
         if m:
             # PREPARE name [(types)] AS stmt — session-level prepared

@@ -568,3 +568,35 @@ def test_merge_into(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET qty = -99"
         )
     assert s.sql("SELECT qty FROM inv WHERE sku = 1").first()["qty"] == 15
+
+
+def test_catalog_introspection(spark, tmp_path):
+    """SHOW TABLES / DESCRIBE / SHOW CREATE TABLE expose the engine
+    catalog (PK, constraints, defaults) that a temp-view DESCRIBE can't
+    know."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql(
+        "CREATE TABLE users (id INT PRIMARY KEY, email STRING UNIQUE, "
+        "name STRING NOT NULL, age INT DEFAULT 21 CHECK (age >= 0), "
+        "UNIQUE (name, age))"
+    )
+    s.sql("CREATE VIEW adults AS SELECT * FROM users WHERE age >= 18")
+    tabs = {(r.name, r.kind) for r in s.sql("SHOW TABLES").collect()}
+    assert tabs == {("users", "table"), ("adults", "view")}
+    d = {r.column: r for r in s.sql("DESCRIBE users").collect()}
+    assert d["id"].key == "PRI" and not d["id"].nullable
+    assert d["email"].key == "UNI"
+    assert not d["name"].nullable
+    assert d["age"].default == "21"
+    ddl = s.sql("SHOW CREATE TABLE users").first()["ddl"]
+    assert "id INT PRIMARY KEY" in ddl
+    assert "email STRING UNIQUE" in ddl
+    assert "name STRING NOT NULL" in ddl
+    assert "DEFAULT 21" in ddl
+    assert "UNIQUE (name, age)" in ddl
+    assert "CHECK (age >= 0)" in ddl
+    # the rendered DDL round-trips through the parser
+    s2 = DriftSession(spark, str(tmp_path) + "2")
+    s2.sql(ddl.replace("users", "users_rt"))
+    d2 = {r.column: r for r in s2.sql("DESCRIBE users_rt").collect()}
+    assert d2.keys() == d.keys()
