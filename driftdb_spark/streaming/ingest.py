@@ -389,3 +389,110 @@ def stateful_rolling_zscore(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# -- change data feed ---------------------------------------------------------
+
+_CDC_STEP = (
+    "(acc, ev) -> CASE "
+    "WHEN ev.event_type = 'INSERT' THEN ev.payload "
+    "WHEN ev.event_type = 'SOFT_DELETE' THEN CAST(NULL AS MAP<STRING,STRING>) "
+    "WHEN acc IS NULL THEN CAST(NULL AS MAP<STRING,STRING>) "
+    "ELSE map_concat(map_filter(acc, (k, v) -> NOT map_contains_key(ev.payload, k)), ev.payload) "
+    "END"
+)
+
+
+def cdc_records(events: DataFrame, prior_state: DataFrame) -> DataFrame:
+    """Change records (Delta CDF / Debezium envelope) for a batch of
+    events, given the materialized prior state ``(pk, row)``:
+    ``(sequence, ts, pk, change_type, old_row, new_row)`` where old/new
+    are full before/after images with Patch merge semantics — the same
+    LWW fold as ``fold_events``, applied cumulatively per event.
+
+    The per-pk running image is ONE window (``collect_list`` over the
+    ordered partition) + an ``aggregate`` HOF fold seeded with the prior
+    image — JVM-side, no self-join, one pk-keyed exchange. A Patch or
+    Delete with no live base is ``noop`` (apply_event ignores it,
+    reference table_storage.rs:369-389)."""
+    from pyspark.sql.window import Window as W
+
+    e = events.join(
+        prior_state.select("pk", F.col("row").alias("_prior")), "pk", "left"
+    )
+    w = (
+        W.partitionBy("pk")
+        .orderBy("sequence")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    upto = F.expr("collect_list(struct(sequence, event_type, payload))").over(w)
+    e = e.withColumn("_upto", upto)
+    new_img = F.expr(f"aggregate(_upto, _prior, {_CDC_STEP})")
+    old_img = F.expr(
+        f"aggregate(slice(_upto, 1, size(_upto) - 1), _prior, {_CDC_STEP})"
+    )
+    return (
+        e.withColumn("new_row", new_img)
+        .withColumn("old_row", old_img)
+        .select(
+            "sequence",
+            "ts",
+            "pk",
+            F.when(F.col("event_type") == "INSERT", F.lit("insert"))
+            .when(
+                F.col("event_type") == "SOFT_DELETE",
+                F.when(F.col("old_row").isNull(), F.lit("noop")).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            .otherwise(
+                F.when(F.col("old_row").isNull(), F.lit("noop")).otherwise(
+                    F.lit("update")
+                )
+            )
+            .alias("change_type"),
+            "old_row",
+            "new_row",
+        )
+    )
+
+
+def start_cdc_feed(
+    spark: SparkSession,
+    events_dir: str,
+    state_path: str,
+    feed_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming change-data-feed: each micro-batch appends its change
+    records (before/after images derived from the materialized prior
+    state) to ``feed_path``, then advances the state exactly like
+    ``start_state_materializer`` — so the feed and the state can never
+    disagree about the image an event saw. Feed appends are
+    batch-id-partitioned parquet (idempotent on replay: a recomputed
+    micro-batch overwrites its own partition, the exactly-once
+    foreachBatch discipline)."""
+    state_merge = _merge_batch_into_state(state_path)
+
+    def emit_and_merge(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if os.path.exists(state_path):
+            prior = sp.read.parquet(state_path).select("pk", "row")
+        else:
+            prior = sp.createDataFrame(
+                [], "pk string, row map<string,string>"
+            )
+        out = os.path.join(feed_path, f"batch_id={batch_id}")
+        cdc_records(batch, prior).write.mode("overwrite").parquet(out)
+        state_merge(batch, batch_id)
+
+    reader = read_event_stream(spark, events_dir)
+    writer = (
+        reader.writeStream.foreachBatch(emit_and_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -546,3 +546,58 @@ def test_stateful_rolling_zscore_stream_equals_batch(spark, tmp_path):
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) < 1e-5 for k in want)
     assert len(want) > 0  # the parity is over a non-trivial anomaly set
+
+
+def test_cdc_feed_stream_equals_batch(spark, tmp_path):
+    """Stream ≡ batch parity for the change-data-feed: the streamed feed
+    (two separate runs = state handed across micro-batch generations)
+    must equal the batch derivation over the full log in one pass."""
+    from driftdb_spark.events import EventLog
+    from driftdb_spark.streaming.ingest import cdc_records, start_cdc_feed
+
+    log = EventLog(spark, str(tmp_path / "t"), pk_col="id")
+    log.upsert(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id int, name string, value int"
+        )
+    )
+    log.patch(spark.createDataFrame([(1, 11)], "id int, value int"))
+
+    state_path = str(tmp_path / "state")
+    feed_path = str(tmp_path / "feed")
+    q = start_cdc_feed(
+        spark, log._events_dir, state_path, feed_path, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    # second generation: delete, re-insert, patch — old images must come
+    # from the state materialized by the FIRST run
+    log.soft_delete(spark.createDataFrame([(2,)], "id int"))
+    log.upsert(spark.createDataFrame([(3, "c", 30)], "id int, name string, value int"))
+    log.patch(spark.createDataFrame([(3, 33)], "id int, value int"))
+    q2 = start_cdc_feed(
+        spark, log._events_dir, state_path, feed_path, str(tmp_path / "ck")
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.sequence, r.pk, r.change_type,
+         None if r.old_row is None else r.old_row.get("value"),
+         None if r.new_row is None else r.new_row.get("value"))
+        for r in spark.read.parquet(feed_path).collect()
+    }
+    empty = spark.createDataFrame([], "pk string, row map<string,string>")
+    want = {
+        (r.sequence, r.pk, r.change_type,
+         None if r.old_row is None else r.old_row.get("value"),
+         None if r.new_row is None else r.new_row.get("value"))
+        for r in cdc_records(log.events(), empty).collect()
+    }
+    assert got == want and len(want) == 6
+    # spot-check semantics: the patch to pk 3 carries the full after-image
+    by_seq = {r.sequence: r for r in spark.read.parquet(feed_path).collect()}
+    upd3 = [r for r in by_seq.values() if r.pk == "3" and r.change_type == "update"]
+    assert upd3[0].new_row["name"] == "c" and upd3[0].new_row["value"] == "33"
+    assert upd3[0].old_row["value"] == "30"
+    del3 = [r for r in by_seq.values() if r.pk == "2" and r.change_type == "delete"]
+    assert del3[0].old_row["value"] == "20" and del3[0].new_row is None
