@@ -460,3 +460,71 @@ def test_copy_in_and_out(server):
     assert tag == "COPY 3"
     assert out_rows == ["1\tbolt", "2\t\\N", "3\twasher"]
     c.close()
+
+
+def _psql(host, port, sql, user="tester", password=None, extra=None):
+    import os as _os
+    import subprocess
+
+    env = dict(_os.environ)
+    if password is not None:
+        env["PGPASSWORD"] = password
+    cmd = [
+        "psql",
+        f"host={host} port={port} user={user} dbname=drift sslmode=disable",
+        "-X",
+        "-v",
+        "ON_ERROR_STOP=1",
+        "-A",
+        "-t",
+    ] + (extra or []) + ["-c", sql]
+    return subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=120)
+
+
+def test_psql_end_to_end(server):
+    """A stock psql binary connects, runs DDL/DML/SELECT, and quits
+    cleanly — the client-compat acceptance test for the wire server."""
+    host, port = server.address
+    r = _psql(host, port, "SELECT 41 + 1 AS v")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "42"
+    r = _psql(host, port, "CREATE TABLE pt (id INT PRIMARY KEY, v STRING)")
+    assert r.returncode == 0, r.stderr
+    r = _psql(host, port, "INSERT INTO pt VALUES (1, 'x'), (2, 'y')")
+    assert r.returncode == 0, r.stderr
+    r = _psql(host, port, "SELECT v FROM pt ORDER BY id")
+    assert r.returncode == 0 and r.stdout.split() == ["x", "y"]
+    # psql startup chatter (SHOW/SET) and multi-statement scripts work
+    r = _psql(host, port, "SHOW server_version")
+    assert r.returncode == 0 and "16.0" in r.stdout
+
+
+def test_psql_copy_roundtrip(server, tmp_path):
+    r"""psql \copy drives the COPY protocol both directions."""
+    host, port = server.address
+    r = _psql(host, port, "CREATE TABLE ct (id INT PRIMARY KEY, name STRING)")
+    assert r.returncode == 0, r.stderr
+    src = tmp_path / "in.csv"
+    src.write_text("1,ann\n2,bob\n")
+    r = _psql(
+        host, port,
+        f"\\copy ct FROM '{src}' WITH (FORMAT csv)",
+    )
+    assert r.returncode == 0, r.stderr
+    out = tmp_path / "out.txt"
+    r = _psql(host, port, f"\\copy ct TO '{out}'")
+    assert r.returncode == 0, r.stderr
+    assert sorted(out.read_text().splitlines()) == ["1\tann", "2\tbob"]
+
+
+def test_psql_password_auth(spark, tmp_path):
+    sess = DriftSession(spark, str(tmp_path))
+    srv = PgWireServer(sess, users={"admin": "sekret"}, superusers={"admin"}).start()
+    try:
+        host, port = srv.address
+        r = _psql(host, port, "SELECT 1 AS ok", user="admin", password="sekret")
+        assert r.returncode == 0 and r.stdout.strip() == "1", r.stderr
+        r = _psql(host, port, "SELECT 1", user="admin", password="wrong")
+        assert r.returncode != 0
+    finally:
+        srv.stop()
