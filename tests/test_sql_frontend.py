@@ -600,3 +600,52 @@ def test_catalog_introspection(spark, tmp_path):
     s2.sql(ddl.replace("users", "users_rt"))
     d2 = {r.column: r for r in s2.sql("DESCRIBE users_rt").collect()}
     assert d2.keys() == d.keys()
+
+
+def test_incremental_materialized_view(spark, tmp_path):
+    """Incremental MV maintenance: refresh recomputes only the groups a
+    change touched, and the merged MV always equals the full recompute
+    (the Delta Live Tables / Materialize keyed-aggregate shape; the
+    reference refreshes views by full re-execution, views.rs:541)."""
+    from driftdb_spark.views import IncrementalViewRegistry
+
+    s = DriftSession(spark, str(tmp_path))
+    log = s.create_table(
+        "sales", {"id": "int", "region": "string", "amt": "int"}
+    )
+    log.insert(
+        spark.createDataFrame(
+            [(1, "east", 10), (2, "east", 20), (3, "west", 5), (4, "north", 9)],
+            "id int, region string, amt int",
+        )
+    )
+    reg = IncrementalViewRegistry(spark, str(tmp_path))
+    sql = (
+        "SELECT region, COUNT(*) AS n, SUM(amt) AS total "
+        "FROM sales_src GROUP BY region"
+    )
+    reg.create("mv_sales", log, s._tables["sales"][1], sql, ["region"], "sales_src")
+
+    def mv():
+        return {
+            (r.region, r.n, r.total)
+            for r in spark.sql("SELECT * FROM mv_sales").collect()
+        }
+
+    assert mv() == {("east", 2, 30), ("west", 1, 5), ("north", 1, 9)}
+
+    # change touches east (patch) and west->south (region move): north
+    # must NOT recompute
+    log.patch(spark.createDataFrame([(1, 100)], "id int, amt int"))
+    s.sql("UPDATE sales SET region = 'south' WHERE id = 3")
+    n = reg.refresh("mv_sales")
+    assert n == 3  # east (patched), west (left), south (entered)
+    assert mv() == {("east", 2, 120), ("south", 1, 5), ("north", 1, 9)}
+
+    # delete empties a group: its MV row must disappear
+    s.sql("DELETE FROM sales WHERE region = 'south'")
+    reg.refresh("mv_sales")
+    assert mv() == {("east", 2, 120), ("north", 1, 9)}
+
+    # no changes -> zero groups recomputed
+    assert reg.refresh("mv_sales") == 0
