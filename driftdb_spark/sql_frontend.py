@@ -134,6 +134,7 @@ class DriftSession:
         self._fks: list[tuple[str, str, str, str, str]] = []
         self._constraints: dict = {}  # table -> TableConstraints
         self._views: dict[str, str] = {}
+        self._mviews: dict[str, str] = {}  # materialized views: name -> SQL
         self._prepared: dict[str, tuple[str, int]] = {}  # PREPARE name -> (sql, n)
         self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
         self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
@@ -208,6 +209,15 @@ class DriftSession:
 
         for tname, meta in cat.get("constraints", {}).items():
             self._constraints[tname] = TableConstraints.from_catalog(meta)
+        self._mviews = dict(cat.get("mviews", {}))
+        for name in self._mviews:
+            # Re-register the STORED result (that is the point of a
+            # materialized view); a missing file means the storage dir was
+            # pruned — REFRESH rebuilds it.
+            if os.path.exists(self._mv_path(name)):
+                self.spark.read.parquet(self._mv_path(name)).createOrReplaceTempView(
+                    name
+                )
 
     def _save_catalog(self) -> None:
         import json
@@ -228,6 +238,7 @@ class DriftSession:
                 for n, c in self._constraints.items()
                 if not c.is_empty() or c.defaults
             },
+            "mviews": self._mviews,
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -552,6 +563,16 @@ class DriftSession:
         r"NOT\s+NULL$",
         _re.IGNORECASE,
     )
+    _CREATE_MVIEW_RE = _re.compile(
+        r"^CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.*)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _REFRESH_MVIEW_RE = _re.compile(
+        r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)$", _re.IGNORECASE
+    )
+    _DROP_MVIEW_RE = _re.compile(
+        r"^DROP\s+MATERIALIZED\s+VIEW\s+(\w+)$", _re.IGNORECASE
+    )
     _CREATE_VIEW_RE = _re.compile(
         r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$",
         _re.IGNORECASE | _re.DOTALL,
@@ -668,10 +689,17 @@ class DriftSession:
             # Session-catalog introspection (the reference CLI's `tables`;
             # psql's \dt shape): event-backed tables with pk + row-ish
             # metadata, plus registered view names.
-            rows = [
-                (name, "table", log.pk_col, len(cols))
-                for name, (log, cols) in sorted(self._tables.items())
-            ] + [(name, "view", None, None) for name in sorted(self._views)]
+            rows = (
+                [
+                    (name, "table", log.pk_col, len(cols))
+                    for name, (log, cols) in sorted(self._tables.items())
+                ]
+                + [(name, "view", None, None) for name in sorted(self._views)]
+                + [
+                    (name, "materialized view", None, None)
+                    for name in sorted(self._mviews)
+                ]
+            )
             return self.spark.createDataFrame(
                 rows, "name string, kind string, primary_key string, n_columns int"
             )
@@ -963,6 +991,30 @@ class DriftSession:
             return self.spark.createDataFrame(
                 [(line,) for line in text.splitlines()], "plan string"
             )
+        m = self._CREATE_MVIEW_RE.match(q)
+        if m:
+            # MATERIALIZED views persist the RESULT (reference views.rs
+            # materialized path + refresh :541): computed now, parquet-
+            # backed, scan-served until REFRESH recomputes. The SQL text
+            # persists in the catalog so a fresh session re-registers the
+            # stored result. Incremental maintenance for keyed aggregate
+            # views lives in views.IncrementalViewRegistry.
+            return self._sql_create_mview(m.group(1), m.group(2))
+        m = self._REFRESH_MVIEW_RE.match(q)
+        if m and m.group(1) in self._mviews:
+            return self._sql_refresh_mview(m.group(1))
+        m = self._DROP_MVIEW_RE.match(q)
+        if m and m.group(1) in self._mviews:
+            import shutil
+
+            shutil.rmtree(self._mv_path(m.group(1)), ignore_errors=True)
+            self._mviews.pop(m.group(1), None)
+            try:
+                self.spark.catalog.dropTempView(m.group(1))
+            except Exception:
+                pass
+            self._save_catalog()
+            return 0
         m = self._CREATE_VIEW_RE.match(q)
         if m:
             # Views persist as SQL TEXT and re-execute at every query —
@@ -1396,6 +1448,36 @@ class DriftSession:
         if self._active_txn is not None:
             return 0  # publishes at COMMIT
         return txn.commit() if n_changes else 0
+
+    def _mv_path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.storage_dir, f"mv_{name}.parquet")
+
+    def _sql_create_mview(self, name: str, sql: str) -> int:
+        out = self.sql(sql)
+        if not isinstance(out, DataFrame):
+            raise ValueError("materialized view definition must be a query")
+        out.write.mode("overwrite").parquet(self._mv_path(name))
+        self.spark.read.parquet(self._mv_path(name)).createOrReplaceTempView(name)
+        self._mviews[name] = sql
+        self._save_catalog()
+        return 0
+
+    def _sql_refresh_mview(self, name: str) -> int:
+        # Recompute to a sibling, then swap: overwriting in place would
+        # pull the files out from under a reader of the registered view.
+        import shutil
+
+        out = self.sql(self._mviews[name])
+        tmp = self._mv_path(name) + ".next"
+        out.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            self._mv_path(name)
+        )
+        shutil.rmtree(tmp)
+        self.spark.read.parquet(self._mv_path(name)).createOrReplaceTempView(name)
+        return 0
 
     def _project_returning(self, df: DataFrame) -> DataFrame:
         """Project the affected-rows frame through the RETURNING list."""

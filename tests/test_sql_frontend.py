@@ -649,3 +649,34 @@ def test_incremental_materialized_view(spark, tmp_path):
 
     # no changes -> zero groups recomputed
     assert reg.refresh("mv_sales") == 0
+
+
+def test_materialized_view_sql_surface(spark, tmp_path):
+    """CREATE/REFRESH/DROP MATERIALIZED VIEW through the dispatcher: the
+    stored RESULT serves queries (stale until refresh), persists across
+    sessions, and refresh recomputes (reference views.rs materialized +
+    refresh :541)."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE m (id INT PRIMARY KEY, grp STRING, x INT)")
+    s.sql("INSERT INTO m VALUES (1, 'a', 10), (2, 'b', 20)")
+    s.sql(
+        "CREATE MATERIALIZED VIEW m_sum AS "
+        "SELECT grp, SUM(x) AS total FROM m GROUP BY grp"
+    )
+    def mv():
+        return {(r.grp, r.total) for r in s.sql("SELECT * FROM m_sum").collect()}
+    assert mv() == {("a", 10), ("b", 20)}
+    # materialized = STALE until refresh
+    s.sql("INSERT INTO m VALUES (3, 'a', 5)")
+    assert mv() == {("a", 10), ("b", 20)}
+    s.sql("REFRESH MATERIALIZED VIEW m_sum")
+    assert mv() == {("a", 15), ("b", 20)}
+    # survives a fresh session (stored result re-registers)
+    s2 = DriftSession(spark, str(tmp_path))
+    assert {
+        (r.grp, r.total) for r in s2.sql("SELECT * FROM m_sum").collect()
+    } == {("a", 15), ("b", 20)}
+    tabs = {(r.name, r.kind) for r in s2.sql("SHOW TABLES").collect()}
+    assert ("m_sum", "materialized view") in tabs
+    s2.sql("DROP MATERIALIZED VIEW m_sum")
+    assert "m_sum" not in s2._mviews
