@@ -358,13 +358,21 @@ class EventLog:
 
     def insert(self, rows: DataFrame) -> int:
         """Full-row Insert events. PK uniqueness against current state is an
-        anti-join check (reference checks committed state + txn buffer)."""
+        anti-join check (reference checks committed state + txn buffer);
+        a key repeated WITHIN the batch is equally a violation (the
+        reference's per-row check catches the second occurrence) — found
+        by the constraint fuzz, gated here before anything publishes."""
         dup = rows.join(
             self.state_at().select(F.col("pk")),
             rows[self.pk_col].cast("string") == F.col("pk"),
             "left_semi",
         )
-        if not dup.isEmpty():
+        dup_within = (
+            rows.groupBy(rows[self.pk_col].cast("string").alias("pk"))
+            .count()
+            .filter(F.col("count") > 1)
+        )
+        if not dup.isEmpty() or not dup_within.isEmpty():
             raise ValueError("duplicate primary key(s) in insert batch")
         return self._append(rows, INSERT, _payload_map(rows, self.pk_col))
 

@@ -111,7 +111,12 @@ class Transaction:
                 rows[self.log.pk_col].cast("string") == F.col("pk"),
                 "left_semi",
             )
-            if not dup.isEmpty():
+            dup_within = (
+                rows.groupBy(rows[self.log.pk_col].cast("string").alias("pk"))
+                .count()
+                .filter(F.col("count") > 1)
+            )
+            if not dup.isEmpty() or not dup_within.isEmpty():
                 raise ValueError("duplicate primary key(s) in transaction insert")
             self._stage(rows, INSERT, _payload_map(rows, self.log.pk_col))
         except ValueError:

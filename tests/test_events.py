@@ -582,3 +582,26 @@ def test_update_pk_change_collision_fails_atomically(spark, log):
     # nothing changed: no delete, no insert
     assert {r.pk for r in log.state_df(COLS).collect()} == {"1", "2"}
     assert log.last_sequence() == 2
+
+
+def test_insert_rejects_duplicate_pk_within_batch(spark, tmp_path):
+    """A key repeated WITHIN one insert batch violates PK uniqueness just
+    like a collision with existing state (found by the constraint fuzz:
+    the gate previously only anti-joined against current state)."""
+    import pytest
+
+    from driftdb_spark.events import EventLog
+
+    log = EventLog(spark, str(tmp_path / "t"), pk_col="id")
+    with pytest.raises(ValueError, match="duplicate primary key"):
+        log.insert(
+            spark.createDataFrame([(1, "a"), (1, "b")], "id int, v string")
+        )
+    assert log.state_at().count() == 0  # nothing published
+    # transactions enforce the same within-batch gate
+    txn = log.begin()
+    with pytest.raises(ValueError, match="duplicate primary key"):
+        txn.insert(
+            spark.createDataFrame([(2, "a"), (2, "b")], "id int, v string")
+        )
+    txn.rollback()
