@@ -135,6 +135,7 @@ class DriftSession:
         self._constraints: dict = {}  # table -> TableConstraints
         self._views: dict[str, str] = {}
         self._mviews: dict[str, str] = {}  # materialized views: name -> SQL
+        self._imv_registry = None  # incremental MVs (views.py), lazily built
         self._prepared: dict[str, tuple[str, int]] = {}  # PREPARE name -> (sql, n)
         self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
         self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
@@ -567,6 +568,11 @@ class DriftSession:
         r"^CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.*)$",
         _re.IGNORECASE | _re.DOTALL,
     )
+    _CREATE_IMVIEW_RE = _re.compile(
+        r"^CREATE\s+INCREMENTAL\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+(\w+)"
+        r"\s+GROUP\s+BY\s+\(([^)]*)\)\s+AS\s+(.*)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
     _REFRESH_MVIEW_RE = _re.compile(
         r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)$", _re.IGNORECASE
     )
@@ -991,6 +997,33 @@ class DriftSession:
             return self.spark.createDataFrame(
                 [(line,) for line in text.splitlines()], "plan string"
             )
+        m = self._CREATE_IMVIEW_RE.match(q)
+        if m and m.group(2) in self._tables:
+            # CREATE INCREMENTAL MATERIALIZED VIEW v ON t GROUP BY (cols)
+            # AS <sql over t> — the keyed-aggregate IVM contract made
+            # SQL-reachable: REFRESH recomputes only the groups the event
+            # tail touched (views.IncrementalViewRegistry; the reference
+            # refreshes views by full re-execution, views.rs:541).
+            name, table = m.group(1), m.group(2)
+            group_cols = [c.strip() for c in m.group(3).split(",")]
+            log, schema_cols = self._tables[table]
+            if self._imv_registry is None:
+                from driftdb_spark.views import IncrementalViewRegistry
+
+                self._imv_registry = IncrementalViewRegistry(
+                    self.spark, self.storage_dir
+                )
+            self._imv_registry.create(
+                name, log, schema_cols, m.group(4).strip(), group_cols, table
+            )
+            return 0
+        m = self._REFRESH_MVIEW_RE.match(q)
+        if (
+            m
+            and self._imv_registry is not None
+            and m.group(1) in self._imv_registry._views
+        ):
+            return self._imv_registry.refresh(m.group(1))
         m = self._CREATE_MVIEW_RE.match(q)
         if m:
             # MATERIALIZED views persist the RESULT (reference views.rs

@@ -680,3 +680,29 @@ def test_materialized_view_sql_surface(spark, tmp_path):
     assert ("m_sum", "materialized view") in tabs
     s2.sql("DROP MATERIALIZED VIEW m_sum")
     assert "m_sum" not in s2._mviews
+
+
+def test_incremental_mview_sql_surface(spark, tmp_path):
+    """CREATE INCREMENTAL MATERIALIZED VIEW ... ON t GROUP BY (cols) AS
+    sql — REFRESH recomputes only the touched groups and returns their
+    count through the dispatcher."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE ev (id INT PRIMARY KEY, site STRING, hits INT)")
+    s.sql(
+        "INSERT INTO ev VALUES (1, 'a', 3), (2, 'a', 4), (3, 'b', 5), (4, 'c', 6)"
+    )
+    s.sql(
+        "CREATE INCREMENTAL MATERIALIZED VIEW site_hits ON ev GROUP BY (site) "
+        "AS SELECT site, SUM(hits) AS total FROM ev GROUP BY site"
+    )
+    def mv():
+        return {
+            (r.site, r.total)
+            for r in s.sql("SELECT * FROM site_hits").collect()
+        }
+    assert mv() == {("a", 7), ("b", 5), ("c", 6)}
+    s.sql("UPDATE ev SET hits = 30 WHERE id = 1")
+    n = s.sql("REFRESH MATERIALIZED VIEW site_hits")
+    assert n == 1  # only site 'a' recomputed
+    assert mv() == {("a", 34), ("b", 5), ("c", 6)}
+    assert s.sql("REFRESH MATERIALIZED VIEW site_hits") == 0  # no changes
