@@ -51,6 +51,10 @@ def _render_literal(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return str(v)  # exact decimal literal, never quoted
     s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 

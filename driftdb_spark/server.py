@@ -68,6 +68,15 @@ _SET_AUTH = re.compile(r"^SET\s+SESSION\s+AUTHORIZATION\s+(\w+)$", re.IGNORECASE
 _RESET_AUTH = re.compile(r"^RESET\s+SESSION\s+AUTHORIZATION$", re.IGNORECASE)
 _SHOW = re.compile(r"^SHOW\s+(\w+(?:\s+\w+)*)$", re.IGNORECASE)
 _BENIGN_SET = re.compile(r"^(SET|RESET)\s+(?!SESSION\s+AUTHORIZATION)\w+", re.IGNORECASE)
+# Identity-changing variants the benign shim must NOT swallow: a client
+# that believes it dropped privileges via SET ROLE / the GUC spelling of
+# session_authorization would keep running as the authenticated user —
+# a silent RLS bypass from the application's perspective. Refused loudly
+# (0A000); the supported spelling is SET SESSION AUTHORIZATION.
+_FORBIDDEN_SET = re.compile(
+    r"^(?:SET|RESET)\s+(?:LOCAL\s+)?(?:ROLE\b|SESSION_AUTHORIZATION\b)",
+    re.IGNORECASE,
+)
 _PARAM = re.compile(r"\$(\d+)")
 _COPY_IN = re.compile(
     r"^COPY\s+(\w+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN"
@@ -110,9 +119,9 @@ def md5_wire_response(password: str, username: str, salt: bytes) -> str:
 
 
 def _infer_param(text: str | None):
-    """Best-effort literal typing for text-format parameters (the client
-    usually declares OID 0 = unspecified; PostgreSQL infers from context,
-    we infer from shape)."""
+    """Best-effort literal typing for text-format parameters declared
+    with OID 0 = unspecified (PostgreSQL infers from context, we infer
+    from shape)."""
     if text is None:
         return None
     try:
@@ -126,6 +135,38 @@ def _infer_param(text: str | None):
     if text.lower() in ("true", "false"):
         return text.lower() == "true"
     return text
+
+
+# Declared Parse parameter OIDs → Python types. Text-family OIDs keep the
+# value EXACTLY as sent: a '0123'-style code bound against a VARCHAR column
+# must not collapse to the integer 123 (leading-zero codes, phone numbers,
+# '1e3'-shaped IDs). Shape inference applies only to OID 0 = unspecified.
+_TEXT_OIDS = {18, 19, 25, 1042, 1043, 2950}  # char name text bpchar varchar uuid
+_INT_OIDS = {20, 21, 23, 26}  # int8 int2 int4 oid
+_FLOAT_OIDS = {700, 701}  # float4 float8
+_NUMERIC_OID = 1700
+_BOOL_OID = 16
+
+
+def _typed_param(text: str | None, oid: int):
+    """Convert one text-format parameter honoring its declared OID
+    (PostgreSQL types bind values by the declared type, not by shape)."""
+    if text is None:
+        return None
+    if oid in _TEXT_OIDS:
+        return text
+    if oid in _INT_OIDS:
+        return int(text)
+    if oid in _FLOAT_OIDS:
+        return float(text)
+    if oid == _NUMERIC_OID:
+        from decimal import Decimal
+
+        return Decimal(text)
+    if oid == _BOOL_OID:
+        # libpq sends 't'/'f'; drivers may send the long spellings
+        return text.lower() in ("t", "true", "1", "yes", "on")
+    return _infer_param(text)
 
 
 class _Handler(socketserver.BaseRequestHandler):
@@ -286,7 +327,11 @@ class _Handler(socketserver.BaseRequestHandler):
             self.wire_superuser = True  # trust mode: embedded owner
             return
         self.wire_superuser = self.username in self.server.superusers
-        self.session.set_security_context(
+        # enter_authenticated (not bare set_security_context): the session
+        # remembers the restricted identity and refuses SET/RESET SESSION
+        # AUTHORIZATION on every statement path — PREPARE/EXECUTE and
+        # procedure bodies included — not just this wire-level gate.
+        self.session.enter_authenticated(
             self.username, superuser=self.wire_superuser
         )
 
@@ -301,9 +346,11 @@ class _Handler(socketserver.BaseRequestHandler):
         m = _SET_AUTH.match(sql)
         if m is not None or _RESET_AUTH.match(sql):
             if not self.wire_superuser:
-                raise PermissionError(
+                err = PermissionError(
                     "permission denied to set session authorization"
                 )
+                err.sqlstate = "42501"
+                raise err
             if m is not None:
                 self.session.set_security_context(m.group(1))
             elif self.server.users:
@@ -330,6 +377,13 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._complete("SHOW")
                 return True
             return False
+        if _FORBIDDEN_SET.match(sql):
+            err = NotImplementedError(
+                "SET ROLE / session_authorization variants are not "
+                "supported; use SET SESSION AUTHORIZATION (superuser only)"
+            )
+            err.sqlstate = "0A000"
+            raise err
         if _BENIGN_SET.match(sql):
             self._complete(sql.split(None, 1)[0].upper())
             return True
@@ -533,8 +587,11 @@ class _Handler(socketserver.BaseRequestHandler):
         name, off = self._read_cstr(payload, 0)
         query, off = self._read_cstr(payload, off)
         (n_oids,) = struct.unpack("!H", payload[off : off + 2])
-        # Declared parameter OIDs are accepted and ignored — every value
-        # travels in text format and types infer from shape.
+        off += 2
+        # Declared parameter OIDs are HONORED at Bind: a text-family OID
+        # keeps the value verbatim, numeric/bool OIDs convert, and only
+        # OID 0 = unspecified falls back to shape inference.
+        oids = list(struct.unpack(f"!{n_oids}I", payload[off : off + 4 * n_oids]))
         sql = query.strip().rstrip(";").strip()
         n_params = 0
 
@@ -544,7 +601,8 @@ class _Handler(socketserver.BaseRequestHandler):
             return f":p{m.group(1)}"
 
         sql = _PARAM.sub(_sub, sql)
-        self._stmts[name] = (sql, n_params)
+        oids += [0] * (n_params - len(oids))
+        self._stmts[name] = (sql, n_params, oids)
         self._send(self._msg(b"1", b""))  # ParseComplete
 
     def _handle_bind(self, payload: bytes) -> None:
@@ -565,12 +623,14 @@ class _Handler(socketserver.BaseRequestHandler):
             else:
                 vals.append(payload[off : off + ln].decode())
                 off += ln
-        sql, n_params = self._stmts[stmt_name]
+        sql, n_params, oids = self._stmts[stmt_name]
         if len(vals) != n_params:
             raise ValueError(
                 f"bind supplies {len(vals)} parameters, statement needs {n_params}"
             )
-        args = {f"p{i + 1}": _infer_param(v) for i, v in enumerate(vals)}
+        args = {
+            f"p{i + 1}": _typed_param(v, oids[i]) for i, v in enumerate(vals)
+        }
         self._portals[portal] = (sql, args)
         self._send(self._msg(b"2", b""))  # BindComplete
 
@@ -579,9 +639,9 @@ class _Handler(socketserver.BaseRequestHandler):
         if kind == b"S":
             if target not in self._stmts:
                 raise KeyError(f'prepared statement "{target}" does not exist')
-            sql, n_params = self._stmts[target]
+            sql, n_params, oids = self._stmts[target]
             body = struct.pack("!H", n_params) + b"".join(
-                struct.pack("!I", 25) for _ in range(n_params)
+                struct.pack("!I", oid or 25) for oid in oids[:n_params]
             )
             self._send(self._msg(b"t", body))  # ParameterDescription
             self._describe_sql(sql, {f"p{i + 1}": None for i in range(n_params)})
@@ -664,7 +724,7 @@ class _Handler(socketserver.BaseRequestHandler):
             self.session = base
         self.username = ""
         self.wire_superuser = False
-        self._stmts: dict[str, tuple[str, int]] = {}
+        self._stmts: dict[str, tuple[str, int, list[int]]] = {}
         self._portals: dict[str, tuple[str, dict]] = {}
         ext_error = False  # after an extended-protocol error: skip to Sync
         if not self._startup():
@@ -688,7 +748,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 try:
                     self._run_query(sql)
                 except Exception as exc:  # surface, stay usable
-                    self._error("XX000", f"{type(exc).__name__}: {exc}")
+                    self._error(
+                        getattr(exc, "sqlstate", "XX000"),
+                        f"{type(exc).__name__}: {exc}",
+                    )
                 self._ready()
             elif mtype == b"S":  # Sync
                 ext_error = False
@@ -708,7 +771,10 @@ class _Handler(socketserver.BaseRequestHandler):
                     }[mtype](payload)
                 except Exception as exc:
                     ext_error = True
-                    self._error("XX000", f"{type(exc).__name__}: {exc}")
+                    self._error(
+                        getattr(exc, "sqlstate", "XX000"),
+                        f"{type(exc).__name__}: {exc}",
+                    )
             else:
                 self._error("0A000", f"message type {mtype!r} not supported")
                 self._ready()

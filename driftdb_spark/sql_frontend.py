@@ -145,6 +145,13 @@ class DriftSession:
         self.procedures = ProcedureRegistry(self)
         self.rls = RlsManager()
         self._security = None  # None = embedded-engine owner (RLS bypass)
+        # Authenticated identity this session was ENTERED under (set by the
+        # wire server): (username, superuser). While a restricted identity
+        # is active, SET/RESET SESSION AUTHORIZATION is refused in the
+        # dispatcher itself — regardless of how the statement arrives
+        # (simple query, PREPARE/EXECUTE, CALL body, nested sql) — so the
+        # wire-level gate cannot be laundered through an indirect path.
+        self._auth_identity: tuple[str, bool] | None = None
         self._query_log: list[dict] = []
         self._sql_depth = 0  # only top-level statements are logged
         self._rate_limiter: TokenBucket | None = None
@@ -170,6 +177,20 @@ class DriftSession:
             if username is None
             else SecurityContext(username, list(roles or []), superuser)
         )
+
+    def enter_authenticated(
+        self, username: str, roles=None, superuser: bool = False
+    ) -> None:
+        """Bind this session to an AUTHENTICATED identity (the wire
+        server's entry point; reference executor.rs:351-460 carries the
+        authenticated user on the connection). Unlike a bare
+        :meth:`set_security_context`, the identity is remembered: a
+        non-superuser session then refuses SET/RESET SESSION
+        AUTHORIZATION on EVERY statement path — including PREPARE/
+        EXECUTE and procedure bodies, which re-enter ``sql`` below the
+        wire server's own regex gate."""
+        self._auth_identity = (username, bool(superuser))
+        self.set_security_context(username, roles=roles, superuser=superuser)
 
     # -- catalog persistence ---------------------------------------------------
     # The reference persists each table's schema in its meta.json
@@ -875,6 +896,19 @@ class DriftSession:
         r"^RESET\s+SESSION\s+AUTHORIZATION$", _re.IGNORECASE
     )
 
+    def _require_authorization_privilege(self) -> None:
+        """Only a superuser (or the embedded owner) may change session
+        authorization. Enforced HERE — in the one dispatcher every
+        statement path funnels through — so PREPARE/EXECUTE, CALL bodies,
+        and nested sql cannot launder the statement past a wire-level
+        regex gate (PostgreSQL error 42501)."""
+        if self._auth_identity is not None and not self._auth_identity[1]:
+            err = PermissionError(
+                "permission denied to set session authorization"
+            )
+            err.sqlstate = "42501"
+            raise err
+
     def _dispatch_rls(self, q: str):
         """Row-level-security DDL (PostgreSQL statement shapes; reference
         policy model row_level_security.rs:25-130)."""
@@ -894,10 +928,19 @@ class DriftSession:
             return 0
         m = self._SET_AUTH_RE.match(q)
         if m:
+            self._require_authorization_privilege()
             self.set_security_context(m.group(1))
             return 0
         if self._RESET_AUTH_RE.match(q):
-            self.set_security_context(None)
+            self._require_authorization_privilege()
+            if self._auth_identity is not None:
+                # RESET restores the AUTHENTICATED identity, never owner
+                # bypass (PostgreSQL: session_authorization reverts to the
+                # authenticated user).
+                user, is_super = self._auth_identity
+                self.set_security_context(user, superuser=is_super)
+            else:
+                self.set_security_context(None)
             return 0
         m = self._CREATE_POLICY_RE.match(q)
         if m:

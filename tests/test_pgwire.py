@@ -207,11 +207,12 @@ class ExtClient(Client):
         self.send_msg(b"P", query.encode() + b"\x00" if False else b"")
         raise NotImplementedError
 
-    def ext_query(self, query, params=(), name=""):
+    def ext_query(self, query, params=(), name="", oids=()):
         """Parse/Bind/Describe(portal)/Execute/Sync — the libpq
-        PQexecParams flow."""
+        PQexecParams flow. ``oids`` declares parameter types in Parse
+        (0 / omitted = unspecified, server infers from shape)."""
         body = name.encode() + b"\x00" + query.encode() + b"\x00"
-        body += struct.pack("!H", 0)  # no declared param OIDs
+        body += struct.pack(f"!H{len(oids)}I", len(oids), *oids)
         self.send_msg(b"P", body)
         bind = b"\x00" + name.encode() + b"\x00" + struct.pack("!H", 0)
         bind += struct.pack("!H", len(params))
@@ -528,3 +529,104 @@ def test_psql_password_auth(spark, tmp_path):
         assert r.returncode != 0
     finally:
         srv.stop()
+
+
+def test_indirect_set_authorization_cannot_escalate(spark, tmp_path):
+    """PREPARE/EXECUTE (and any other indirect arrival path) cannot
+    launder SET/RESET SESSION AUTHORIZATION past the wire gate: the
+    session dispatcher itself refuses while a restricted authenticated
+    identity is active (42501)."""
+    sess = DriftSession(spark, str(tmp_path))
+    sess.sql("CREATE TABLE docs (id int PRIMARY KEY, owner string)")
+    sess.sql("INSERT INTO docs VALUES (1, 'alice'), (2, 'bob')")
+    sess.sql("ALTER TABLE docs ENABLE ROW LEVEL SECURITY")
+    sess.sql("CREATE POLICY own ON docs USING (owner = current_user)")
+    srv = PgWireServer(
+        sess,
+        users={"alice": "pw_a"},
+        superusers=set(),
+        auth_method="cleartext",
+    ).start()
+    try:
+        host, port = srv.address
+        a = ExtClient(host, port)
+        a.startup_auth("alice", "pw_a", md5=False)
+        # the round-4 escalation: RESET via a prepared statement would
+        # re-enter session.sql below the wire regex gate
+        _c, _r, _t, err = a.query("PREPARE esc AS RESET SESSION AUTHORIZATION")
+        assert err is None  # PREPARE itself is allowed (defines, not runs)
+        _c, _r, _t, err = a.query("EXECUTE esc")
+        assert err is not None and b"42501" in err
+        _c, _r, _t, err = a.query("PREPARE esc2 AS SET SESSION AUTHORIZATION bob")
+        assert err is None
+        _c, _r, _t, err = a.query("EXECUTE esc2")
+        assert err is not None and b"42501" in err
+        # identity unchanged: still only alice's row
+        _c, rows, _t, err = a.query("SELECT id FROM docs ORDER BY id")
+        assert err is None and rows == [["1"]]
+        a.close()
+    finally:
+        srv.stop()
+
+
+def test_set_role_and_guc_authorization_variants_rejected(spark, tmp_path):
+    """SET ROLE and the GUC spelling of session_authorization must NOT
+    no-op-complete (a client that believes it dropped privileges would
+    keep running as the authenticated user): 0A000, identity unchanged."""
+    sess = DriftSession(spark, str(tmp_path))
+    srv = PgWireServer(sess).start()
+    try:
+        host, port = srv.address
+        c = Client(host, port)
+        c.startup()
+        for stmt in (
+            "SET ROLE readonly",
+            "SET role readonly",
+            "RESET ROLE",
+            "SET SESSION_AUTHORIZATION TO bob",
+            "SET session_authorization = 'bob'",
+            "RESET session_authorization",
+            "SET LOCAL ROLE readonly",
+        ):
+            _c, _r, _t, err = c.query(stmt)
+            assert err is not None and b"0A000" in err, stmt
+        # benign GUCs still shim through
+        _c, _r, tag, err = c.query("SET application_name = 'test'")
+        assert err is None and tag == "SET"
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_declared_param_oids_honored(server):
+    """A text-family declared OID keeps the value verbatim ('0123' stays
+    the string '0123', never the integer 123); numeric OIDs convert; OID
+    0 still shape-infers (reference: PostgreSQL types bind by declared
+    type, not by shape)."""
+    host, port = server.address
+    c = ExtClient(host, port)
+    c.startup()
+    c.query("CREATE TABLE codes (code STRING PRIMARY KEY, n INT)")
+    # OID 1043 = varchar: the leading-zero code must round-trip exactly
+    _c, _r, tag, err = c.ext_query(
+        "INSERT INTO codes VALUES ($1, $2)", params=("0123", "7"),
+        oids=(1043, 23),
+    )
+    assert err is None, err
+    cols, rows, _t, err = c.ext_query(
+        "SELECT code, n FROM codes WHERE code = $1",
+        params=("0123",), oids=(25,),
+    )
+    assert err is None and rows == [["0123", "7"]]
+    # bool + float OIDs convert; '1e3'-shaped id under text OID stays text
+    c.query("CREATE TABLE typed (id STRING PRIMARY KEY, f DOUBLE, b BOOLEAN)")
+    _c, _r, _t, err = c.ext_query(
+        "INSERT INTO typed VALUES ($1, $2, $3)",
+        params=("1e3", "2.5", "t"), oids=(25, 701, 16),
+    )
+    assert err is None, err
+    _c, rows, _t, err = c.ext_query(
+        "SELECT id, f, b FROM typed WHERE id = $1", params=("1e3",), oids=(1043,)
+    )
+    assert err is None and rows == [["1e3", "2.5", "True"]]
+    c.close()
