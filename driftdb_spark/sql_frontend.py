@@ -136,6 +136,10 @@ class DriftSession:
         self._views: dict[str, str] = {}
         self._mviews: dict[str, str] = {}  # materialized views: name -> SQL
         self._imv_registry = None  # incremental MVs (views.py), lazily built
+        # incremental-MV catalog mirror: name -> {sql, source, group_cols,
+        # last_seq} — persisted so a fresh session re-attaches the stored
+        # result and the refresh watermark
+        self._imvs: dict[str, dict] = {}
         self._prepared: dict[str, tuple[str, int]] = {}  # PREPARE name -> (sql, n)
         self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
         self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
@@ -232,14 +236,33 @@ class DriftSession:
         for tname, meta in cat.get("constraints", {}).items():
             self._constraints[tname] = TableConstraints.from_catalog(meta)
         self._mviews = dict(cat.get("mviews", {}))
+        from driftdb_spark.views import resolve_versioned
+
         for name in self._mviews:
             # Re-register the STORED result (that is the point of a
             # materialized view); a missing file means the storage dir was
             # pruned — REFRESH rebuilds it.
-            if os.path.exists(self._mv_path(name)):
-                self.spark.read.parquet(self._mv_path(name)).createOrReplaceTempView(
-                    name
-                )
+            path = resolve_versioned(self.storage_dir, f"mv_{name}")
+            if path is not None:
+                self.spark.read.parquet(path).createOrReplaceTempView(name)
+        self._imvs = {k: dict(v) for k, v in cat.get("imvs", {}).items()}
+        for name, meta in self._imvs.items():
+            # Re-attach each incremental MV: stored result + saved refresh
+            # watermark, so REFRESH stays incremental across sessions.
+            if meta["source"] not in self._tables:
+                continue
+            log, schema_cols = self._tables[meta["source"]]
+            if resolve_versioned(self.storage_dir, f"imv_{name}") is None:
+                continue  # storage pruned; CREATE would rebuild
+            self._imv_reg().load(
+                name,
+                log,
+                schema_cols,
+                meta["sql"],
+                list(meta["group_cols"]),
+                meta["source"],
+                int(meta["last_seq"]),
+            )
 
     def _save_catalog(self) -> None:
         import json
@@ -261,6 +284,7 @@ class DriftSession:
                 if not c.is_empty() or c.defaults
             },
             "mviews": self._mviews,
+            "imvs": self._imvs,
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -726,6 +750,10 @@ class DriftSession:
                     (name, "materialized view", None, None)
                     for name in sorted(self._mviews)
                 ]
+                + [
+                    (name, "incremental materialized view", None, None)
+                    for name in sorted(self._imvs)
+                ]
             )
             return self.spark.createDataFrame(
                 rows, "name string, kind string, primary_key string, n_columns int"
@@ -1046,19 +1074,22 @@ class DriftSession:
             # AS <sql over t> — the keyed-aggregate IVM contract made
             # SQL-reachable: REFRESH recomputes only the groups the event
             # tail touched (views.IncrementalViewRegistry; the reference
-            # refreshes views by full re-execution, views.rs:541).
+            # refreshes views by full re-execution, views.rs:541). The
+            # contract is VALIDATED at create (a non-conforming definition
+            # would refresh silently stale), and the view persists in the
+            # catalog like any other object.
             name, table = m.group(1), m.group(2)
             group_cols = [c.strip() for c in m.group(3).split(",")]
             log, schema_cols = self._tables[table]
-            if self._imv_registry is None:
-                from driftdb_spark.views import IncrementalViewRegistry
-
-                self._imv_registry = IncrementalViewRegistry(
-                    self.spark, self.storage_dir
-                )
-            self._imv_registry.create(
-                name, log, schema_cols, m.group(4).strip(), group_cols, table
-            )
+            sql = m.group(4).strip()
+            self._imv_reg().create(name, log, schema_cols, sql, group_cols, table)
+            self._imvs[name] = {
+                "sql": sql,
+                "source": table,
+                "group_cols": group_cols,
+                "last_seq": log.last_sequence(),
+            }
+            self._save_catalog()
             return 0
         m = self._REFRESH_MVIEW_RE.match(q)
         if (
@@ -1066,7 +1097,19 @@ class DriftSession:
             and self._imv_registry is not None
             and m.group(1) in self._imv_registry._views
         ):
-            return self._imv_registry.refresh(m.group(1))
+            n = self._imv_registry.refresh(m.group(1))
+            if m.group(1) in self._imvs:
+                self._imvs[m.group(1)]["last_seq"] = self._imv_registry._views[
+                    m.group(1)
+                ].last_seq
+                self._save_catalog()
+            return n
+        m = self._DROP_MVIEW_RE.match(q)
+        if m and m.group(1) in self._imvs:
+            self._imv_reg().drop(m.group(1))
+            self._imvs.pop(m.group(1), None)
+            self._save_catalog()
+            return 0
         m = self._CREATE_MVIEW_RE.match(q)
         if m:
             # MATERIALIZED views persist the RESULT (reference views.rs
@@ -1081,9 +1124,9 @@ class DriftSession:
             return self._sql_refresh_mview(m.group(1))
         m = self._DROP_MVIEW_RE.match(q)
         if m and m.group(1) in self._mviews:
-            import shutil
+            from driftdb_spark.views import drop_versioned
 
-            shutil.rmtree(self._mv_path(m.group(1)), ignore_errors=True)
+            drop_versioned(self.storage_dir, f"mv_{m.group(1)}")
             self._mviews.pop(m.group(1), None)
             try:
                 self.spark.catalog.dropTempView(m.group(1))
@@ -1525,34 +1568,39 @@ class DriftSession:
             return 0  # publishes at COMMIT
         return txn.commit() if n_changes else 0
 
-    def _mv_path(self, name: str) -> str:
-        import os
+    def _imv_reg(self):
+        """The lazily-built incremental-MV registry."""
+        if self._imv_registry is None:
+            from driftdb_spark.views import IncrementalViewRegistry
 
-        return os.path.join(self.storage_dir, f"mv_{name}.parquet")
+            self._imv_registry = IncrementalViewRegistry(
+                self.spark, self.storage_dir
+            )
+        return self._imv_registry
 
     def _sql_create_mview(self, name: str, sql: str) -> int:
+        from driftdb_spark.views import publish_versioned
+
         out = self.sql(sql)
         if not isinstance(out, DataFrame):
             raise ValueError("materialized view definition must be a query")
-        out.write.mode("overwrite").parquet(self._mv_path(name))
-        self.spark.read.parquet(self._mv_path(name)).createOrReplaceTempView(name)
+        path = publish_versioned(out, self.storage_dir, f"mv_{name}")
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
         self._mviews[name] = sql
         self._save_catalog()
         return 0
 
     def _sql_refresh_mview(self, name: str) -> int:
-        # Recompute to a sibling, then swap: overwriting in place would
-        # pull the files out from under a reader of the registered view.
-        import shutil
+        # Recompute, then publish via the versioned pointer (views.py):
+        # the pointer rewrite is the atomic commit point, so a reader of
+        # the registered view keeps the old files and a crashed refresh
+        # leaves the previous result live — the events log's
+        # rename-into-place discipline (events.py:259-330).
+        from driftdb_spark.views import publish_versioned
 
         out = self.sql(self._mviews[name])
-        tmp = self._mv_path(name) + ".next"
-        out.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            self._mv_path(name)
-        )
-        shutil.rmtree(tmp)
-        self.spark.read.parquet(self._mv_path(name)).createOrReplaceTempView(name)
+        path = publish_versioned(out, self.storage_dir, f"mv_{name}")
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
         return 0
 
     def _project_returning(self, df: DataFrame) -> DataFrame:

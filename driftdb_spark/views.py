@@ -7,14 +7,177 @@ to the reference's inline re-execution, minus the re-parse). Materialized
 views persist the result to parquet and re-register the scan; ``refresh``
 recomputes. On a cluster the parquet write becomes a Delta table and refresh
 can be incremental; the API is unchanged.
+
+Materialized results publish through a VERSIONED pointer (``<stem>.current``
+names the live data directory; the pointer rewrite is the single atomic
+commit point via ``os.replace``) — a refresh that crashes mid-write leaves
+the previous version live and readable, the same rename-into-place
+discipline as the event log's batch publish (events.py:259-330).
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# -- atomic versioned publish -------------------------------------------------
+
+
+def _pointer_path(storage_dir: str, stem: str) -> str:
+    return os.path.join(storage_dir, f"{stem}.current")
+
+
+def resolve_versioned(storage_dir: str, stem: str) -> str | None:
+    """The live data directory for ``stem``, via its pointer file; falls
+    back to the legacy unversioned ``<stem>.parquet`` layout."""
+    ptr = _pointer_path(storage_dir, stem)
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            target = fh.read().strip()
+        path = os.path.join(storage_dir, target)
+        return path if os.path.exists(path) else None
+    legacy = os.path.join(storage_dir, f"{stem}.parquet")
+    return legacy if os.path.exists(legacy) else None
+
+
+def publish_versioned(df: DataFrame, storage_dir: str, stem: str) -> str:
+    """Write ``df`` to a fresh versioned directory, then atomically
+    repoint ``<stem>.current`` (os.replace — POSIX-atomic). A crash
+    before the repoint leaves the old version live; stale versions are
+    swept only AFTER the pointer moves. Returns the new data path."""
+    os.makedirs(storage_dir, exist_ok=True)
+    ptr = _pointer_path(storage_dir, stem)
+    current = None
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            current = fh.read().strip()
+    n = 0
+    if current:
+        m = re.match(rf"{re.escape(stem)}\.v(\d+)\.parquet$", current)
+        if m:
+            n = int(m.group(1)) + 1
+    new_name = f"{stem}.v{n}.parquet"
+    new_path = os.path.join(storage_dir, new_name)
+    df.write.mode("overwrite").parquet(new_path)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(new_name)
+    os.replace(tmp, ptr)  # the commit point
+    # sweep superseded versions (post-commit; crash here only leaks a dir
+    # that the next publish sweeps again)
+    for entry in os.listdir(storage_dir):
+        if (
+            entry.startswith(f"{stem}.v")
+            and entry.endswith(".parquet")
+            and entry != new_name
+        ) or entry == f"{stem}.parquet":
+            shutil.rmtree(os.path.join(storage_dir, entry), ignore_errors=True)
+    return new_path
+
+
+def drop_versioned(storage_dir: str, stem: str) -> None:
+    """Remove every artifact of a versioned publish (pointer + data dirs
+    + legacy layout)."""
+    for entry in list(os.listdir(storage_dir)) if os.path.isdir(storage_dir) else []:
+        if entry == f"{stem}.current" or (
+            entry.startswith(f"{stem}.v") and entry.endswith(".parquet")
+        ):
+            full = os.path.join(storage_dir, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.unlink(full)
+    legacy = os.path.join(storage_dir, f"{stem}.parquet")
+    shutil.rmtree(legacy, ignore_errors=True)
+
+
+# -- incremental-view contract validation ------------------------------------
+
+_RELATION_RE = re.compile(r"'UnresolvedRelation \[([^\]]+)\]")
+_AGGREGATE_RE = re.compile(r"'Aggregate \[([^\]]*)\]")
+_GROUP_TOKEN_RE = re.compile(r"^'(?:\w+\.)?(\w+)$")
+
+
+def validate_incremental_contract(
+    spark: SparkSession, sql: str, group_cols: list[str], source_view: str
+) -> None:
+    """Reject — LOUDLY, at CREATE — any definition the keyed-aggregate
+    refresh math cannot maintain (a non-conforming definition would
+    refresh silently stale: only ``source_view``'s events advance the
+    bookkeeping). The parsed (unresolved) plan is inspected, not the
+    text, so aliases/subquery shapes are seen through:
+
+    - every referenced relation must be ``source_view`` (a join against
+      a second table would never see that table's changes);
+    - no window functions (frames cross group boundaries);
+    - no LIMIT (the output would not be per-group determined);
+    - the outermost GROUP BY must be exactly ``group_cols`` as bare
+      columns (expression keys are not state columns, so the
+      affected-group projection could not compute them); any nested
+      aggregate must group by a superset of ``group_cols``.
+    """
+    plan = (
+        spark._jsparkSession.sessionState().sqlParser().parsePlan(sql).toString()
+    )
+    rels = {r.strip().lower() for r in _RELATION_RE.findall(plan)}
+    if not rels:
+        raise ValueError(
+            "incremental view definition must read FROM the source table "
+            f"'{source_view}'"
+        )
+    foreign = rels - {source_view.lower()}
+    if foreign:
+        raise ValueError(
+            f"incremental view definition may only reference '{source_view}' "
+            f"(found {sorted(foreign)}); a joined table's changes would "
+            "never trigger a refresh — use a plain MATERIALIZED VIEW"
+        )
+    if "windowspecdefinition" in plan:
+        raise ValueError(
+            "incremental view definition may not use window functions "
+            "(frames cross group boundaries); use a plain MATERIALIZED VIEW"
+        )
+    if "GlobalLimit" in plan or "LocalLimit" in plan:
+        raise ValueError(
+            "incremental view definition may not use LIMIT; use a plain "
+            "MATERIALIZED VIEW"
+        )
+    groups = _AGGREGATE_RE.findall(plan)
+    if not groups:
+        raise ValueError(
+            "incremental view definition must GROUP BY exactly "
+            f"{group_cols} (a global aggregate cannot refresh per-group); "
+            "use a plain MATERIALIZED VIEW"
+        )
+    want = {c.lower() for c in group_cols}
+
+    def _tokens(group_list: str) -> set[str] | None:
+        toks = set()
+        for t in (x.strip() for x in group_list.split(",") if x.strip()):
+            m = _GROUP_TOKEN_RE.match(t)
+            if not m:
+                return None  # expression key
+            toks.add(m.group(1).lower())
+        return toks
+
+    top = _tokens(groups[0])
+    if top is None or top != want:
+        raise ValueError(
+            f"the outermost GROUP BY must be exactly {sorted(want)} as "
+            f"plain columns (got: {groups[0] or '<empty>'})"
+        )
+    for g in groups[1:]:
+        toks = _tokens(g)
+        if toks is None or not want.issubset(toks):
+            raise ValueError(
+                f"a nested GROUP BY must include all of {sorted(want)} "
+                f"(got: {g or '<empty>'}) — otherwise its output rows mix "
+                "input from multiple outer groups"
+            )
 
 
 @dataclass
@@ -37,16 +200,21 @@ class ViewRegistry:
 
     def refresh(self, name: str) -> None:
         """Recompute a materialized view from its definition (reference
-        refresh policies views.rs:541 — here: on demand)."""
+        refresh policies views.rs:541 — here: on demand). The result
+        publishes via the versioned pointer, so a crashed refresh leaves
+        the previous result live."""
         if name not in self._materialized:
             raise ValueError(f"{name} is not a materialized view")
-        path = os.path.join(self.storage_dir, f"mv_{name}.parquet")
-        self.spark.sql(self._defs[name]).write.mode("overwrite").parquet(path)
+        path = publish_versioned(
+            self.spark.sql(self._defs[name]), self.storage_dir, f"mv_{name}"
+        )
         self.spark.read.parquet(path).createOrReplaceTempView(name)
 
     def drop_view(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
         self._defs.pop(name, None)
+        if name in self._materialized:
+            drop_versioned(self.storage_dir, f"mv_{name}")
         self._materialized.discard(name)
 
     def definition(self, name: str) -> str | None:
@@ -71,10 +239,11 @@ class IncrementalViewRegistry:
     """Incrementally-maintained materialized views over an event-backed
     table — the Delta Live Tables / Materialize keyed-aggregate shape.
 
-    Contract: the view SQL is a GROUP BY over ``group_cols`` of ONE
-    event-backed table (each output row is determined solely by its
-    group's input rows). Under that contract refresh is proportional to
-    the CHANGE, not the table:
+    Contract (VALIDATED at create by :func:`validate_incremental_contract`):
+    the view SQL is a GROUP BY over ``group_cols`` of ONE event-backed
+    table (each output row is determined solely by its group's input
+    rows). Under that contract refresh is proportional to the CHANGE,
+    not the table:
 
     1. changed pks = distinct pks with events above the last refresh
        sequence — a scan with the sequence bound pushed down;
@@ -86,6 +255,10 @@ class IncrementalViewRegistry:
        because it keys on the group columns), producing fresh rows for
        exactly those groups;
     4. merged MV = old MV anti-join affected groups + fresh rows.
+
+    Group-key joins use NULL-SAFE equality (``<=>``): a NULL group key is
+    a real group (GROUP BY semantics), so its rows must still select for
+    recompute and its old MV row must still be replaced.
 
     At 100 TB: steps 1-2 read only the event tail + two key-projected
     reconstructions; step 3 aggregates only the affected groups' rows;
@@ -100,8 +273,16 @@ class IncrementalViewRegistry:
         self._logs: dict[str, object] = {}
         self._schemas: dict[str, dict] = {}
 
-    def _path(self, name: str) -> str:
-        return os.path.join(self.storage_dir, f"imv_{name}.parquet")
+    def _stem(self, name: str) -> str:
+        return f"imv_{name}"
+
+    def _current_path(self, name: str) -> str:
+        path = resolve_versioned(self.storage_dir, self._stem(name))
+        if path is None:
+            raise FileNotFoundError(
+                f"incremental view {name} has no stored result"
+            )
+        return path
 
     def create(
         self,
@@ -114,7 +295,9 @@ class IncrementalViewRegistry:
     ) -> None:
         """Full initial computation; subsequent ``refresh`` calls are
         incremental. ``sql`` must read the base table via ``source_view``
-        and GROUP BY ``group_cols``."""
+        and GROUP BY ``group_cols`` — enforced, not assumed (a
+        non-conforming definition would refresh silently stale)."""
+        validate_incremental_contract(self.spark, sql, group_cols, source_view)
         self._logs[name] = log
         self._schemas[name] = dict(schema_cols)
         seq = log.last_sequence()
@@ -127,12 +310,47 @@ class IncrementalViewRegistry:
             raise ValueError(
                 f"group column(s) {missing} must appear in the view output"
             )
-        out.write.mode("overwrite").parquet(self._path(name))
-        self.spark.read.parquet(self._path(name)).createOrReplaceTempView(name)
+        path = publish_versioned(out, self.storage_dir, self._stem(name))
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
         self._views[name] = IncrementalView(sql, source_view, list(group_cols), seq)
+
+    def load(
+        self,
+        name: str,
+        log,
+        schema_cols: dict,
+        sql: str,
+        group_cols: list[str],
+        source_view: str,
+        last_seq: int,
+    ) -> None:
+        """Re-attach a persisted incremental view (catalog reopen): the
+        STORED result re-registers without recompute; the saved
+        ``last_seq`` watermark makes the next refresh exactly
+        incremental over everything that landed since."""
+        self._logs[name] = log
+        self._schemas[name] = dict(schema_cols)
+        self.spark.read.parquet(self._current_path(name)).createOrReplaceTempView(
+            name
+        )
+        self._views[name] = IncrementalView(
+            sql, source_view, list(group_cols), last_seq
+        )
+
+    def drop(self, name: str) -> None:
+        self._views.pop(name, None)
+        self._logs.pop(name, None)
+        self._schemas.pop(name, None)
+        drop_versioned(self.storage_dir, self._stem(name))
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:
+            pass
 
     def refresh(self, name: str) -> int:
         """Incremental refresh; returns the number of groups recomputed."""
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
         from driftdb_spark.temporal import AsOf
@@ -161,27 +379,30 @@ class IncrementalViewRegistry:
         )
         affected = affected.persist()
         n_groups = affected.count()
+
+        def _null_safe_on(left: DataFrame, right: DataFrame):
+            # NULL group keys are real groups — plain equality would
+            # neither recompute nor replace them (permanently stale).
+            return reduce(
+                lambda a, b: a & b,
+                [left[c].eqNullSafe(right[c]) for c in iv.group_cols],
+            )
+
         try:
             # restrict the view's INPUT to the affected groups: the semi-
             # join keys on the group columns, so it lands below the
             # aggregation and only those groups' rows re-aggregate
-            restricted = new_state.drop("pk", "last_seq").join(
-                F.broadcast(affected), iv.group_cols, "left_semi"
-            )
+            src = new_state.drop("pk", "last_seq")
+            aff_b = F.broadcast(affected)
+            restricted = src.join(aff_b, _null_safe_on(src, affected), "left_semi")
             restricted.createOrReplaceTempView(iv.source_view)
             fresh = self.spark.sql(iv.sql)
-            old_mv = self.spark.read.parquet(self._path(name))
+            old_mv = self.spark.read.parquet(self._current_path(name))
             merged = old_mv.join(
-                F.broadcast(affected), iv.group_cols, "left_anti"
+                aff_b, _null_safe_on(old_mv, affected), "left_anti"
             ).unionByName(fresh)
-            tmp = self._path(name) + ".next"
-            merged.write.mode("overwrite").parquet(tmp)
-            final = self.spark.read.parquet(tmp)
-            final.write.mode("overwrite").parquet(self._path(name))
-            import shutil
-
-            shutil.rmtree(tmp)
-            self.spark.read.parquet(self._path(name)).createOrReplaceTempView(name)
+            path = publish_versioned(merged, self.storage_dir, self._stem(name))
+            self.spark.read.parquet(path).createOrReplaceTempView(name)
             iv.last_seq = new_seq
             iv.last_refresh_groups = n_groups
             return n_groups

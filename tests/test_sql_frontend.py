@@ -706,3 +706,139 @@ def test_incremental_mview_sql_surface(spark, tmp_path):
     assert n == 1  # only site 'a' recomputed
     assert mv() == {("a", 34), ("b", 5), ("c", 6)}
     assert s.sql("REFRESH MATERIALIZED VIEW site_hits") == 0  # no changes
+
+
+def test_incremental_mview_contract_validated(spark, tmp_path):
+    """Non-conforming definitions are rejected LOUDLY at CREATE (they
+    would refresh silently stale: only the source table's events advance
+    the watermark) — join, window, LIMIT, global aggregate, expression
+    group keys, wrong GROUP BY."""
+    import pytest as _pytest
+
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE ev (id INT PRIMARY KEY, site STRING, hits INT)")
+    s.sql("CREATE TABLE dim (site STRING PRIMARY KEY, region STRING)")
+    s.sql("INSERT INTO ev VALUES (1, 'a', 3)")
+    bad = [
+        # joins a second table
+        "SELECT e.site, COUNT(*) AS n FROM ev e JOIN dim d ON e.site = d.site "
+        "GROUP BY e.site",
+        # window function
+        "SELECT site, SUM(SUM(hits)) OVER (ORDER BY site) AS w FROM ev "
+        "GROUP BY site",
+        # global aggregate (no GROUP BY)
+        "SELECT SUM(hits) AS total FROM ev",
+        # GROUP BY does not match the declared group columns
+        "SELECT site, hits, COUNT(*) AS n FROM ev GROUP BY site, hits",
+        # expression group key (not a state column)
+        "SELECT upper(site) AS site, COUNT(*) AS n FROM ev GROUP BY upper(site)",
+        # LIMIT breaks per-group determinism
+        "SELECT site, COUNT(*) AS n FROM ev GROUP BY site LIMIT 1",
+    ]
+    for i, defn in enumerate(bad):
+        with _pytest.raises(Exception):
+            s.sql(
+                f"CREATE INCREMENTAL MATERIALIZED VIEW bad{i} ON ev "
+                f"GROUP BY (site) AS {defn}"
+            )
+    # a conforming definition still works and refreshes proportionally
+    s.sql(
+        "CREATE INCREMENTAL MATERIALIZED VIEW ok ON ev GROUP BY (site) "
+        "AS SELECT site, SUM(hits) AS total FROM ev GROUP BY site"
+    )
+    s.sql("INSERT INTO ev VALUES (2, 'b', 9)")
+    assert s.sql("REFRESH MATERIALIZED VIEW ok") == 1
+
+
+def test_incremental_mview_persists_across_sessions(spark, tmp_path):
+    """IMV metadata persists in the catalog: a fresh session serves the
+    stored result, REFRESH stays incremental from the saved watermark,
+    and DROP removes files + catalog entry (ADVICE r5)."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE ev (id INT PRIMARY KEY, site STRING, hits INT)")
+    s.sql("INSERT INTO ev VALUES (1, 'a', 3), (2, 'b', 5)")
+    s.sql(
+        "CREATE INCREMENTAL MATERIALIZED VIEW sh ON ev GROUP BY (site) "
+        "AS SELECT site, SUM(hits) AS total FROM ev GROUP BY site"
+    )
+    # reopen: stored result queryable without recompute
+    s2 = DriftSession(spark, str(tmp_path))
+    got = {(r.site, r.total) for r in s2.sql("SELECT * FROM sh").collect()}
+    assert got == {("a", 3), ("b", 5)}
+    tabs = {(r.name, r.kind) for r in s2.sql("SHOW TABLES").collect()}
+    assert ("sh", "incremental materialized view") in tabs
+    # refresh in the NEW session is incremental: only touched group
+    s2.sql("INSERT INTO ev VALUES (3, 'a', 7)")
+    assert s2.sql("REFRESH MATERIALIZED VIEW sh") == 1
+    got = {(r.site, r.total) for r in s2.sql("SELECT * FROM sh").collect()}
+    assert got == {("a", 10), ("b", 5)}
+    # drop removes catalog entry + storage
+    s2.sql("DROP MATERIALIZED VIEW sh")
+    s3 = DriftSession(spark, str(tmp_path))
+    assert "sh" not in s3._imvs
+    import os
+
+    assert not any(f.startswith("imv_sh") for f in os.listdir(str(tmp_path)))
+
+
+def test_incremental_mview_null_group_keys(spark, tmp_path):
+    """A NULL group key is a real group (GROUP BY semantics): its rows
+    must recompute and its old MV row must be replaced (null-safe
+    group-key joins; ADVICE r5)."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE ev (id INT PRIMARY KEY, site STRING, hits INT)")
+    s.sql("INSERT INTO ev VALUES (1, NULL, 3), (2, 'b', 5)")
+    s.sql(
+        "CREATE INCREMENTAL MATERIALIZED VIEW ng ON ev GROUP BY (site) "
+        "AS SELECT site, SUM(hits) AS total FROM ev GROUP BY site"
+    )
+    got = {(r.site, r.total) for r in s.sql("SELECT * FROM ng").collect()}
+    assert got == {(None, 3), ("b", 5)}
+    # touch the NULL group: it must refresh, not stay permanently stale
+    s.sql("INSERT INTO ev VALUES (3, NULL, 10)")
+    assert s.sql("REFRESH MATERIALIZED VIEW ng") == 1
+    got = {(r.site, r.total) for r in s.sql("SELECT * FROM ng").collect()}
+    assert got == {(None, 13), ("b", 5)}
+    # a row LEAVING the NULL group also replaces the old NULL row
+    s.sql("DELETE FROM ev WHERE id = 1")
+    s.sql("REFRESH MATERIALIZED VIEW ng")
+    got = {(r.site, r.total) for r in s.sql("SELECT * FROM ng").collect()}
+    assert got == {(None, 10), ("b", 5)}
+
+
+def test_mview_refresh_survives_crash_between_steps(spark, tmp_path, monkeypatch):
+    """The versioned-pointer publish is atomic: a refresh that dies after
+    writing the new data but BEFORE the pointer moves leaves the old
+    result live and readable (VERDICT r5 #5)."""
+    from driftdb_spark import views as V
+
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE m (id INT PRIMARY KEY, grp STRING, x INT)")
+    s.sql("INSERT INTO m VALUES (1, 'a', 10)")
+    s.sql(
+        "CREATE MATERIALIZED VIEW msum AS "
+        "SELECT grp, SUM(x) AS total FROM m GROUP BY grp"
+    )
+    s.sql("INSERT INTO m VALUES (2, 'a', 5)")
+
+    real_replace = V.os.replace
+
+    def boom(src, dst):
+        if dst.endswith(".current"):
+            raise RuntimeError("simulated crash before pointer commit")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(V.os, "replace", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        s.sql("REFRESH MATERIALIZED VIEW msum")
+    monkeypatch.undo()
+    # old result still live in THIS session and in a fresh one
+    s2 = DriftSession(spark, str(tmp_path))
+    got = {(r.grp, r.total) for r in s2.sql("SELECT * FROM msum").collect()}
+    assert got == {("a", 10)}
+    # a later (non-crashing) refresh completes and supersedes
+    s2.sql("REFRESH MATERIALIZED VIEW msum")
+    got = {(r.grp, r.total) for r in s2.sql("SELECT * FROM msum").collect()}
+    assert got == {("a", 15)}
