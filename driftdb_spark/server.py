@@ -258,6 +258,15 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._send(b"N")  # not supported; client retries plaintext
                 continue
             if code == _CANCEL_REQUEST:
+                # CancelRequest carries the (pid, secret) from BackendKeyData
+                # (reference query_cancellation.rs:12-30 owns the token
+                # registry; engine.rs:1035-1117 the cancellation points —
+                # Spark's form is job-group cancellation, the same machinery
+                # behind statement timeouts, sql_frontend.sql_with_timeout).
+                # The cancel connection carries no response, per protocol.
+                if len(payload) >= 12:
+                    pid, secret = struct.unpack("!II", payload[4:12])
+                    self.server.cancel_backend(pid, secret)
                 return False
             if code == _PROTO_V3:
                 parts = payload[4:].split(b"\x00")
@@ -277,10 +286,43 @@ class _Handler(socketserver.BaseRequestHandler):
             ("DateStyle", "ISO"),
         ):
             self._send(self._msg(b"S", self._cstr(k) + self._cstr(v)))
-        self._send(self._msg(b"K", struct.pack("!II", 1, 0)))  # BackendKeyData
+        # BackendKeyData with REAL credentials: a second connection may
+        # present (pid, secret) in a CancelRequest to cancel this
+        # backend's running statement (psql Ctrl-C).
+        self.backend_pid, self.backend_secret = self.server.register_backend(self)
+        self._send(
+            self._msg(
+                b"K", struct.pack("!II", self.backend_pid, self.backend_secret)
+            )
+        )
         self._init_security()
+        self._set_job_group()
         self._ready()
         return True
+
+    def _set_job_group(self) -> None:
+        """Pin this connection's Spark jobs to a cancellable job group.
+        Local properties are per-thread (pinned-thread mode), so the
+        group set HERE covers every job this connection thread submits.
+        The group id rotates after each observed cancellation so a stale
+        cancel can never hit the next statement."""
+        import uuid
+
+        # Globally unique per statement-epoch: cancelJobGroupAndFutureJobs
+        # poisons a group id for the LIFETIME of the SparkContext, so a
+        # recycled name (new server, same pid counter) would insta-cancel
+        # an innocent backend's first query.
+        self._group_gen = getattr(self, "_group_gen", 0) + 1
+        self.job_group = (
+            f"pgwire-{self.backend_pid}-{self._group_gen}-{uuid.uuid4().hex[:8]}"
+        )
+        self.cancel_flag = getattr(self, "cancel_flag", None) or threading.Event()
+        sc = self.session.spark.sparkContext
+        sc.setJobGroup(
+            self.job_group,
+            f"pgwire backend {self.backend_pid}",
+            interruptOnCancel=True,
+        )
 
     def _authenticate(self) -> bool:
         """Password check against the configured user map (reference
@@ -388,6 +430,15 @@ class _Handler(socketserver.BaseRequestHandler):
             self._complete(sql.split(None, 1)[0].upper())
             return True
         return False
+
+    def _check_cancelled(self) -> None:
+        """Cooperative cancellation point (the reference's engine checks
+        its cancellation token between pipeline stages,
+        engine.rs:1035-1117): a cancel that landed during planning — when
+        no Spark job existed to kill — surfaces here instead of letting
+        execution start."""
+        if getattr(self, "cancel_flag", None) is not None and self.cancel_flag.is_set():
+            raise RuntimeError("statement cancelled")  # classified to 57014
 
     def _stream_result(self, result) -> int:
         """RowDescription + DataRows streamed per partition — driver
@@ -575,6 +626,7 @@ class _Handler(socketserver.BaseRequestHandler):
         # analyzed plan binds its views eagerly, so execution after
         # dispatch is safe to run concurrently).
         result = self._dispatch(sql)
+        self._check_cancelled()
         if isinstance(result, (int, str)):
             self._complete(self._tag_for(sql, result))
             return
@@ -690,6 +742,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 sql = re.sub(f":{k}\\b", lambda _m: lit, sql)
             args = None
         result = self._dispatch(sql, args)
+        self._check_cancelled()
         if isinstance(result, (int, str)):
             self._complete(self._tag_for(sql, result))
             return
@@ -729,6 +782,22 @@ class _Handler(socketserver.BaseRequestHandler):
         ext_error = False  # after an extended-protocol error: skip to Sync
         if not self._startup():
             return
+        try:
+            self._serve_loop(ext_error)
+        finally:
+            self.server.unregister_backend(getattr(self, "backend_pid", None))
+
+    def _classify_error(self, exc: Exception) -> tuple[str, str]:
+        """SQLSTATE + message for an execution error; a cancellation this
+        backend's cancel flag explains maps to 57014 (query_canceled),
+        and the job group rotates so the NEXT statement runs clean."""
+        if getattr(self, "cancel_flag", None) is not None and self.cancel_flag.is_set():
+            self.cancel_flag.clear()
+            self._set_job_group()
+            return "57014", "canceling statement due to user request"
+        return getattr(exc, "sqlstate", "XX000"), f"{type(exc).__name__}: {exc}"
+
+    def _serve_loop(self, ext_error: bool) -> None:
         while True:
             head = self._recv_exact(5)
             if head is None:
@@ -746,12 +815,14 @@ class _Handler(socketserver.BaseRequestHandler):
             if mtype == b"Q":
                 sql = payload.rstrip(b"\x00").decode()
                 try:
+                    # a cancel that landed while idle targets no statement
+                    # (PostgreSQL semantics): clear it, run clean
+                    if self.cancel_flag.is_set():
+                        self.cancel_flag.clear()
+                        self._set_job_group()
                     self._run_query(sql)
                 except Exception as exc:  # surface, stay usable
-                    self._error(
-                        getattr(exc, "sqlstate", "XX000"),
-                        f"{type(exc).__name__}: {exc}",
-                    )
+                    self._error(*self._classify_error(exc))
                 self._ready()
             elif mtype == b"S":  # Sync
                 ext_error = False
@@ -771,13 +842,79 @@ class _Handler(socketserver.BaseRequestHandler):
                     }[mtype](payload)
                 except Exception as exc:
                     ext_error = True
-                    self._error(
-                        getattr(exc, "sqlstate", "XX000"),
-                        f"{type(exc).__name__}: {exc}",
-                    )
+                    self._error(*self._classify_error(exc))
             else:
                 self._error("0A000", f"message type {mtype!r} not supported")
                 self._ready()
+
+
+class _TcpServer(socketserver.ThreadingTCPServer):
+    """ThreadingTCPServer + the backend registry CancelRequest needs
+    (reference query_cancellation.rs:12-30: token registry keyed by
+    query id; here keyed by PostgreSQL's (pid, secret) pair)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._backends: dict[int, _Handler] = {}
+        self._backend_lock = threading.Lock()
+        self._next_pid = 1
+
+    def register_backend(self, handler) -> tuple[int, int]:
+        with self._backend_lock:
+            pid = self._next_pid
+            self._next_pid += 1
+            self._backends[pid] = handler
+        secret = struct.unpack("!I", os.urandom(4))[0]
+        handler._cancel_secret = secret
+        return pid, secret
+
+    def unregister_backend(self, pid: int | None) -> None:
+        if pid is not None:
+            with self._backend_lock:
+                self._backends.pop(pid, None)
+
+    def cancel_backend(self, pid: int, secret: int) -> None:
+        """Validate (pid, secret) and cancel the backend's Spark job
+        group — interrupts its running tasks; the victim connection
+        answers 57014 and stays usable. Wrong credentials are silently
+        ignored (PostgreSQL behavior: cancel is best-effort, the cancel
+        connection never learns whether it matched)."""
+        with self._backend_lock:
+            handler = self._backends.get(pid)
+        if handler is None or handler._cancel_secret != secret:
+            return
+        handler.cancel_flag.set()
+        group = handler.job_group
+        sc = self.session.spark.sparkContext
+
+        def _hammer():
+            # A cancel can land while the victim is still PLANNING (no
+            # job submitted yet) — one cancelJobGroup call would be a
+            # no-op and the job would then run to completion. Re-fire
+            # active-job cancellation until the victim acknowledges
+            # (clears the flag and rotates its group) or the window
+            # closes; the victim also checks the flag at statement
+            # boundaries, so a planning-phase cancel surfaces the moment
+            # execution would begin.
+            import time as _time
+
+            try:
+                sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
+            except Exception:
+                pass
+            deadline = _time.monotonic() + 10.0
+            while (
+                _time.monotonic() < deadline
+                and handler.cancel_flag.is_set()
+                and getattr(handler, "job_group", None) == group
+            ):
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:
+                    return  # context shut down; nothing left to cancel
+                _time.sleep(0.25)
+
+        threading.Thread(target=_hammer, daemon=True).start()
 
 
 class PgWireServer:
@@ -800,9 +937,7 @@ class PgWireServer:
     ):
         if auth_method not in ("md5", "cleartext"):
             raise ValueError("auth_method must be 'md5' or 'cleartext'")
-        self._tcp = socketserver.ThreadingTCPServer(
-            (host, port), _Handler, bind_and_activate=True
-        )
+        self._tcp = _TcpServer((host, port), _Handler, bind_and_activate=True)
         self._tcp.daemon_threads = True
         self._tcp.allow_reuse_address = True
         self._tcp.session = session

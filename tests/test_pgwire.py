@@ -630,3 +630,66 @@ def test_declared_param_oids_honored(server):
     )
     assert err is None and rows == [["1e3", "2.5", "True"]]
     c.close()
+
+
+def test_cancel_request_stops_running_query(server):
+    """A second connection's CancelRequest with the (pid, secret) from
+    BackendKeyData cancels the victim's running statement via Spark
+    job-group cancellation: the victim gets ErrorResponse 57014, then
+    ReadyForQuery, and the connection stays usable (reference
+    query_cancellation.rs:12-30; psql Ctrl-C flow)."""
+    import threading
+    import time
+
+    host, port = server.address
+    c = Client(host, port)
+    msgs = c.startup()
+    key = [p for t, p in msgs if t == "K"]
+    assert key, "BackendKeyData missing"
+    pid, secret = struct.unpack("!II", key[0][:8])
+    assert (pid, secret) != (1, 0)  # real credentials, not placeholders
+
+    # a query that would run for minutes uncancelled
+    slow = (
+        "SELECT COUNT(*) AS n FROM (SELECT sha2(CAST(id AS STRING), 256) h "
+        "FROM range(2000000000)) WHERE h = ''"
+    )
+    payload = slow.encode() + b"\x00"
+    c.sock.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+
+    def fire_cancel():
+        time.sleep(1.5)  # let the job start
+        s = socket.create_connection((host, port), timeout=10)
+        body = struct.pack("!III", 80877102, pid, secret)
+        s.sendall(struct.pack("!I", len(body) + 4) + body)
+        s.close()
+
+    t = threading.Thread(target=fire_cancel)
+    t.start()
+    start = time.monotonic()
+    msgs = c.read_until_ready()  # Client sock timeout (30 s) bounds this
+    elapsed = time.monotonic() - start
+    t.join()
+    errs = [p for typ, p in msgs if typ == "E"]
+    assert errs and b"57014" in errs[0], msgs
+    assert elapsed < 25, f"cancellation took {elapsed:.1f}s"
+    # the connection recovers and runs the next statement normally
+    _c, rows, _t, err = c.query("SELECT 1 AS ok")
+    assert err is None and rows == [["1"]]
+    c.close()
+
+
+def test_cancel_request_wrong_secret_ignored(server):
+    """A CancelRequest with a bad secret is silently ignored — the
+    victim's query completes normally."""
+    host, port = server.address
+    c = Client(host, port)
+    msgs = c.startup()
+    pid, secret = struct.unpack("!II", [p for t, p in msgs if t == "K"][0][:8])
+    s = socket.create_connection((host, port), timeout=10)
+    body = struct.pack("!III", 80877102, pid, secret ^ 0xDEADBEEF)
+    s.sendall(struct.pack("!I", len(body) + 4) + body)
+    s.close()
+    _c, rows, _t, err = c.query("SELECT COUNT(*) AS n FROM range(1000000)")
+    assert err is None and rows == [["1000000"]]
+    c.close()
