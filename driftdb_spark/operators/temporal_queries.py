@@ -204,6 +204,34 @@ def events_system_time_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_system_time_fromto",
+    oracle="""
+    SELECT event_id AS seq, user_id, event_type, value
+    FROM events
+    WHERE event_id >= (SELECT CAST(FLOOR(MAX(event_id) * 0.3) AS BIGINT) FROM events)
+      AND event_id <  (SELECT CAST(FLOOR(MAX(event_id) * 0.5) AS BIGINT) FROM events)
+    """,
+    tags=("temporal",),
+)
+def events_system_time_fromto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FOR SYSTEM_TIME FROM a TO b`` — the half-open [a, b) twin of
+    BETWEEN (SQL:2011). The reference parses FROM…TO alongside BETWEEN
+    and errors on both (sql/parser.rs:147-203); executed here as a
+    sequence-range scan with an exclusive upper bound
+    (temporal.apply_asof half_open arm)."""
+    e = _events(spark, sf_dir)
+    bounds = e.agg(
+        F.floor(F.max("seq") * 0.3).cast("long").alias("_lo"),
+        F.floor(F.max("seq") * 0.5).cast("long").alias("_hi"),
+    )
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .filter((F.col("seq") >= F.col("_lo")) & (F.col("seq") < F.col("_hi")))
+        .select("seq", F.col("pk").alias("user_id"), "event_type", "value")
+    )
+
+
+@register(
     "events_type_stats",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

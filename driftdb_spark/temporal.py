@@ -20,13 +20,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # FOR SYSTEM_TIME AS OF @SEQ:N | 'ts' | CURRENT_TIMESTAMP ; FOR SYSTEM_TIME ALL ;
-# FOR SYSTEM_TIME BETWEEN a AND b (reference parses BETWEEN but errors —
-# sql/parser.rs:147-203; we execute it).
+# FOR SYSTEM_TIME BETWEEN a AND b (closed) ; FOR SYSTEM_TIME FROM a TO b
+# (half-open [a, b) — SQL:2011). The reference parses BETWEEN and FROM…TO
+# but errors on both — sql/parser.rs:147-203; we execute them.
 _SYSTEM_TIME_RE = re.compile(
     r"\s+FOR\s+SYSTEM_TIME\s+(?:"
     r"AS\s+OF\s+(?P<asof>@SEQ:\d+|CURRENT_TIMESTAMP|'[^']+')"
     r"|(?P<all>ALL)"
     r"|BETWEEN\s+(?P<lo>@SEQ:\d+|'[^']+')\s+AND\s+(?P<hi>@SEQ:\d+|'[^']+')"
+    r"|FROM\s+(?P<flo>@SEQ:\d+|'[^']+')\s+TO\s+(?P<fhi>@SEQ:\d+|'[^']+')"
     r")",
     re.IGNORECASE,
 )
@@ -39,7 +41,8 @@ class AsOf:
     sequence: int | None = None
     timestamp: datetime | str | None = None
     all_history: bool = False
-    between: tuple | None = None  # (lo, hi) AsOf pair for BETWEEN
+    between: tuple | None = None  # (lo, hi) AsOf pair for BETWEEN / FROM…TO
+    half_open: bool = False  # FROM…TO: [lo, hi) — SQL:2011 half-open twin
 
     @staticmethod
     def now() -> "AsOf":
@@ -56,6 +59,11 @@ def parse_system_time(sql: str) -> tuple[str, AsOf]:
         return clean, AsOf(all_history=True)
     if m.group("lo"):
         return clean, AsOf(between=(_parse_point(m.group("lo")), _parse_point(m.group("hi"))))
+    if m.group("flo"):
+        return clean, AsOf(
+            between=(_parse_point(m.group("flo")), _parse_point(m.group("fhi"))),
+            half_open=True,
+        )
     return clean, _parse_point(m.group("asof"))
 
 
@@ -80,6 +88,17 @@ def resolve_sequence_at(
     return None if row is None else row["s"]
 
 
+def resolve_sequence_before(
+    events: DataFrame, ts, seq_col: str = "sequence", ts_col: str = "ts"
+) -> int | None:
+    """Max sequence with event timestamp STRICTLY before ts — the
+    half-open (FROM…TO) twin of :func:`resolve_sequence_at`."""
+    row = events.filter(F.col(ts_col) < F.lit(ts).cast("timestamp")).agg(
+        F.max(seq_col).alias("s")
+    ).first()
+    return None if row is None else row["s"]
+
+
 def apply_asof(
     events: DataFrame, asof: AsOf, seq_col: str = "sequence", ts_col: str = "ts"
 ) -> DataFrame:
@@ -89,7 +108,24 @@ def apply_asof(
     ):
         return events
     if asof.between is not None:
-        lo, hi = (_as_seq(events, p, seq_col, ts_col) for p in asof.between)
+        lo_pt, hi_pt = asof.between
+        lo = _as_seq(events, lo_pt, seq_col, ts_col)
+        if asof.half_open and hi_pt.sequence is not None:
+            # FROM a TO b is half-open [a, b): a sequence upper bound
+            # excludes b itself
+            return events.filter(
+                (F.col(seq_col) >= (lo if lo is not None else 0))
+                & (F.col(seq_col) < hi_pt.sequence)
+            )
+        if asof.half_open and hi_pt.timestamp is not None:
+            # timestamp upper bound: events strictly BEFORE hi_ts —
+            # resolve to max sequence with ts < hi (strict), then <=
+            hi = resolve_sequence_before(events, hi_pt.timestamp, seq_col, ts_col)
+            return events.filter(
+                (F.col(seq_col) >= (lo if lo is not None else 0))
+                & (F.col(seq_col) <= (hi if hi is not None else -1))
+            )
+        hi = _as_seq(events, hi_pt, seq_col, ts_col)
         return events.filter(F.col(seq_col).between(lo if lo is not None else 0, hi))
     seq = _as_seq(events, asof, seq_col, ts_col)
     if seq is None:

@@ -51,3 +51,48 @@ def test_apply_asof(spark):
     assert apply_asof(ev, AsOf(between=(AsOf(sequence=2), AsOf(sequence=4)))).count() == 3
     # timestamp before all events → empty state, not full scan
     assert apply_asof(ev, AsOf(timestamp="2020-01-01 00:00:00")).count() == 0
+
+
+def test_parse_from_to_half_open():
+    """FOR SYSTEM_TIME FROM a TO b — parsed by the reference but errored
+    (sql/parser.rs:147-203); executed here as the half-open [a, b) twin
+    of BETWEEN (SQL:2011 semantics)."""
+    clean, d = parse_system_time(
+        "SELECT * FROM t FOR SYSTEM_TIME FROM @SEQ:5 TO @SEQ:9"
+    )
+    assert clean == "SELECT * FROM t"
+    assert d.half_open and d.between[0].sequence == 5
+    assert d.between[1].sequence == 9
+
+
+def test_apply_asof_from_to(spark):
+    ev = _events(spark)
+    # sequence bounds: [2, 4) = {2, 3}
+    fr = AsOf(between=(AsOf(sequence=2), AsOf(sequence=4)), half_open=True)
+    assert apply_asof(ev, fr).count() == 2
+    # timestamp upper bound strict: ts < 2024-01-04 excludes seq 4
+    fr_ts = AsOf(
+        between=(AsOf(sequence=2), AsOf(timestamp="2024-01-04 00:00:00")),
+        half_open=True,
+    )
+    assert {r.sequence for r in apply_asof(ev, fr_ts).collect()} == {2, 3}
+    # BETWEEN stays closed: [2, 4] = {2, 3, 4}
+    closed = AsOf(between=(AsOf(sequence=2), AsOf(sequence=4)))
+    assert apply_asof(ev, closed).count() == 3
+
+
+def test_sql_from_to_surface(spark, tmp_path):
+    """The SQL surface executes FROM…TO end-to-end over an event table."""
+    from driftdb_spark.sql_frontend import DriftSession
+
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE ft (id INT PRIMARY KEY, v INT)")
+    for i in range(1, 6):
+        s.sql(f"INSERT INTO ft VALUES ({i}, {i * 10})")  # seq i = insert i
+    closed = s.sql(
+        "SELECT COUNT(*) AS n FROM ft FOR SYSTEM_TIME BETWEEN @SEQ:2 AND @SEQ:4"
+    ).first()["n"]
+    half = s.sql(
+        "SELECT COUNT(*) AS n FROM ft FOR SYSTEM_TIME FROM @SEQ:2 TO @SEQ:4"
+    ).first()["n"]
+    assert closed == 3 and half == 2
