@@ -109,6 +109,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         action="store_true",
         help="permit trust mode (no --auth) on a non-loopback --host",
     )
+    sp.add_argument(
+        "--tls-cert",
+        help="PEM certificate; with --tls-key, accept SSLRequest with TLS "
+        "(reference driftdb-server tls.rs)",
+    )
+    sp.add_argument("--tls-key", help="PEM private key for --tls-cert")
 
     args = p.parse_args(argv)
 
@@ -187,6 +193,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
             )
             return 2
+        ssl_context = None
+        if args.tls_cert or args.tls_key:
+            if not (args.tls_cert and args.tls_key):
+                print(
+                    json.dumps(
+                        {"ok": False, "error": "--tls-cert and --tls-key "
+                         "must be given together"}
+                    )
+                )
+                return 2
+            from driftdb_spark.server import tls_context_from_files
+
+            ssl_context = tls_context_from_files(args.tls_cert, args.tls_key)
         srv = PgWireServer(
             sess,
             host=args.host,
@@ -194,6 +213,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             users=users,
             superusers=set(args.superuser),
             auth_method=args.auth_method,
+            ssl_context=ssl_context,
         ).start()
         print(json.dumps({"ok": True, "address": list(srv.address)}), flush=True)
         srv._thread.join()  # serve until interrupted

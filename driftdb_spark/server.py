@@ -254,8 +254,17 @@ class _Handler(socketserver.BaseRequestHandler):
             if payload is None:
                 return False
             (code,) = struct.unpack("!I", payload[:4])
+            if code == _SSL_REQUEST and self.server.ssl_context is not None:
+                # TLS accept (reference driftdb-server/src/tls.rs wired via
+                # main.rs:131-139): answer 'S', then the handshake runs on
+                # this socket and every subsequent message is encrypted.
+                self._send(b"S")
+                self.request = self.server.ssl_context.wrap_socket(
+                    self.request, server_side=True
+                )
+                continue
             if code in (_SSL_REQUEST, _GSSENC_REQUEST):
-                self._send(b"N")  # not supported; client retries plaintext
+                self._send(b"N")  # not configured; client retries plaintext
                 continue
             if code == _CANCEL_REQUEST:
                 # CancelRequest carries the (pid, secret) from BackendKeyData
@@ -848,6 +857,17 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._ready()
 
 
+def tls_context_from_files(certfile: str, keyfile: str):
+    """A server-side TLS context from a PEM cert + key pair (the
+    reference loads the same pair via CLI flags, tls.rs /
+    main.rs:131-139)."""
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    return ctx
+
+
 class _TcpServer(socketserver.ThreadingTCPServer):
     """ThreadingTCPServer + the backend registry CancelRequest needs
     (reference query_cancellation.rs:12-30: token registry keyed by
@@ -934,10 +954,12 @@ class PgWireServer:
         users: dict[str, str] | None = None,
         superusers: set[str] | None = None,
         auth_method: str = "md5",
+        ssl_context=None,
     ):
         if auth_method not in ("md5", "cleartext"):
             raise ValueError("auth_method must be 'md5' or 'cleartext'")
         self._tcp = _TcpServer((host, port), _Handler, bind_and_activate=True)
+        self._tcp.ssl_context = ssl_context
         self._tcp.daemon_threads = True
         self._tcp.allow_reuse_address = True
         self._tcp.session = session

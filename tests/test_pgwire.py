@@ -693,3 +693,84 @@ def test_cancel_request_wrong_secret_ignored(server):
     _c, rows, _t, err = c.query("SELECT COUNT(*) AS n FROM range(1000000)")
     assert err is None and rows == [["1000000"]]
     c.close()
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    """Self-signed cert + key via the openssl CLI (skip if unavailable)."""
+    import shutil as _shutil
+    import subprocess
+
+    if _shutil.which("openssl") is None:
+        pytest.skip("openssl not available")
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = d / "server.crt", d / "server.key"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", str(key), "-out", str(cert), "-days", "1",
+            "-subj", "/CN=localhost",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return str(cert), str(key)
+
+
+class TlsClient(ExtClient):
+    """Sends SSLRequest, expects 'S', then wraps the socket in TLS."""
+
+    def tls_handshake(self):
+        import ssl as _ssl
+
+        payload = struct.pack("!I", 80877103)
+        self.sock.sendall(struct.pack("!I", len(payload) + 4) + payload)
+        assert self._recv_exact(1) == b"S"
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = _ssl.CERT_NONE  # self-signed test cert
+        self.sock = ctx.wrap_socket(self.sock)
+
+
+def test_tls_connection_end_to_end(spark, tmp_path, tls_cert):
+    """With a TLS context configured, SSLRequest is accepted with 'S',
+    the handshake completes, and queries run encrypted (reference
+    tls.rs wired via main.rs:131-139); plaintext still works when the
+    client skips SSLRequest."""
+    from driftdb_spark.server import tls_context_from_files
+
+    cert, key = tls_cert
+    sess = DriftSession(spark, str(tmp_path))
+    srv = PgWireServer(
+        sess, ssl_context=tls_context_from_files(cert, key)
+    ).start()
+    try:
+        host, port = srv.address
+        c = TlsClient(host, port)
+        c.tls_handshake()
+        c.startup()
+        c.query("CREATE TABLE sec (id INT PRIMARY KEY, v STRING)")
+        _c, _r, tag, err = c.query("INSERT INTO sec VALUES (1, 'enc')")
+        assert err is None and tag == "INSERT 0 1"
+        _c, rows, _t, err = c.query("SELECT v FROM sec")
+        assert err is None and rows == [["enc"]]
+        c.close()
+        # plaintext client (no SSLRequest) still works
+        p = Client(host, port)
+        p.startup()
+        _c, rows, _t, err = p.query("SELECT COUNT(*) AS n FROM sec")
+        assert err is None and rows == [["1"]]
+        p.close()
+    finally:
+        srv.stop()
+
+
+def test_tls_unconfigured_still_refuses(server):
+    """Without a TLS context, SSLRequest is still answered 'N'."""
+    host, port = server.address
+    c = Client(host, port)
+    assert c.ssl_probe() == b"N"
+    c.startup()
+    _c, rows, _t, err = c.query("SELECT 1 AS ok")
+    assert err is None and rows == [["1"]]
+    c.close()
