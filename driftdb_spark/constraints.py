@@ -145,6 +145,13 @@ def check_unique_insert(
     for cols in cons.uniques:
         if any(c not in rows.columns for c in cols):
             continue
+        # Keys compare after cast("string"), so 1 and '1' collide across
+        # types — a deliberate choice matching the PK gate (EventLog keys
+        # every event by the stringified pk), which keeps UNIQUE exactly
+        # as strict as the engine's own identity notion. Typed columns
+        # normally receive typed values (the DML path casts to the
+        # declared column type first), so the collision only surfaces for
+        # genuinely mixed-type inserts, where rejecting is the safe side.
         batch_keys = rows.select(
             *[F.col(c).cast("string").alias(f"_u_{c}") for c in cols]
         )

@@ -611,3 +611,61 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sim_expr = term if sim_expr is None else sim_expr + term
     return bit_sums.select("doc_id", sim_expr.cast("long").alias("simhash"))
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 25
+        ) d
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.shared AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    WHERE CAST(i.shared AS DOUBLE) / sa.n >= 0.5
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment C(A→B) = |shingles(A) ∩ shingles(B)| / |A| —
+    the Broder containment twin of dedup_ngram_jaccard. Jaccard misses the
+    quote/subset case (a short document wholly embedded in a long one has
+    tiny Jaccard but containment ≈ 1); corpus pipelines gate on BOTH.
+    Same inverted-index join shape — one shingle-keyed exchange, pairs
+    only where shingles actually collide — but normalized by the SOURCE
+    doc alone, so the output is directional (id_a contained-in id_b).
+    Bounded to the doc_id<25 oracle slice; the unbounded scale path
+    shares dedup_minhash_lsh's band-bucket candidate generation."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 25)
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cont = F.col("shared").cast("double") / F.col("na")
+    return (
+        inter.join(sa, "id_a")
+        .filter(cont >= 0.5)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )

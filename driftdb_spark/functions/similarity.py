@@ -1053,3 +1053,48 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.5)
         .select("cluster", "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "sim_embedding_dim_stats",
+    oracle=f"""
+    WITH comp AS (
+        SELECT gs.d AS dim,
+               ROUND(CAST(embedding[gs.d] AS DOUBLE), 8) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, {DIM})) AS d) gs
+    )
+    SELECT dim, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*), 6) AS mean,
+           ROUND(CAST(SUM(CAST(ROUND(x * x, 8) AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*)
+                 - POW(CAST(SUM(CAST(x AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*), 2),
+                 6) AS variance
+    FROM comp GROUP BY dim
+    """,
+    tags=("similarity", "agg"),
+)
+def sim_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — the
+    normalization statistics every whitening / feature-scaling /
+    quantization-calibration step needs. One posexplode (n·d rows) into a
+    d-keyed aggregation: partial aggregation reduces map-side, the final
+    exchange carries d=64 groups regardless of corpus size. Sums route
+    through DECIMAL on both engines (IEEE summation is order-dependent)
+    so the hashes agree exactly."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    comp = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("xf").cast("double"), 8).alias("x"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("x").cast("decimal(24,8)")).cast("double")
+    sq = F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(24,8)")).cast(
+        "double"
+    )
+    return comp.groupBy("dim").agg(
+        n.alias("n"),
+        F.round(s / n, 6).alias("mean"),
+        F.round(sq / n - F.pow(s / n, F.lit(2)), 6).alias("variance"),
+    )

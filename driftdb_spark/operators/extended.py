@@ -1161,3 +1161,98 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH fd AS (
+        SELECT user_id,
+               strftime(MIN(date_trunc('day', CAST(ts AS TIMESTAMP))), '%Y-%m-%d') AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT first_day AS day, COUNT(*) AS new_users FROM fd GROUP BY first_day)
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM daily
+    """,
+    tags=("temporal", "agg"),
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user curve (growth analytics): each user is
+    attributed to their FIRST active day, so the running sum of new users
+    IS the exact cumulative distinct count — one user-keyed aggregation +
+    one day-keyed aggregation, never a per-day rescan of history. At
+    100 TB this replaces the naive O(days × users) cumulative
+    COUNT(DISTINCT) with two shuffles, and the final window runs over
+    day-count rows only (reference has no analytics beyond full scans;
+    SURVEY §2.10 event analytics family)."""
+    e = load_tables(spark, sf_dir)["events"]
+    first_day = e.groupBy("user_id").agg(
+        F.date_format(F.min(F.date_trunc("day", F.col("ts"))), "yyyy-MM-dd").alias(
+            "day"
+        )
+    )
+    daily = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           ROUND(MAX(d.med), 6) AS median_value,
+           ROUND(MAX(m.mad), 6) AS mad,
+           SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("temporal", "agg"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via MAD (median absolute
+    deviation): med and MAD are each one grouped percentile; the deviation
+    join keys on event_type, so both medians and the final count are
+    type-keyed aggregations — no global sort, and the med/mad tables are
+    type-cardinality-sized (broadcast). The 1.4826 factor scales MAD to
+    σ-equivalence under normality, the standard robust-z gate that mean/
+    stddev z-scores (events_rolling_zscore) lack under heavy tails."""
+    e = load_tables(spark, sf_dir)["events"]
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+    )
