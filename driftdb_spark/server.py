@@ -482,6 +482,8 @@ class _Handler(socketserver.BaseRequestHandler):
         "ROLLBACK": "ROLLBACK",
         "SET": "SET",
         "RESET": "RESET",
+        "DECLARE": "DECLARE CURSOR",
+        "CLOSE": "CLOSE CURSOR",
     }
 
     def _tag_for(self, sql: str, result) -> str:
@@ -692,7 +694,8 @@ class _Handler(socketserver.BaseRequestHandler):
         args = {
             f"p{i + 1}": _typed_param(v, oids[i]) for i, v in enumerate(vals)
         }
-        self._portals[portal] = (sql, args)
+        self._portals[portal] = {"sql": sql, "args": args, "iter": None,
+                                 "pending": None, "started": False}
         self._send(self._msg(b"2", b""))  # BindComplete
 
     def _handle_describe(self, payload: bytes) -> None:
@@ -709,8 +712,8 @@ class _Handler(socketserver.BaseRequestHandler):
         else:
             if target not in self._portals:
                 raise KeyError(f'portal "{target}" does not exist')
-            sql, args = self._portals[target]
-            self._describe_sql(sql, args)
+            p = self._portals[target]
+            self._describe_sql(p["sql"], p["args"])
 
     def _describe_sql(self, sql: str, args: dict) -> None:
         """RowDescription for query-like statements (planning only — a lazy
@@ -732,11 +735,15 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def _handle_execute(self, payload: bytes) -> None:
         portal, off = self._read_cstr(payload, 0)
-        # max-rows (4 bytes) follows; portal suspension is not offered —
-        # all rows stream (drivers overwhelmingly send 0 = unlimited).
+        (max_rows,) = struct.unpack("!i", payload[off : off + 4])
         if portal not in self._portals:
             raise KeyError(f'portal "{portal}" does not exist')
-        sql, args = self._portals[portal]
+        p = self._portals[portal]
+        sql, args = p["sql"], p["args"]
+        if p["iter"] is not None:
+            # resumed Execute on a suspended portal: continue the stream
+            self._execute_suspended(p, max_rows)
+            return
         if self._compat_shim(sql):
             return
         if not _QUERYLIKE.match(sql) and args:
@@ -755,11 +762,58 @@ class _Handler(socketserver.BaseRequestHandler):
         if isinstance(result, (int, str)):
             self._complete(self._tag_for(sql, result))
             return
+        if max_rows > 0:
+            # Portal suspension (JDBC setFetchSize / libpq single-row
+            # mode): stream max_rows DataRows, answer PortalSuspended if
+            # more remain; the next Execute on this portal resumes. The
+            # iterator is toLocalIterator-backed, so suspended state
+            # holds one partition at most, not the result set.
+            self._row_description(result.columns)
+            p["iter"] = result.toLocalIterator(prefetchPartitions=True)
+            p["pending"] = None
+            p["sent"] = 0
+            self._execute_suspended(p, max_rows)
+            return
         # Extended protocol: RowDescription was sent by Describe; but
         # clients tolerate (and psycopg2 requires) rows to follow Execute
         # directly — emit description + rows + completion.
         n = self._stream_result(result)
         self._complete(f"SELECT {n}")
+
+    def _execute_suspended(self, p: dict, max_rows: int) -> None:
+        """Emit up to ``max_rows`` rows from a suspended portal (0 = the
+        rest), then PortalSuspended ('s') if rows remain else
+        CommandComplete — the protocol's paging contract."""
+        it = p["iter"]
+        budget = max_rows if max_rows > 0 else None
+        buf: list[bytes] = []
+        buflen = 0
+        while budget is None or budget > 0:
+            if p["pending"] is not None:
+                row = p["pending"]
+                p["pending"] = None
+            else:
+                row = next(it, None)
+                if row is None:
+                    break
+            b = self._data_row_bytes(list(row))
+            buf.append(b)
+            buflen += len(b)
+            if buflen >= 65536:
+                self._send(b"".join(buf))
+                buf, buflen = [], 0
+            p["sent"] += 1
+            if budget is not None:
+                budget -= 1
+        if buf:
+            self._send(b"".join(buf))
+        # one-row lookahead decides suspended-vs-complete
+        p["pending"] = next(it, None)
+        if p["pending"] is None:
+            p["iter"] = None
+            self._complete(f"SELECT {p['sent']}")
+        else:
+            self._send(self._msg(b"s", b""))  # PortalSuspended
 
     def _handle_close(self, payload: bytes) -> None:
         kind, target = payload[:1], payload[1:].rstrip(b"\x00").decode()
@@ -787,7 +841,7 @@ class _Handler(socketserver.BaseRequestHandler):
         self.username = ""
         self.wire_superuser = False
         self._stmts: dict[str, tuple[str, int, list[int]]] = {}
-        self._portals: dict[str, tuple[str, dict]] = {}
+        self._portals: dict[str, dict] = {}
         ext_error = False  # after an extended-protocol error: skip to Sync
         if not self._startup():
             return

@@ -141,6 +141,7 @@ class DriftSession:
         # result and the refresh watermark
         self._imvs: dict[str, dict] = {}
         self._prepared: dict[str, tuple[str, int]] = {}  # PREPARE name -> (sql, n)
+        self._cursors: dict[str, dict] = {}  # DECLARE name -> {iter, schema}
         self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
         self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
         from driftdb_spark.procedures import ProcedureRegistry
@@ -665,6 +666,15 @@ class DriftSession:
     _DEALLOCATE_RE = _re.compile(
         r"^DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)$", _re.IGNORECASE
     )
+    _DECLARE_CURSOR_RE = _re.compile(
+        r"^DECLARE\s+(\w+)\s+(?:NO\s+SCROLL\s+)?CURSOR\s+FOR\s+(.*)$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _FETCH_RE = _re.compile(
+        r"^FETCH\s+(?:FORWARD\s+)?(NEXT|ALL|\d+)?\s*(?:FROM|IN)\s+(\w+)$",
+        _re.IGNORECASE,
+    )
+    _CLOSE_CURSOR_RE = _re.compile(r"^CLOSE\s+(\w+|ALL)$", _re.IGNORECASE)
     _CREATE_PROC_RE = _re.compile(
         r"^CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(\w+)\s*\(([^)]*)\)\s+AS\s+(.*)$",
         _re.IGNORECASE | _re.DOTALL,
@@ -819,6 +829,44 @@ class DriftSession:
                     )
             ddl = f"CREATE TABLE {name} (\n  " + ",\n  ".join(parts) + "\n)"
             return self.spark.createDataFrame([(ddl,)], "ddl string")
+        m = self._DECLARE_CURSOR_RE.match(q)
+        if m:
+            # DECLARE name CURSOR FOR <query> — server-side paging
+            # (PostgreSQL surface; the reference's wire layer has no
+            # cursor support). The result streams through
+            # ``toLocalIterator``: FETCH n materializes n rows to the
+            # driver, the rest stay distributed — a cursor over a fact
+            # table never collects it.
+            name, body = m.group(1), m.group(2).strip()
+            if name in self._cursors:
+                raise ValueError(f'cursor "{name}" already exists')
+            out = self.sql(body)
+            if not isinstance(out, DataFrame):
+                raise ValueError("DECLARE CURSOR requires a query")
+            self._cursors[name] = {
+                "iter": out.toLocalIterator(prefetchPartitions=True),
+                "schema": out.schema,
+            }
+            return 0
+        m = self._FETCH_RE.match(q)
+        if m and m.group(2) in self._cursors:
+            import itertools as _it
+
+            cur = self._cursors[m.group(2)]
+            spec = (m.group(1) or "NEXT").upper()
+            if spec == "ALL":
+                rows = list(cur["iter"])
+            else:
+                n = 1 if spec == "NEXT" else int(spec)
+                rows = list(_it.islice(cur["iter"], n))
+            return self.spark.createDataFrame(rows, cur["schema"])
+        m = self._CLOSE_CURSOR_RE.match(q)
+        if m and (m.group(1).upper() == "ALL" or m.group(1) in self._cursors):
+            if m.group(1).upper() == "ALL":
+                self._cursors.clear()
+            else:
+                self._cursors.pop(m.group(1), None)
+            return 0
         m = self._PREPARE_RE.match(q)
         if m:
             # PREPARE name [(types)] AS stmt — session-level prepared

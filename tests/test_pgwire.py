@@ -774,3 +774,66 @@ def test_tls_unconfigured_still_refuses(server):
     _c, rows, _t, err = c.query("SELECT 1 AS ok")
     assert err is None and rows == [["1"]]
     c.close()
+
+
+def test_portal_suspension_paged_execute(server):
+    """Execute with max_rows pages the portal: each Execute emits that
+    many DataRows then PortalSuspended ('s'); the final page ends with
+    CommandComplete — the JDBC setFetchSize flow."""
+    host, port = server.address
+    c = ExtClient(host, port)
+    c.startup()
+    c.query("CREATE TABLE pg (id INT PRIMARY KEY)")
+    c.query("INSERT INTO pg VALUES " + ", ".join(f"({i})" for i in range(10)))
+    # Parse + Bind one portal, then page through it 4 rows at a time
+    body = b"\x00" + b"SELECT id FROM pg ORDER BY id\x00" + struct.pack("!H", 0)
+    c.send_msg(b"P", body)
+    bind = b"pp\x00" + b"\x00" + struct.pack("!HHH", 0, 0, 0)
+    c.send_msg(b"B", bind)
+    pages = []
+    for _ in range(3):
+        c.send_msg(b"E", b"pp\x00" + struct.pack("!i", 4))
+        c.send_msg(b"H", b"")  # Flush (everything is sent eagerly anyway)
+        rows, ender = [], None
+        while ender is None:
+            t, p = c.read_msg()
+            if t == "D":
+                (n,) = struct.unpack("!H", p[:2])
+                (ln,) = struct.unpack("!i", p[2:6])
+                rows.append(p[6 : 6 + ln].decode())
+            elif t == "s":
+                ender = "suspended"
+            elif t == "C":
+                ender = p.rstrip(b"\x00").decode()
+            elif t in ("1", "2", "T"):
+                continue
+            elif t == "E":
+                raise AssertionError(p)
+        pages.append((rows, ender))
+    c.send_msg(b"S", b"")
+    c.read_until_ready()
+    assert pages[0] == (["0", "1", "2", "3"], "suspended")
+    assert pages[1] == (["4", "5", "6", "7"], "suspended")
+    assert pages[2] == (["8", "9"], "SELECT 10")
+    # max_rows=0 still streams everything in one go
+    _c, rows, tag, err = c.ext_query("SELECT COUNT(*) AS n FROM pg")
+    assert err is None and rows == [["10"]]
+    c.close()
+
+
+def test_wire_cursor_fetch(server):
+    """DECLARE/FETCH/CLOSE work over the simple-query protocol."""
+    host, port = server.address
+    c = Client(host, port)
+    c.startup()
+    c.query("CREATE TABLE wc (id INT PRIMARY KEY)")
+    c.query("INSERT INTO wc VALUES (1), (2), (3), (4)")
+    _c, _r, tag, err = c.query("DECLARE k CURSOR FOR SELECT id FROM wc ORDER BY id")
+    assert err is None and tag == "DECLARE CURSOR"
+    _c, rows, _t, err = c.query("FETCH 2 FROM k")
+    assert err is None and [r[0] for r in rows] == ["1", "2"]
+    _c, rows, _t, err = c.query("FETCH ALL FROM k")
+    assert err is None and [r[0] for r in rows] == ["3", "4"]
+    _c, _r, tag, err = c.query("CLOSE k")
+    assert err is None and tag == "CLOSE CURSOR"
+    c.close()

@@ -842,3 +842,28 @@ def test_mview_refresh_survives_crash_between_steps(spark, tmp_path, monkeypatch
     s2.sql("REFRESH MATERIALIZED VIEW msum")
     got = {(r.grp, r.total) for r in s2.sql("SELECT * FROM msum").collect()}
     assert got == {("a", 15)}
+
+
+def test_declare_fetch_close_cursor(spark, tmp_path):
+    """DECLARE/FETCH/CLOSE server-side paging: FETCH n materializes only
+    n rows at a time (toLocalIterator-backed — the result set never
+    collects); NEXT defaults to 1, ALL drains, CLOSE frees."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE cu (id INT PRIMARY KEY, v INT)")
+    vals = ", ".join(f"({i}, {i * 2})" for i in range(10))
+    s.sql(f"INSERT INTO cu VALUES {vals}")
+    assert s.sql("DECLARE c1 CURSOR FOR SELECT id, v FROM cu ORDER BY id") == 0
+    first = s.sql("FETCH 3 FROM c1")
+    assert [r.id for r in first.collect()] == [0, 1, 2]
+    nxt = s.sql("FETCH NEXT FROM c1")
+    assert [r.id for r in nxt.collect()] == [3]
+    rest = s.sql("FETCH ALL FROM c1")
+    assert [r.id for r in rest.collect()] == [4, 5, 6, 7, 8, 9]
+    empty = s.sql("FETCH 5 FROM c1")  # exhausted -> empty, same schema
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    assert s.sql("CLOSE c1") == 0
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        s.sql("DECLARE c1 CURSOR FOR SELECT 1").__class__  # fine: new name ok
+        s.sql("DECLARE c1 CURSOR FOR SELECT 1")  # duplicate -> error
