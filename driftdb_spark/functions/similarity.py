@@ -1098,3 +1098,85 @@ def sim_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s / n, 6).alias("mean"),
         F.round(sq / n - F.pow(s / n, F.lit(2)), 6).alias("variance"),
     )
+
+
+@register(
+    "sim_pca_power_iteration",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    E AS (
+        SELECT vec_id, gs.d AS dim, qv[gs.d] AS qc, list_sum(qv) AS s1
+        FROM q, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS d) gs
+    ),
+    v1 AS (SELECT dim, SUM(qc * s1) AS v1 FROM E GROUP BY dim),
+    s2 AS (
+        SELECT e.vec_id, SUM(e.qc * v.v1) AS s2
+        FROM E e JOIN v1 v ON e.dim = v.dim GROUP BY e.vec_id
+    ),
+    v2 AS (
+        SELECT e.dim, SUM(e.qc * s.s2) AS v2
+        FROM E e JOIN s2 s ON e.vec_id = s.vec_id GROUP BY e.dim
+    )
+    SELECT dim,
+           ROUND(CAST(v2 AS DOUBLE)
+                 / (SELECT MAX(ABS(CAST(v2 AS DOUBLE))) FROM v2), 6) AS component
+    FROM v2
+    """,
+    tags=("similarity", "iterative"),
+)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal component of the embedding corpus via two unrolled power
+    iterations v ← Gᵀ(G v), G = quantized embedding matrix — the whitening
+    / drift-detection primitive. The Gram matrix is never materialized:
+    each iteration is one row-keyed reduce (s = G v, co-partitioned on
+    vec_id) and one dim-keyed reduce (v' = Gᵀ s, 64 groups), so the
+    exchanges carry n + d rows, never n·d², and the only broadcast is the
+    64-row direction vector. Arithmetic is integer-exact end-to-end
+    (round(x·100) quantization; magnitudes bounded ≤ ~2e18 at these SFs)
+    so the DuckDB oracle reproduces the trajectory bit-for-bit — the same
+    exactness discipline as sim_kmeans_lloyd. Output normalized by the
+    max |component| with one final double division, rounded 6dp."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 100).cast("long"),
+        ).alias("qv"),
+    )
+    # s1 = G·1 computed inside the row (array reduce, no shuffle)
+    q = q.withColumn(
+        "s1",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x),
+    )
+    e = q.select(
+        "vec_id",
+        "s1",
+        F.posexplode("qv").alias("pos", "qc"),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "qc", "s1")
+    v1 = e.groupBy("dim").agg(F.sum(F.col("qc") * F.col("s1")).alias("v1"))
+    s2 = (
+        e.join(F.broadcast(v1), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qc") * F.col("v1")).alias("s2"))
+    )
+    v2 = (
+        e.join(s2, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("qc") * F.col("s2")).alias("v2"))
+    )
+    mx = v2.agg(F.max(F.abs(F.col("v2").cast("double"))).alias("_mx"))
+    return (
+        v2.crossJoin(F.broadcast(mx))
+        .select(
+            "dim",
+            F.round(F.col("v2").cast("double") / F.col("_mx"), 6).alias(
+                "component"
+            ),
+        )
+    )

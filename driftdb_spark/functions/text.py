@@ -1121,3 +1121,57 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH firsts AS (
+        SELECT tok, MIN(doc_id) AS first_doc
+        FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY tok
+    ),
+    per_bucket AS (
+        SELECT CAST(FLOOR(first_doc / 10) AS BIGINT) AS bucket,
+               COUNT(*) AS new_tokens
+        FROM firsts GROUP BY 1
+    )
+    SELECT bucket, new_tokens,
+           SUM(new_tokens) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+    FROM per_bucket
+    """,
+    tags=("text", "agg"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: distinct vocabulary size after
+    each 100-document slice of the corpus. Every token is attributed to
+    its FIRST document, so the running sum of first-occurrences IS the
+    exact cumulative distinct count — one token-keyed aggregation + one
+    bucket rollup, replacing the naive O(buckets × corpus) per-prefix
+    COUNT(DISTINCT) rescan; the final window runs over bucket-count rows
+    only (the same first-occurrence reshape as
+    events_cumulative_distinct_users). Tokenizer-capacity planning uses
+    exactly this curve."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir)["documents"]
+    firsts = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = firsts.groupBy(
+        F.floor(F.col("first_doc") / 10).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("vocab_size"),
+    )
