@@ -669,3 +669,136 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.5)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
+
+
+_DUCK_SHINGLES_SLICE = _DUCK_SHINGLES.replace(
+    "FROM documents) d", "FROM documents WHERE doc_id < 60) d"
+)
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES_SLICE}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    truth AS (
+        SELECT i.id_a, i.id_b,
+               ROUND(CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared), 6) AS jaccard
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.5
+    ),
+    hashed AS (
+        SELECT doc_id, {_H32_DUCK.format(col="shingle")} AS h32 FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, j.j,
+               MIN((h32 * (1000003 * j.j + 12345) + (999983 * j.j + 7919))
+                   % {_PORTABLE_P}) AS mh
+        FROM hashed, (SELECT UNNEST(range(0, {N_PERMS})) AS j) j
+        GROUP BY doc_id, j.j
+    ),
+    bands AS (
+        SELECT doc_id, j / {BAND_SIZE} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bkey
+        FROM sig GROUP BY doc_id, j / {BAND_SIZE}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT t.id_a, t.id_b, t.jaccard,
+           (c.id_a IS NOT NULL) AS caught
+    FROM truth t LEFT JOIN cand c
+      ON t.id_a = c.id_a AND t.id_b = c.id_b
+    """,
+    tags=("dedup", "audit"),
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH quality: every ground-truth near-duplicate pair
+    (exact Jaccard ≥ 0.5 on the doc_id<60 audit slice) annotated with
+    whether the banded-MinHash candidate generation CAUGHT it — the
+    dedup counterpart of sim_ann_ivf_recall's measured-recall
+    discipline (an approximation you haven't measured is a guess).
+    Ground truth needs the all-pairs inverted-index join, which is why
+    the audit runs on a bounded slice; the LSH side is the same
+    portable pipeline as dedup_minhash_lsh_portable (identical
+    constants), so a recall miss here is a real banding miss, not hash
+    drift. At 100 TB the audit stays a sampled side-channel while
+    production candidates remain bucket-bounded."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    truth = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+    hashed = sh.select(
+        "doc_id", F.expr(_H32_SPARK.format(col="shingle")).alias("h32")
+    )
+    grid = hashed.select(
+        "doc_id", "h32", F.explode(F.expr(f"sequence(0, {N_PERMS - 1})")).alias("j")
+    )
+    sig = grid.groupBy("doc_id", "j").agg(
+        F.min(
+            F.expr(
+                f"(h32 * (1000003 * j + 12345) + (999983 * j + 7919)) % {_PORTABLE_P}"
+            )
+        ).alias("mh")
+    )
+    bands = sig.groupBy(
+        "doc_id", (F.col("j") / BAND_SIZE).cast("long").alias("band")
+    ).agg(
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(j, mh))), "
+                "s -> cast(s.mh as string)), ',')"
+            )
+        ).alias("bkey")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.col("_hit").isNotNull().alias("caught"),
+        )
+    )

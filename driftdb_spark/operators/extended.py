@@ -1256,3 +1256,82 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "fulltext_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE token IN {_TERMS_SQL} GROUP BY token
+    ),
+    tfreq AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token IN {_TERMS_SQL} GROUP BY doc_id, token
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(
+                 LN((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)),
+                 8) AS term_score
+        FROM tfreq t
+        JOIN dfreq d ON t.token = d.token
+        JOIN dl l ON l.doc_id = t.doc_id, stats s
+    )
+    SELECT doc_id, ROUND(SUM(term_score), 6) AS score, COUNT(*) AS n_terms
+    FROM scored GROUP BY doc_id
+    HAVING COUNT(*) = {len(_SEARCH_TERMS)}
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """,
+    tags=("text", "fulltext"),
+)
+def fulltext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking (k1=1.2, b=0.75) — the saturating,
+    length-normalized upgrade of fulltext_tfidf_search's raw TF-IDF
+    (reference fulltext.rs stops at TF-IDF). Same inverted-index shape:
+    one token explode feeds document lengths, document frequencies, and
+    term frequencies; df and the (N, avgdl) scalars broadcast onto the
+    scorer, so the only corpus-sized exchange is the (doc, term) group.
+    Per-term scores round 8dp before the cross-engine sum."""
+    k1, b = 1.2, 0.75
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    hits = tok.filter(F.col("token").isin(*_SEARCH_TERMS))
+    dfreq = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tfreq = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1
+    )
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = F.round(idf * (F.col("tf") * (k1 + 1)) / norm, 8)
+    return (
+        tfreq.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(_SEARCH_TERMS))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+    )
