@@ -544,6 +544,8 @@ class DriftSession:
         if routed is not None:
             return routed
         clean, asof = parse_system_time(stripped)
+        if self._INFO_SCHEMA_RE.search(clean):
+            clean = self._rewrite_info_schema(clean)
         self._register_states(asof)
         self._register_views(asof)
         if args is None:
@@ -1071,6 +1073,62 @@ class DriftSession:
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+    # -- information_schema ---------------------------------------------------
+    # Driver/BI-tool introspection (DBeaver, psycopg2 reflection, JDBC
+    # metadata) queries information_schema on connect. Spark temp views
+    # cannot carry a dotted name, so references rewrite to session-backed
+    # views refreshed from the live catalog at query time.
+
+    _INFO_SCHEMA_RE = _re.compile(
+        r"\binformation_schema\s*\.\s*(tables|columns)\b", _re.IGNORECASE
+    )
+
+    def _rewrite_info_schema(self, sql: str) -> str:
+        from driftdb_spark.constraints import TableConstraints
+
+        trows = [
+            ("driftdb", "public", name, "BASE TABLE")
+            for name in self._tables
+        ]
+        trows += [("driftdb", "public", n, "VIEW") for n in self._views]
+        trows += [
+            ("driftdb", "public", n, "MATERIALIZED VIEW") for n in self._mviews
+        ]
+        trows += [
+            ("driftdb", "public", n, "MATERIALIZED VIEW") for n in self._imvs
+        ]
+        self.spark.createDataFrame(
+            trows,
+            "table_catalog string, table_schema string, table_name string, "
+            "table_type string",
+        ).createOrReplaceTempView("_info_schema_tables")
+        crows = []
+        for name, (log, cols) in self._tables.items():
+            cons = self._constraints.get(name) or TableConstraints()
+            for i, (c, t) in enumerate(cols.items(), start=1):
+                nullable = c != log.pk_col and c not in cons.not_null
+                crows.append(
+                    (
+                        "driftdb",
+                        "public",
+                        name,
+                        c,
+                        i,
+                        t,
+                        "YES" if nullable else "NO",
+                        cons.defaults.get(c),
+                    )
+                )
+        self.spark.createDataFrame(
+            crows,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, data_type string, "
+            "is_nullable string, column_default string",
+        ).createOrReplaceTempView("_info_schema_columns")
+        return self._INFO_SCHEMA_RE.sub(
+            lambda m: f"_info_schema_{m.group(1).lower()}", sql
+        )
 
     _RETURNING_RE = _re.compile(
         r"\s+RETURNING\s+(.+)$", _re.IGNORECASE | _re.DOTALL

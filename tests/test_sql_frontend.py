@@ -867,3 +867,44 @@ def test_declare_fetch_close_cursor(spark, tmp_path):
     with _pytest.raises(Exception):
         s.sql("DECLARE c1 CURSOR FOR SELECT 1").__class__  # fine: new name ok
         s.sql("DECLARE c1 CURSOR FOR SELECT 1")  # duplicate -> error
+
+
+def test_information_schema_tables_and_columns(spark, tmp_path):
+    """Driver/BI introspection surface: information_schema.tables and
+    .columns answer from the live session catalog (tables incl. PK/NOT
+    NULL nullability and defaults; views and materialized views typed)."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql(
+        "CREATE TABLE inv (id INT PRIMARY KEY, qty INT NOT NULL, "
+        "note STRING DEFAULT 'none')"
+    )
+    s.sql("CREATE VIEW inv_v AS SELECT id FROM inv")
+    s.sql("CREATE MATERIALIZED VIEW inv_m AS SELECT COUNT(*) AS n FROM inv")
+    tabs = {
+        (r.table_name, r.table_type)
+        for r in s.sql(
+            "SELECT table_name, table_type FROM information_schema.tables"
+        ).collect()
+    }
+    assert ("inv", "BASE TABLE") in tabs
+    assert ("inv_v", "VIEW") in tabs
+    assert ("inv_m", "MATERIALIZED VIEW") in tabs
+    cols = {
+        r.column_name: r
+        for r in s.sql(
+            "SELECT * FROM information_schema.columns "
+            "WHERE table_name = 'inv' ORDER BY ordinal_position"
+        ).collect()
+    }
+    assert list(cols) == ["id", "qty", "note"]
+    assert cols["id"].is_nullable == "NO"  # primary key
+    assert cols["qty"].is_nullable == "NO"  # declared NOT NULL
+    assert cols["note"].is_nullable == "YES"
+    assert cols["note"].column_default == "'none'"
+    # joins between the two views work (the DBeaver-style query shape)
+    n = s.sql(
+        "SELECT COUNT(*) AS n FROM information_schema.tables t "
+        "JOIN information_schema.columns c ON t.table_name = c.table_name "
+        "WHERE t.table_type = 'BASE TABLE'"
+    ).first()["n"]
+    assert n == 3
