@@ -1175,3 +1175,59 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).alias("vocab_size"),
     )
+
+
+@register(
+    "text_novelty_score",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+    ),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    scored AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM sh s JOIN firsts f ON s.shingle = f.shingle
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+    FROM scored WHERE novelty < 0.5
+    """,
+    tags=("text", "dedup"),
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's 3-gram
+    shingles whose FIRST corpus occurrence is in that doc — a streaming-
+    order redundancy score (low novelty = mostly-recycled content, the
+    curation signal behind 'process in crawl order, drop late copies').
+    One shingle-keyed aggregation builds the first-occurrence map, one
+    equi-join + doc-keyed aggregation scores — no pairwise comparison
+    anywhere, so unlike Jaccard/containment this redundancy signal costs
+    O(corpus), not O(candidates²). Output filtered to the
+    low-novelty (<0.5) tail — the drop candidates."""
+    from driftdb_spark.functions.dedup import _shingles
+
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    novelty = F.col("n_novel").cast("double") / F.col("n_shingles")
+    return scored.select(
+        "doc_id", "n_shingles", "n_novel", F.round(novelty, 6).alias("novelty")
+    ).filter(F.round(novelty, 6) < 0.5)

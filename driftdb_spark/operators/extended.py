@@ -1335,3 +1335,116 @@ def fulltext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(15)
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_ms(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id, event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_ms
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_gaps,
+           ROUND(quantile_cont(gap_ms, 0.5), 3) AS p50_ms,
+           ROUND(quantile_cont(gap_ms, 0.9), 3) AS p90_ms,
+           MAX(gap_ms) AS max_ms
+    FROM gaps WHERE gap_ms IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("temporal", "agg"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival (dwell-time) distribution: LAG over a
+    (user, type)-keyed window feeds grouped percentiles — the latency
+    profile behind retention and rate-limit tuning. One exchange keyed
+    on (user_id, event_type) for the window (the sessionize/funnel
+    partitioning family), one type-keyed aggregate over the gaps;
+    event_id tie-breaks make same-timestamp ordering deterministic
+    cross-engine."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_millis("ts")
+            - F.lag(F.unix_millis("ts")).over(w)
+        ).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_ms, 0.5)"), 3).alias("p50_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.9)"), 3).alias("p90_ms"),
+        F.max("gap_ms").alias("max_ms"),
+    )
+
+
+@register(
+    "events_concurrency_sweep",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS t, 1 AS delta, event_id
+        FROM events
+        UNION ALL
+        SELECT event_type,
+               strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+               epoch_ms(CAST(ts AS TIMESTAMP)) + 300000 AS t, -1 AS delta, event_id
+        FROM events
+    ),
+    run AS (
+        SELECT event_type, day,
+               SUM(delta) OVER (PARTITION BY event_type, day
+                                ORDER BY t, delta, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS live
+        FROM pts
+    )
+    SELECT event_type, day, MAX(live) AS peak_concurrency
+    FROM run GROUP BY event_type, day
+    """,
+    tags=("temporal", "window"),
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep-line reshape: each event becomes a
+    +1 point at its start and a −1 at start+5min; the running sum over
+    the ordered points IS the live-interval count, and its max per
+    (type, day) is the peak — O(n log n) inside each partition vs the
+    O(n²) self-join counting overlaps pairwise. The sweep window
+    partitions on (event_type, day), so no global ordering exists
+    anywhere in the plan (a single unbounded ORDER BY would serialize at
+    100 TB; day-bounded partitions cap window size and skew). Delta
+    before event_id in the sort puts −1 ends before +1 starts at ties —
+    half-open interval semantics, deterministic cross-engine."""
+    e = load_tables(spark, sf_dir)["events"]
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    start = e.select(
+        "event_type",
+        day.alias("day"),
+        F.unix_millis("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    end = e.select(
+        "event_type",
+        day.alias("day"),
+        (F.unix_millis("ts") + 300000).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    pts = start.unionByName(end)
+    w = (
+        W.partitionBy("event_type", "day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = pts.select(
+        "event_type", "day", F.sum("delta").over(w).alias("live")
+    )
+    return run.groupBy("event_type", "day").agg(
+        F.max("live").alias("peak_concurrency")
+    )
