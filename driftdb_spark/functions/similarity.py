@@ -1180,3 +1180,89 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS id0, qv AS qv0 FROM q
+           WHERE vec_id = (SELECT MIN(vec_id) FROM q)),
+    d1 AS (
+        SELECT q.vec_id, q.qv,
+               list_sum(list_transform(range(1, {DIM + 1}),
+                 i -> (q.qv[i] - c.qv0[i]) * (q.qv[i] - c.qv0[i]))) AS dmin
+        FROM q, c0 c
+    ),
+    c1 AS (SELECT vec_id AS id1, qv AS qv1, dmin AS r1 FROM d1
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d2 AS (
+        SELECT d.vec_id, d.qv,
+               LEAST(d.dmin,
+                 list_sum(list_transform(range(1, {DIM + 1}),
+                   i -> (d.qv[i] - c.qv1[i]) * (d.qv[i] - c.qv1[i])))) AS dmin
+        FROM d1 d, c1 c
+    ),
+    c2 AS (SELECT vec_id AS id2, qv AS qv2, dmin AS r2 FROM d2
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d3 AS (
+        SELECT d.vec_id, d.qv,
+               LEAST(d.dmin,
+                 list_sum(list_transform(range(1, {DIM + 1}),
+                   i -> (d.qv[i] - c.qv2[i]) * (d.qv[i] - c.qv2[i])))) AS dmin
+        FROM d2 d, c2 c
+    ),
+    c3 AS (SELECT vec_id AS id3, dmin AS r3 FROM d3
+           ORDER BY dmin DESC, vec_id LIMIT 1)
+    SELECT 0 AS round, id0 AS vec_id, CAST(0 AS BIGINT) AS radius_sq FROM c0
+    UNION ALL SELECT 1, id1, r1 FROM c1
+    UNION ALL SELECT 2, id2, r2 FROM c2
+    UNION ALL SELECT 3, id3, r3 FROM c3
+    """,
+    tags=("similarity", "iterative", "sampling"),
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 2-approximation) — the
+    diversity-sampling primitive for training-data selection: each round
+    picks the point FARTHEST from every chosen center, so k points cover
+    the embedding space with provable radius. Per round the corpus does
+    ONE map-stage distance evaluation against the single newest center
+    (broadcast literal) folded into a running min — k·n distance
+    evaluations total, never a pairwise matrix; the only driver traffic
+    is one (vec_id, 64-int vector) row per round (the k-means
+    model-sized-sync pattern). Integer-quantized distances make every
+    argmax (vec_id tie-break) bit-deterministic; the DuckDB oracle
+    replays the identical greedy trajectory as an unrolled CTE chain.
+    radius_sq of the LAST pick bounds the covering radius of the
+    selection."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 100).cast("long")
+        ).alias("qv"),
+    )
+    seed = q.orderBy("vec_id").limit(1).first()
+    centers = [(0, int(seed["vec_id"]), 0, list(seed["qv"]))]
+    cur = q.withColumn("dmin", F.lit(None).cast("long"))
+    for rnd in range(1, 4):
+        cvec = F.array(*[F.lit(int(v)) for v in centers[-1][3]])
+        dist = F.aggregate(
+            F.zip_with("qv", cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cur = cur.withColumn("dmin", F.least(F.coalesce("dmin", dist), dist))
+        pick = cur.orderBy(F.col("dmin").desc(), "vec_id").limit(1).first()
+        centers.append(
+            (rnd, int(pick["vec_id"]), int(pick["dmin"]), list(pick["qv"]))
+        )
+    return spark.createDataFrame(
+        [(r, i, d) for (r, i, d, _v) in centers],
+        "round int, vec_id bigint, radius_sq bigint",
+    )
