@@ -550,3 +550,61 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("log_weight").desc(), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "sample_mixture_epochs",
+    oracle="""
+    WITH src AS (
+        SELECT source, SUM(n_chars) AS chars, COUNT(*) AS docs
+        FROM documents GROUP BY source
+    ),
+    total AS (SELECT SUM(chars) AS total_chars FROM src),
+    weighted AS (
+        -- target mixture: flatten by sqrt (alpha=0.5), then renormalize
+        SELECT s.source, s.chars, s.docs,
+               SQRT(CAST(s.chars AS DOUBLE)) AS w
+        FROM src s
+    ),
+    norm AS (SELECT SUM(w) AS wsum FROM weighted)
+    SELECT w.source, w.docs, w.chars,
+           ROUND(w.w / n.wsum, 6) AS target_frac,
+           ROUND((w.w / n.wsum) * t.total_chars / w.chars, 4) AS epochs
+    FROM weighted w, norm n, total t
+    """,
+    tags=("sampling",),
+)
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight → epoch planning (the data-budgeting step of corpus
+    assembly, Hoffmann/Chinchilla-style): given a sqrt-flattened target
+    mixture over sources (alpha=0.5 — upweight small sources without
+    letting them dominate), compute each source's repetition factor
+    ``epochs = target_share · total / available`` — >1 means the source
+    repeats, <1 means it's subsampled. Pure aggregate arithmetic: one
+    source-keyed rollup (source-cardinality-sized), scalars broadcast
+    back; the corpus is scanned once. Pairs with sample_domain_mixture /
+    sample_temperature_mixture, which EXECUTE a mixture this operator
+    PLANS."""
+    d = load_tables(spark, sf_dir)["documents"]
+    src = d.groupBy("source").agg(
+        F.sum("n_chars").alias("chars"), F.count(F.lit(1)).alias("docs")
+    )
+    total = src.agg(F.sum("chars").alias("total_chars"))
+    weighted = src.withColumn("w", F.sqrt(F.col("chars").cast("double")))
+    norm = weighted.agg(F.sum("w").alias("wsum"))
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "docs",
+            "chars",
+            F.round(F.col("w") / F.col("wsum"), 6).alias("target_frac"),
+            F.round(
+                (F.col("w") / F.col("wsum"))
+                * F.col("total_chars")
+                / F.col("chars"),
+                4,
+            ).alias("epochs"),
+        )
+    )

@@ -1448,3 +1448,63 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("event_type", "day").agg(
         F.max("live").alias("peak_concurrency")
     )
+
+
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+          AND CAST(e.ts AS TIMESTAMP) <= v.v_ts + INTERVAL 6 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+          AND CAST(e.ts AS TIMESTAMP) <= c.c_ts + INTERVAL 6 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_converted_click,
+           (SELECT COUNT(*) FROM p) AS n_converted_purchase
+    """,
+    tags=("temporal", "agg"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a conversion DEADLINE: each stage counts only within
+    6 hours of the previous stage's first occurrence — the form product
+    analytics actually ships (an unbounded funnel credits conversions
+    months late). Same chained per-user min-aggregate shape as
+    events_funnel; the deadline is one extra band predicate on the
+    already-joined rows, so the plan cost is unchanged — stage inputs
+    shrink monotonically and every aggregate reuses the user_id
+    partitioning."""
+    e = load_tables(spark, sf_dir)["events"]
+    win = F.expr("INTERVAL 6 HOUR")
+
+    def first_within(event_type: str, prev, prev_ts: str, out: str):
+        base = e.where(F.col("event_type") == event_type)
+        if prev is not None:
+            base = base.join(prev, "user_id").where(
+                (F.col("ts") > F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + win)
+            )
+        return base.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_within("view", None, "", "v_ts")
+    c = first_within("click", v, "v_ts", "c_ts")
+    p = first_within("purchase", c, "c_ts", "p_ts")
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_converted_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_converted_purchase")))
+    )

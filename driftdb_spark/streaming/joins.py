@@ -55,10 +55,12 @@ def interval_join(
         & (F.col("p.ts") >= F.col("v.ts"))
         & (F.col("p.ts") <= F.col("v.ts") + F.expr(f"INTERVAL {within}"))
     )
+    # user_id coalesces across sides so FULL OUTER right-only rows
+    # (orphan conversions) keep their key; for inner/left it is v's value.
     return v.join(p, cond, how).select(
         F.col("v.event_id").alias("view_id"),
         F.col("p.event_id").alias("purchase_id"),
-        F.col("v.user_id").alias("user_id"),
+        F.coalesce(F.col("v.user_id"), F.col("p.user_id")).alias("user_id"),
         (F.unix_millis(F.col("p.ts")) - F.unix_millis(F.col("v.ts"))).alias("delay_ms"),
     )
 
@@ -130,3 +132,33 @@ def join_attribution_unconverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = e.where(F.col("event_type") == "view")
     purchases = e.where(F.col("event_type") == "purchase")
     return interval_join(views, purchases, within="30 minutes", how="left_outer")
+
+
+@register(
+    "join_attribution_full_outer",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           COALESCE(v.user_id, p.user_id) AS user_id,
+           epoch_ms(CAST(p.ts AS TIMESTAMP)) - epoch_ms(CAST(v.ts AS TIMESTAMP))
+               AS delay_ms
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("join", "streaming"),
+)
+def join_attribution_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER attribution: unconverted views AND orphan conversions
+    (purchases with no in-window view — the attribution-integrity signal
+    left-outer silently drops) in one result. Completes the
+    stream-capable join matrix: the same ``interval_join`` path runs
+    stream-stream full-outer with watermarks on both sides, each NULL
+    row emitted once the OPPOSITE side's watermark proves no match can
+    arrive (stream≡batch parity pytest drives that)."""
+    e = load_tables(spark, sf_dir)["events"]
+    views = e.where(F.col("event_type") == "view")
+    purchases = e.where(F.col("event_type") == "purchase")
+    return interval_join(views, purchases, within="30 minutes", how="full_outer")

@@ -601,3 +601,76 @@ def test_cdc_feed_stream_equals_batch(spark, tmp_path):
     assert upd3[0].old_row["value"] == "30"
     del3 = [r for r in by_seq.values() if r.pk == "2" and r.change_type == "delete"]
     assert del3[0].old_row["value"] == "20" and del3[0].new_row is None
+
+
+def test_interval_full_outer_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream FULL OUTER interval join: matched rows equal batch;
+    NULL rows on EITHER side appear exactly when the opposite watermark
+    could prove them unmatchable by end-of-stream."""
+    import datetime
+
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.streaming.joins import interval_join
+
+    e = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    src = str(tmp_path / "events_src_fo")
+    e.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+
+    joined = interval_join(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "purchase"),
+        within="30 minutes",
+        watermark="1 hour",
+        how="full_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_fo_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM attrib_fo_stream").collect()
+    got_matched = {
+        (r.view_id, r.purchase_id)
+        for r in got
+        if r.view_id is not None and r.purchase_id is not None
+    }
+    got_orphan_purchases = {r.purchase_id for r in got if r.view_id is None}
+
+    batch = interval_join(
+        e.where(F.col("event_type") == "view"),
+        e.where(F.col("event_type") == "purchase"),
+        within="30 minutes",
+        how="full_outer",
+    ).collect()
+    batch_matched = {
+        (r.view_id, r.purchase_id)
+        for r in batch
+        if r.view_id is not None and r.purchase_id is not None
+    }
+    batch_orphans = {r.purchase_id for r in batch if r.view_id is None}
+
+    assert got_matched == batch_matched and len(batch_matched) > 0
+    # orphan purchases the stream emits must be real orphans, and every
+    # orphan whose window provably closed must have been emitted
+    max_ts = e.agg(F.max("ts")).first()[0]
+    # a purchase at p is unmatchable once the view watermark passes p,
+    # but Spark's right-side eviction runs on the DERIVED constraint
+    # (p within [v, v+30min]) AND the watermark it applies lags one
+    # micro-batch behind the data that produced it — rows near the
+    # stream end may only emit when a later batch arrives. The provable
+    # horizon is therefore conservative: watermark (1h) + join window
+    # (30min) + a batch of slack.
+    horizon = max_ts - datetime.timedelta(hours=3)
+    provable = {
+        r.event_id
+        for r in e.where(F.col("event_type") == "purchase")
+        .filter(F.col("ts") < F.lit(horizon))
+        .select("event_id")
+        .collect()
+    }
+    assert got_orphan_purchases <= batch_orphans
+    assert (batch_orphans & provable) <= got_orphan_purchases
