@@ -1231,3 +1231,69 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_shingles", "n_novel", F.round(novelty, 6).alias("novelty")
     ).filter(F.round(novelty, 6) < 0.5)
+
+
+@register(
+    "text_keyword_extraction",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 40
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    scored AS (
+        SELECT t.doc_id, t.token,
+               ROUND(t.tf * LN((CAST(n.n_docs AS DOUBLE) + 1) / (d.df + 1)), 8)
+                   AS score
+        FROM tf t JOIN df d ON t.token = d.token, n
+    ),
+    ranked AS (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, token, ROUND(score, 6) AS score, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text",),
+)
+def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by smoothed TF-IDF — the tagging /
+    routing primitive (every doc gets its most distinctive terms). One
+    token explode feeds term and document frequencies; df is
+    vocabulary-bounded and broadcast back; the per-doc ranking is a
+    WindowGroupLimit (top-k per group without a global sort). Token
+    tie-breaks make rank cuts deterministic cross-engine. Bounded to a
+    doc_id<40 slice only to keep the oracle's double window cheap — the
+    Spark plan is corpus-shaped (doc-keyed exchange + vocab broadcast)."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 40)
+    from pyspark.sql.window import Window as W
+
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1) / (F.col("df") + 1)
+                ),
+                8,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", F.round("score", 6).alias("score"), "rnk")
+    )

@@ -1508,3 +1508,68 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_converted_click")))
         .crossJoin(p.agg(F.count("*").alias("n_converted_purchase")))
     )
+
+
+@register(
+    "events_burst_windows",
+    oracle="""
+    WITH buckets AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) AS BIGINT)
+                   AS hour_bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+        SELECT event_type, hour_bucket, n,
+               AVG(CAST(n AS DOUBLE)) OVER (
+                   PARTITION BY event_type ORDER BY hour_bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_avg,
+               COUNT(*) OVER (
+                   PARTITION BY event_type ORDER BY hour_bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n
+        FROM buckets
+    )
+    SELECT event_type, hour_bucket, n,
+           ROUND(trail_avg, 6) AS trail_avg,
+           ROUND(n / trail_avg, 6) AS burst_ratio
+    FROM trail
+    WHERE trail_n >= 12 AND n > 2.0 * trail_avg
+    """,
+    tags=("temporal", "window"),
+)
+def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hour buckets whose event count exceeds 2× the
+    trailing-24h average (warm-up gated at ≥12 prior buckets) — the
+    rate-anomaly alarm every ingest pipeline runs. The corpus collapses
+    to (type, hour) counts FIRST, so the trailing window runs over
+    bucket-count rows per type (thousands), never raw events — window
+    state is O(24) regardless of event volume; one type-keyed exchange
+    for the rollup, one for the window, both on the same key so AQE
+    reuses the partitioning. Threshold-crossed rows only (the alarm
+    set)."""
+    e = load_tables(spark, sf_dir)["events"]
+    buckets = e.groupBy(
+        "event_type",
+        F.floor(F.unix_millis("ts") / 3600000).cast("long").alias("hour_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("hour_bucket").rowsBetween(-24, -1)
+    trailing = buckets.select(
+        "event_type",
+        "hour_bucket",
+        "n",
+        F.avg(F.col("n").cast("double")).over(w).alias("trail_avg"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+    return (
+        trailing.filter(
+            (F.col("trail_n") >= 12) & (F.col("n") > 2.0 * F.col("trail_avg"))
+        )
+        .select(
+            "event_type",
+            "hour_bucket",
+            "n",
+            F.round("trail_avg", 6).alias("trail_avg"),
+            F.round(F.col("n") / F.col("trail_avg"), 6).alias("burst_ratio"),
+        )
+    )

@@ -38,6 +38,10 @@ OPS = [
     # a scalar convergence check — separates per-iteration scheduling
     # overhead from data cost on the curve
     ("dedup_cluster_components", "documents"),
+    # round 6: Gram-free power iteration (row-keyed + dim-keyed reduces)
+    ("sim_pca_power_iteration", "embeddings"),
+    # round 6: sweep-line window partitioned on (type, day) — no global sort
+    ("events_concurrency_sweep", "events"),
 ]
 
 
@@ -76,7 +80,7 @@ def main() -> None:
         )
         out["ops"][name] = entry
     print(json.dumps(out, indent=1))
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_scaling_r05.json"), "w") as fh:
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_scaling_r06.json"), "w") as fh:
         json.dump(out, fh, indent=1)
 
 
