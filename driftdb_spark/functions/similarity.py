@@ -1266,3 +1266,96 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, i, d) for (r, i, d, _v) in centers],
         "round int, vec_id bigint, radius_sq bigint",
     )
+
+
+@register(
+    "sim_matryoshka_prefix_fidelity",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < 150
+    ),
+    n AS (
+        SELECT vec_id, e,
+          sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+            i -> e[i] * e[i]))) AS nrm_full,
+          sqrt(list_sum(list_transform(range(1, 17),
+            i -> e[i] * e[i]))) AS nrm_pfx
+        FROM v
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_sum(list_transform(range(1, {DIM + 1}),
+            i -> a.e[i] * b.e[i])) / (a.nrm_full * b.nrm_full) AS cos_full,
+          list_sum(list_transform(range(1, 17),
+            i -> a.e[i] * b.e[i])) / (a.nrm_pfx * b.nrm_pfx) AS cos_pfx
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(cos_full - cos_pfx), 8)
+                 AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS avg_abs_delta,
+           ROUND(MAX(ROUND(ABS(cos_full - cos_pfx), 8)), 6) AS max_abs_delta,
+           SUM(CASE WHEN (cos_full >= 0.5) = (cos_pfx >= 0.5)
+                    THEN 1 ELSE 0 END) AS n_threshold_agree
+    FROM pairs
+    """,
+    tags=("similarity", "audit"),
+)
+def sim_matryoshka_prefix_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured truncation fidelity for Matryoshka-style embedding
+    shortening (Kusupati et al. 2022): on an audit slice of pairs, how
+    far does cosine under the 16-dim PREFIX drift from the full 64-dim
+    cosine, and how often would a 0.5 dedup threshold decide
+    differently. The decision every pipeline faces before storing
+    truncated vectors (4× cheaper ANN) — made with a measurement, not a
+    guess (the sim_ann_ivf_recall / dedup_lsh_recall_audit discipline).
+    Per-row array folds are order-fixed, so both engines compute
+    bit-identical cosines; per-pair deltas round 8dp before the exact
+    DECIMAL aggregation. The audit is slice-bounded; production
+    truncation applies map-only (``slice`` on the stored array)."""
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 150)
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).select(
+        "vec_id",
+        "e",
+        F.expr("slice(e, 1, 16)").alias("ep"),
+    )
+    v = v.withColumn("nrm_full", F.sqrt(_dots("e", "e"))).withColumn(
+        "nrm_pfx", F.sqrt(_dots("ep", "ep"))
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("ep").alias("epa"),
+        F.col("nrm_full").alias("nfa"),
+        F.col("nrm_pfx").alias("npa"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("ep").alias("epb"),
+        F.col("nrm_full").alias("nfb"),
+        F.col("nrm_pfx").alias("npb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos_full = _dots("ea", "eb") / (F.col("nfa") * F.col("nfb"))
+    cos_pfx = _dots("epa", "epb") / (F.col("npa") * F.col("npb"))
+    scored = pairs.select(
+        F.round(F.abs(cos_full - cos_pfx), 8).alias("adelta"),
+        ((cos_full >= 0.5) == (cos_pfx >= 0.5)).alias("agree"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("adelta").cast("decimal(20,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_abs_delta"),
+        F.round(F.max("adelta"), 6).alias("max_abs_delta"),
+        F.sum(F.when(F.col("agree"), 1).otherwise(0)).alias(
+            "n_threshold_agree"
+        ),
+    )

@@ -1573,3 +1573,60 @@ def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("trail_avg"), 6).alias("burst_ratio"),
         )
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    cover AS (
+        SELECT DISTINCT user_id, day + CAST(g.i AS INTEGER) AS wday
+        FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g
+    ),
+    wau AS (SELECT wday AS day, COUNT(*) AS wau FROM cover GROUP BY wday)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    tags=("temporal", "agg"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    watch. Trailing-7-day distinct users is the trap: computed naively
+    it rescans a week of history per day (O(days × corpus)). The
+    scalable reshape inverts it: each (user, active-day) row COVERS the
+    7 window-end days it contributes to — a bounded 7× fan-out on the
+    deduplicated user-day set (already ≪ events), then one distinct +
+    count per day. Every exchange keys on (user, day) or day; no window
+    rescans history."""
+    e = load_tables(spark, sf_dir)["events"]
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day",
+        )
+        .select("user_id", F.date_add("day", F.col("i")).alias("day"))
+        .distinct()
+    )
+    wau = cover.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -169,6 +169,34 @@ def _typed_param(text: str | None, oid: int):
     return _infer_param(text)
 
 
+def _binary_param(raw: bytes | None, oid: int):
+    """Decode one BINARY-format parameter (format code 1 — what JDBC
+    sends for numeric types): network-order fixed-width values keyed by
+    the declared OID (PostgreSQL wire binary representations)."""
+    if raw is None:
+        return None
+    if oid == 20:  # int8
+        return struct.unpack("!q", raw)[0]
+    if oid == 23:  # int4 (also oid 26)
+        return struct.unpack("!i", raw)[0]
+    if oid == 21:  # int2
+        return struct.unpack("!h", raw)[0]
+    if oid == 701:  # float8
+        return struct.unpack("!d", raw)[0]
+    if oid == 700:  # float4
+        return struct.unpack("!f", raw)[0]
+    if oid == _BOOL_OID:
+        return raw != b"\x00"
+    if oid in _TEXT_OIDS:
+        return raw.decode()
+    err = NotImplementedError(
+        f"binary parameter format is not supported for type OID {oid}; "
+        "send this parameter in text format"
+    )
+    err.sqlstate = "0A000"
+    raise err
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def _send(self, data: bytes) -> None:
         self.request.sendall(data)
@@ -674,25 +702,39 @@ class _Handler(socketserver.BaseRequestHandler):
         if stmt_name not in self._stmts:
             raise KeyError(f'prepared statement "{stmt_name}" does not exist')
         (n_fmt,) = struct.unpack("!H", payload[off : off + 2])
-        off += 2 + 2 * n_fmt  # per-parameter format codes (text assumed)
+        off += 2
+        fmts = list(
+            struct.unpack(f"!{n_fmt}H", payload[off : off + 2 * n_fmt])
+        )
+        off += 2 * n_fmt
         (n_vals,) = struct.unpack("!H", payload[off : off + 2])
         off += 2
-        vals: list[str | None] = []
+        raw_vals: list[bytes | None] = []
         for _ in range(n_vals):
             (ln,) = struct.unpack("!i", payload[off : off + 4])
             off += 4
             if ln == -1:
-                vals.append(None)
+                raw_vals.append(None)
             else:
-                vals.append(payload[off : off + ln].decode())
+                raw_vals.append(payload[off : off + ln])
                 off += ln
         sql, n_params, oids = self._stmts[stmt_name]
-        if len(vals) != n_params:
+        if len(raw_vals) != n_params:
             raise ValueError(
-                f"bind supplies {len(vals)} parameters, statement needs {n_params}"
+                f"bind supplies {len(raw_vals)} parameters, statement needs {n_params}"
             )
+        # per protocol: zero format codes = all text; one = applies to all
+        if n_fmt == 0:
+            fmts = [0] * n_vals
+        elif n_fmt == 1:
+            fmts = fmts * n_vals
         args = {
-            f"p{i + 1}": _typed_param(v, oids[i]) for i, v in enumerate(vals)
+            f"p{i + 1}": (
+                _binary_param(v, oids[i])
+                if fmts[i] == 1
+                else _typed_param(None if v is None else v.decode(), oids[i])
+            )
+            for i, v in enumerate(raw_vals)
         }
         self._portals[portal] = {"sql": sql, "args": args, "iter": None,
                                  "pending": None, "started": False}

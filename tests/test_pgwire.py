@@ -837,3 +837,67 @@ def test_wire_cursor_fetch(server):
     _c, _r, tag, err = c.query("CLOSE k")
     assert err is None and tag == "CLOSE CURSOR"
     c.close()
+
+
+def test_binary_format_bind_parameters(server):
+    """Binary-format (code 1) Bind parameters — what JDBC sends for
+    numeric types — decode by declared OID: int8/int4/float8/bool wire
+    binaries round-trip; unsupported binary OIDs error 0A000."""
+    host, port = server.address
+    c = ExtClient(host, port)
+    c.startup()
+    c.query("CREATE TABLE bt (id BIGINT PRIMARY KEY, f DOUBLE, b BOOLEAN)")
+
+    def bind_exec(query, oids, raws):
+        body = b"\x00" + query.encode() + b"\x00"
+        body += struct.pack(f"!H{len(oids)}I", len(oids), *oids)
+        c.send_msg(b"P", body)
+        bind = b"\x00" + b"\x00"  # unnamed portal, unnamed stmt
+        bind += struct.pack(f"!H{len(raws)}H", len(raws), *([1] * len(raws)))
+        bind += struct.pack("!H", len(raws))
+        for r in raws:
+            bind += struct.pack("!i", len(r)) + r
+        bind += struct.pack("!H", 0)
+        c.send_msg(b"B", bind)
+        c.send_msg(b"E", b"\x00" + struct.pack("!i", 0))
+        c.send_msg(b"S", b"")
+        msgs = c.read_until_ready()
+        rows, err = [], None
+        for t, p in msgs:
+            if t == "D":
+                (n,) = struct.unpack("!H", p[:2])
+                off, vals = 2, []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", p[off : off + 4])
+                    off += 4
+                    vals.append(None if ln == -1 else p[off : off + ln].decode())
+                    off += max(ln, 0)
+                rows.append(vals)
+            elif t == "E":
+                err = p
+        return rows, err
+
+    _r, err = bind_exec(
+        "INSERT INTO bt VALUES ($1, $2, $3)",
+        oids=(20, 701, 16),
+        raws=[
+            struct.pack("!q", 9007199254740993),  # > 2^53: text float would corrupt
+            struct.pack("!d", 2.5),
+            b"\x01",
+        ],
+    )
+    assert err is None, err
+    rows, err = bind_exec(
+        "SELECT id, f, b FROM bt WHERE id = $1",
+        oids=(20,),
+        raws=[struct.pack("!q", 9007199254740993)],
+    )
+    assert err is None and rows == [["9007199254740993", "2.5", "True"]]
+    # unsupported binary OID (numeric 1700) -> 0A000, connection survives
+    _r, err = bind_exec(
+        "SELECT $1 AS v", oids=(1700,), raws=[b"\x00\x01\x00\x00\x00\x00\x00\x01"]
+    )
+    assert err is not None and b"0A000" in err
+    _c, rows, _t, err = c.query("SELECT COUNT(*) AS n FROM bt")
+    assert err is None and rows == [["1"]]
+    c.close()
