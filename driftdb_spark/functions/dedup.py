@@ -802,3 +802,33 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_hit").isNotNull().alias("caught"),
         )
     )
+
+
+@register(
+    "dedup_canonical_mapping",
+    oracle="""
+    WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY fp)
+    SELECT f.doc_id, c.canonical_id
+    FROM fp f JOIN canon c ON f.fp = c.fp
+    WHERE f.doc_id <> c.canonical_id
+    """,
+    tags=("dedup",),
+)
+def dedup_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remap table dedup actually SHIPS: duplicate doc_id →
+    canonical (first-seen) doc_id, so downstream references (citations,
+    labels, shard manifests) rewrite to survivors instead of dangling.
+    One fingerprint aggregation + an equi-join back — the
+    dedup_exact_survivors twin from the pointer side; identity rows are
+    dropped (the mapping is only the rewrites). At 100 TB the mapping
+    is duplicate-count-sized and joins back onto reference tables by
+    broadcast or bucketed key."""
+    d = load_tables(spark, sf_dir)["documents"]
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        fp.join(canon, "fp")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id")
+    )

@@ -543,3 +543,77 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
         F.countDistinct("a").cast("bigint").alias("n_apex_nodes"),
     )
+
+
+@register(
+    "graph_common_neighbor_similarity",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        WHERE l_orderkey <= 2000
+    ),
+    pairs AS (
+        SELECT DISTINCT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    und AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u),
+    wedges AS (
+        SELECT a.u AS x, b.u AS y, COUNT(*) AS common
+        FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+        GROUP BY a.u, b.u
+    )
+    SELECT w.x, w.y, w.common,
+           ROUND(CAST(w.common AS DOUBLE)
+                 / (dx.d + dy.d - w.common), 6) AS jaccard
+    FROM wedges w
+    JOIN deg dx ON dx.node = w.x
+    JOIN deg dy ON dy.node = w.y
+    WHERE CAST(w.common AS DOUBLE) / (dx.d + dy.d - w.common) >= 0.5
+    """,
+    tags=("graph",),
+)
+def graph_common_neighbor_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node similarity by neighborhood Jaccard |N(x)∩N(y)| / |N(x)∪N(y)|
+    over the part co-purchase graph — the link-prediction / substitute-
+    detection primitive (two parts whose order neighborhoods coincide
+    are interchangeable). Common neighbors come from ONE wedge join
+    through the shared neighbor (the triangle-count exchange shape —
+    candidate pairs only where a wedge exists, never all pairs); degrees
+    are a node-keyed aggregate broadcast onto the scored pairs. Exact
+    integer counts; bounded to the first 2 000 orders like
+    graph_triangle_count so the oracle's joins stay tractable."""
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_orderkey") <= 2000
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    wa = und.select(F.col("u").alias("x"), F.col("v").alias("n"))
+    wb = und.select(F.col("u").alias("y"), F.col("v").alias("n"))
+    wedges = (
+        wa.join(wb, "n")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    jac = F.col("common").cast("double") / (
+        F.col("dx") + F.col("dy") - F.col("common")
+    )
+    return (
+        wedges.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .filter(jac >= 0.5)
+        .select("x", "y", "common", F.round(jac, 6).alias("jaccard"))
+    )
