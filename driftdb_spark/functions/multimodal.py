@@ -186,7 +186,7 @@ from driftdb_spark.registry import register  # noqa: E402
     oracle="""
     SELECT source,
            COUNT(*) AS n,
-           SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
            MAX(octet_length(CAST(text AS BLOB))) AS max_bytes,
            COUNT(DISTINCT md5(text)) AS distinct_digests
     FROM documents

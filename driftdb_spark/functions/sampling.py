@@ -92,7 +92,7 @@ def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {_HASH2} < 'e6' THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -124,7 +124,7 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_token_budget",
     oracle="""
     SELECT lang, doc_id, n_tokens,
-           (cum_tokens - n_tokens) // 4096 AS bin_id
+           CAST((cum_tokens - n_tokens) // 4096 AS BIGINT) AS bin_id
     FROM (
         SELECT lang, doc_id,
                CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
@@ -222,14 +222,14 @@ def filter_above_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
         SELECT lang, doc_id, n_tokens,
-               (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_tokens) // 4096 AS bin_id
+                - n_tokens) // 4096 AS BIGINT) AS bin_id
         FROM sampled
     )
     SELECT lang, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc
     FROM packed
     GROUP BY lang, bin_id
@@ -288,7 +288,7 @@ _HASH4 = "substr(md5(cast(doc_id as varchar)), 1, 4)"
                n_chars, {_HASH4} AS h4
         FROM documents
     )
-    SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT domain, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM tagged
     WHERE h4 < CASE domain WHEN 'web' THEN '4000'
                            WHEN 'books' THEN 'c000'
@@ -386,7 +386,7 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT h.lang,
            CAST(MAX(r.n) AS BIGINT) AS n_orig,
            COUNT(*) AS n_kept,
-           SUM(h.n_chars) AS kept_chars,
+           CAST(SUM(h.n_chars) AS BIGINT) AS kept_chars,
            MAX(r.cut) AS keep_cut
     FROM h JOIN r USING (lang) WHERE h.b < r.cut GROUP BY h.lang
     """,
@@ -556,7 +556,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_mixture_epochs",
     oracle="""
     WITH src AS (
-        SELECT source, SUM(n_chars) AS chars, COUNT(*) AS docs
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars, COUNT(*) AS docs
         FROM documents GROUP BY source
     ),
     total AS (SELECT SUM(chars) AS total_chars FROM src),

@@ -1220,9 +1220,9 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     c3 AS (SELECT vec_id AS id3, dmin AS r3 FROM d3
            ORDER BY dmin DESC, vec_id LIMIT 1)
     SELECT 0 AS round, id0 AS vec_id, CAST(0 AS BIGINT) AS radius_sq FROM c0
-    UNION ALL SELECT 1, id1, r1 FROM c1
-    UNION ALL SELECT 2, id2, r2 FROM c2
-    UNION ALL SELECT 3, id3, r3 FROM c3
+    UNION ALL SELECT 1, id1, CAST(r1 AS BIGINT) FROM c1
+    UNION ALL SELECT 2, id2, CAST(r2 AS BIGINT) FROM c2
+    UNION ALL SELECT 3, id3, CAST(r3 AS BIGINT) FROM c3
     """,
     tags=("similarity", "iterative", "sampling"),
 )
@@ -1296,8 +1296,8 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CAST(ROUND(ABS(cos_full - cos_pfx), 8)
                  AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS avg_abs_delta,
            ROUND(MAX(ROUND(ABS(cos_full - cos_pfx), 8)), 6) AS max_abs_delta,
-           SUM(CASE WHEN (cos_full >= 0.5) = (cos_pfx >= 0.5)
-                    THEN 1 ELSE 0 END) AS n_threshold_agree
+           CAST(SUM(CASE WHEN (cos_full >= 0.5) = (cos_pfx >= 0.5)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_threshold_agree
     FROM pairs
     """,
     tags=("similarity", "audit"),

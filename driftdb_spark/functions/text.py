@@ -233,8 +233,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.lang,
            COUNT(*) AS n_test_docs,
-           SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_contaminated
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contaminated
     FROM base b LEFT JOIN contaminated c ON b.doc_id = c.doc_id
     WHERE b.h2 >= 'cc'
     GROUP BY b.lang
@@ -875,7 +875,7 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_docs,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars,
            CAST((SELECT n_dup_docs FROM dup) AS BIGINT) AS n_exact_dup_docs,
@@ -1141,8 +1141,8 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM firsts GROUP BY 1
     )
     SELECT bucket, new_tokens,
-           SUM(new_tokens) OVER (ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+           CAST(SUM(new_tokens) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
     FROM per_bucket
     """,
     tags=("text", "agg"),
@@ -1190,7 +1190,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT s.doc_id,
                COUNT(*) AS n_shingles,
-               SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
         FROM sh s JOIN firsts f ON s.shingle = f.shingle
         GROUP BY s.doc_id
     )

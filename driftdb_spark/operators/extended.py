@@ -1173,8 +1173,8 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     daily AS (SELECT first_day AS day, COUNT(*) AS new_users FROM fd GROUP BY first_day)
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM daily
     """,
     tags=("temporal", "agg"),
@@ -1220,7 +1220,7 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
            COUNT(*) AS n,
            ROUND(MAX(d.med), 6) AS median_value,
            ROUND(MAX(m.mad), 6) AS mad,
-           SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m ON d.event_type = m.event_type
     GROUP BY d.event_type
     """,
@@ -1404,7 +1404,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          AND CURRENT ROW) AS live
         FROM pts
     )
-    SELECT event_type, day, MAX(live) AS peak_concurrency
+    SELECT event_type, day, CAST(MAX(live) AS BIGINT) AS peak_concurrency
     FROM run GROUP BY event_type, day
     """,
     tags=("temporal", "window"),
