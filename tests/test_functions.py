@@ -137,3 +137,40 @@ def test_lsh_capped_join_plan_filters_both_sides(spark):
         pairs.explain("formatted")
     plan = buf.getvalue()
     assert "_bsz" in plan and "Window" in plan
+
+
+def test_approx_distinct_error_within_bound(spark):
+    """HLL++ estimate must land within 3×rsd of the exact distinct count
+    across rsd configs and key distributions (the numeric side of the
+    oracle-checked agg_approx_distinct_error_audit bound; rsd is one
+    standard deviation, measured max error across SFs is 1.73×rsd)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cases = [
+        (li, "l_returnflag", "l_orderkey"),  # few groups, dense keys
+        (ev, "event_type", "user_id"),  # more groups, skewed keys
+    ]
+    for df, group, key in cases:
+        for rsd in (0.05, 0.02, 0.01):
+            rows = df.groupBy(group).agg(
+                F.countDistinct(key).alias("exact"),
+                F.approx_count_distinct(key, rsd).alias("approx"),
+            ).collect()
+            assert rows
+            for r in rows:
+                rel = abs(r.approx - r.exact) / r.exact
+                assert rel <= 3 * rsd, (
+                    f"{group}/{key} rsd={rsd}: group {r[group]} "
+                    f"exact={r.exact} approx={r.approx} rel={rel:.4f}"
+                )
+
+
+def test_approx_distinct_audit_all_within_bound(spark):
+    """The registered audit query itself: every group's within_3rsd flag
+    is True at the test SF (the oracle asserts the same at the driver's
+    SF — a False here means the sketch left its error envelope)."""
+    from driftdb_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    rows = QUERIES["agg_approx_distinct_error_audit"].fn(spark, SF).collect()
+    assert rows and all(r.within_3rsd for r in rows)
