@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "(reference driftdb-server tls.rs)",
     )
     sp.add_argument("--tls-key", help="PEM private key for --tls-cert")
+    sp.add_argument(
+        "--health-port",
+        type=int,
+        help="also serve HTTP /health/live, /health/ready and /metrics "
+        "on this port (reference driftdb-server health.rs/metrics.rs)",
+    )
 
     args = p.parse_args(argv)
 
@@ -215,7 +221,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             auth_method=args.auth_method,
             ssl_context=ssl_context,
         ).start()
-        print(json.dumps({"ok": True, "address": list(srv.address)}), flush=True)
+        health_addr = None
+        if args.health_port is not None:
+            from driftdb_spark.observability import HealthServer
+
+            health = HealthServer(
+                sess, host=args.host, port=args.health_port, wire_server=srv
+            ).start()
+            health_addr = list(health.address)
+        print(
+            json.dumps(
+                {"ok": True, "address": list(srv.address), "health": health_addr}
+            ),
+            flush=True,
+        )
         srv._thread.join()  # serve until interrupted
     return 0
 

@@ -160,6 +160,11 @@ class DriftSession:
         self._query_log: list[dict] = []
         self._sql_depth = 0  # only top-level statements are logged
         self._rate_limiter: TokenBucket | None = None
+        import time as _time
+
+        self._started_at = _time.time()
+        self._statements_total = 0  # monotonic (query_log is ring-buffered)
+        self._errors_total = 0
         self._load_catalog()
 
     def set_rate_limit(self, statements_per_sec: float, burst: int = 10, clock=None):
@@ -425,6 +430,9 @@ class DriftSession:
         finally:
             self._sql_depth -= 1
             if self._sql_depth == 0:
+                self._statements_total += 1
+                if err is not None:
+                    self._errors_total += 1
                 self._query_log.append(
                     {
                         "statement": query.strip(),
@@ -479,6 +487,45 @@ class DriftSession:
                 F.round(F.expr("percentile(wall_ms, 0.95)"), 3).alias("p95_ms"),
             )
         )
+
+    def status_snapshot(self) -> dict:
+        """Live engine counters as a plain dict (reference monitoring.rs
+        MonitoringSystem + driftdb-server health.rs/metrics.rs surface).
+
+        Pure driver-side Python over the in-memory query log — NO Spark
+        job, no exec_lock — so a metrics scrape stays cheap and returns
+        promptly even while a long statement holds the executors. Latency
+        percentiles are computed over the retained log window (ring buffer
+        of ≤2000 statements); counts are monotonic totals."""
+        import time as _time
+
+        log = list(self._query_log)  # snapshot vs concurrent append
+        walls = sorted(e["wall_ms"] for e in log)
+
+        def _pct(p: float) -> float:
+            if not walls:
+                return 0.0
+            # nearest-rank on the retained window
+            i = min(len(walls) - 1, max(0, int(round(p * (len(walls) - 1)))))
+            return round(walls[i], 3)
+
+        verbs: dict[str, int] = {}
+        for e in log:
+            v = e["statement"].split(None, 1)[0].upper() if e["statement"] else "?"
+            verbs[v] = verbs.get(v, 0) + 1
+        return {
+            "status": "ok",
+            "uptime_sec": round(_time.time() - self._started_at, 3),
+            "statements_total": self._statements_total,
+            "errors_total": self._errors_total,
+            "statements_in_window": len(log),
+            "latency_ms": {"p50": _pct(0.5), "p95": _pct(0.95), "max": _pct(1.0)},
+            "statements_by_verb": dict(sorted(verbs.items())),
+            "tables": len(self._tables),
+            "views": len(self._views) + len(self._mviews) + len(self._imvs),
+            "transaction_open": self._active_txn is not None,
+            "rate_limited": self._rate_limiter is not None,
+        }
 
     def sql_with_timeout(self, query: str, timeout_sec: float, args=None):
         """Execute a statement with a wall-clock budget (reference
@@ -655,6 +702,7 @@ class DriftSession:
         r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)$", _re.IGNORECASE
     )
     _SHOW_TABLES_RE = _re.compile(r"^SHOW\s+TABLES$", _re.IGNORECASE)
+    _SHOW_STATUS_RE = _re.compile(r"^SHOW\s+STATUS$", _re.IGNORECASE)
     _SHOW_CREATE_RE = _re.compile(
         r"^SHOW\s+CREATE\s+TABLE\s+(\w+)$", _re.IGNORECASE
     )
@@ -747,6 +795,28 @@ class DriftSession:
         routed = self._dispatch_rls(q)
         if routed is not None:
             return routed
+        m = self._SHOW_STATUS_RE.match(q)
+        if m:
+            # Wire-reachable engine status (reference health.rs liveness +
+            # metrics.rs query counters): one row per counter so any
+            # client — psql included — can scrape it without JSON parsing.
+            snap = self.status_snapshot()
+            flat = [
+                ("status", snap["status"]),
+                ("uptime_sec", str(snap["uptime_sec"])),
+                ("statements_total", str(snap["statements_total"])),
+                ("errors_total", str(snap["errors_total"])),
+                ("latency_p50_ms", str(snap["latency_ms"]["p50"])),
+                ("latency_p95_ms", str(snap["latency_ms"]["p95"])),
+                ("latency_max_ms", str(snap["latency_ms"]["max"])),
+                ("tables", str(snap["tables"])),
+                ("views", str(snap["views"])),
+                ("transaction_open", str(snap["transaction_open"]).lower()),
+            ] + [
+                (f"statements_{v.lower()}", str(n))
+                for v, n in snap["statements_by_verb"].items()
+            ]
+            return self.spark.createDataFrame(flat, "name string, value string")
         m = self._SHOW_TABLES_RE.match(q)
         if m:
             # Session-catalog introspection (the reference CLI's `tables`;
