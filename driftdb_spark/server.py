@@ -718,6 +718,22 @@ class _Handler(socketserver.BaseRequestHandler):
             else:
                 raw_vals.append(payload[off : off + ln])
                 off += ln
+        # trailing result-column format codes: this server emits text
+        # DataRows only, so a client asking for binary results (JDBC
+        # binaryTransfer) must get a loud 0A000 at Bind time — silently
+        # sending text in a portal the client believes is binary would
+        # make it misparse every row.
+        if off + 2 <= len(payload):
+            (n_rfmt,) = struct.unpack("!H", payload[off : off + 2])
+            off += 2
+            rfmts = struct.unpack(f"!{n_rfmt}H", payload[off : off + 2 * n_rfmt])
+            if any(f == 1 for f in rfmts):
+                err = NotImplementedError(
+                    "binary result format is not supported; bind with text "
+                    "result format codes"
+                )
+                err.sqlstate = "0A000"
+                raise err
         sql, n_params, oids = self._stmts[stmt_name]
         if len(raw_vals) != n_params:
             raise ValueError(
@@ -776,6 +792,14 @@ class _Handler(socketserver.BaseRequestHandler):
         self._send(self._msg(b"n", b""))  # NoData
 
     def _handle_execute(self, payload: bytes) -> None:
+        # A cancel that landed while this backend was idle targets no
+        # statement (PostgreSQL ignores idle cancels) — same guard as the
+        # simple-query path: clear the stale flag and rotate the poisoned
+        # job group (cancelJobGroupAndFutureJobs is sticky) BEFORE
+        # dispatching, or this innocent Execute dies with 57014.
+        if self.cancel_flag.is_set():
+            self.cancel_flag.clear()
+            self._set_job_group()
         portal, off = self._read_cstr(payload, 0)
         (max_rows,) = struct.unpack("!i", payload[off : off + 4])
         if portal not in self._portals:
@@ -976,12 +1000,19 @@ class _TcpServer(socketserver.ThreadingTCPServer):
         self._next_pid = 1
 
     def register_backend(self, handler) -> tuple[int, int]:
+        # Fully arm the handler for cancellation BEFORE publishing it: a
+        # CancelRequest racing this registration must find secret and
+        # cancel_flag already present, or cancel_backend would crash on a
+        # half-registered backend instead of ignoring / cancelling it.
+        secret = struct.unpack("!I", os.urandom(4))[0]
+        handler._cancel_secret = secret
+        handler.cancel_flag = (
+            getattr(handler, "cancel_flag", None) or threading.Event()
+        )
         with self._backend_lock:
             pid = self._next_pid
             self._next_pid += 1
             self._backends[pid] = handler
-        secret = struct.unpack("!I", os.urandom(4))[0]
-        handler._cancel_secret = secret
         return pid, secret
 
     def unregister_backend(self, pid: int | None) -> None:
@@ -999,8 +1030,12 @@ class _TcpServer(socketserver.ThreadingTCPServer):
             handler = self._backends.get(pid)
         if handler is None or handler._cancel_secret != secret:
             return
+        group = getattr(handler, "job_group", None)
+        if group is None:
+            # registered but no job group yet (still in startup): there is
+            # nothing running to cancel — PostgreSQL drops such cancels
+            return
         handler.cancel_flag.set()
-        group = handler.job_group
         sc = self.session.spark.sparkContext
 
         def _hammer():

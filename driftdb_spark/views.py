@@ -67,13 +67,18 @@ def publish_versioned(df: DataFrame, storage_dir: str, stem: str) -> str:
     with open(tmp, "w") as fh:
         fh.write(new_name)
     os.replace(tmp, ptr)  # the commit point
-    # sweep superseded versions (post-commit; crash here only leaks a dir
-    # that the next publish sweeps again)
+    # Deferred sweep (keep N-1): the version superseded JUST NOW survives
+    # this publish so an in-flight scan of it (a temp view registered over
+    # the old path in another session) finishes on valid files; it is
+    # removed by the NEXT publish. Everything older — plus the legacy
+    # unversioned layout — goes now. A crash mid-sweep only leaks a dir
+    # that the next publish sweeps again.
+    keep = {new_name, current}
     for entry in os.listdir(storage_dir):
         if (
             entry.startswith(f"{stem}.v")
             and entry.endswith(".parquet")
-            and entry != new_name
+            and entry not in keep
         ) or entry == f"{stem}.parquet":
             shutil.rmtree(os.path.join(storage_dir, entry), ignore_errors=True)
     return new_path
@@ -100,6 +105,7 @@ def drop_versioned(storage_dir: str, stem: str) -> None:
 _RELATION_RE = re.compile(r"'UnresolvedRelation \[([^\]]+)\]")
 _AGGREGATE_RE = re.compile(r"'Aggregate \[([^\]]*)\]")
 _GROUP_TOKEN_RE = re.compile(r"^'(?:\w+\.)?(\w+)$")
+_CTE_RE = re.compile(r"\bCTE \[([^\]]+)\]")
 
 
 def validate_incremental_contract(
@@ -124,6 +130,15 @@ def validate_incremental_contract(
         spark._jsparkSession.sessionState().sqlParser().parsePlan(sql).toString()
     )
     rels = {r.strip().lower() for r in _RELATION_RE.findall(plan)}
+    # CTE aliases surface as UnresolvedRelation in the parsed plan
+    # (`CTE [t, u]` header, then 'UnresolvedRelation [t]) — they are
+    # names defined by the query itself, not foreign tables.
+    cte_aliases = {
+        a.strip().lower()
+        for m in _CTE_RE.findall(plan)
+        for a in m.split(",")
+    }
+    rels -= cte_aliases
     if not rels:
         raise ValueError(
             "incremental view definition must read FROM the source table "

@@ -901,3 +901,159 @@ def test_binary_format_bind_parameters(server):
     _c, rows, _t, err = c.query("SELECT COUNT(*) AS n FROM bt")
     assert err is None and rows == [["1"]]
     c.close()
+
+
+def test_idle_cancel_does_not_poison_next_extended_statement(server):
+    """A CancelRequest landing while the backend is idle must be dropped
+    (PostgreSQL semantics) on the EXTENDED path too: the cancel poisons
+    the current job group via cancelJobGroupAndFutureJobs, so without the
+    idle-clear guard in Execute the next Parse/Bind/Execute dies 57014."""
+    import time
+
+    host, port = server.address
+    c = ExtClient(host, port)
+    msgs = c.startup()
+    pid, secret = struct.unpack("!II", [p for t, p in msgs if t == "K"][0][:8])
+    # idle cancel: no statement is running
+    s = socket.create_connection((host, port), timeout=10)
+    body = struct.pack("!III", 80877102, pid, secret)
+    s.sendall(struct.pack("!I", len(body) + 4) + body)
+    s.close()
+    time.sleep(1.0)  # let the hammer thread poison the current group
+    _c, rows, _t, err = c.ext_query("SELECT 41 + 1 AS v")
+    assert err is None, err
+    assert rows == [["42"]]
+    # and the simple path right after stays clean too
+    _c, rows, _t, err = c.query("SELECT 2 AS v")
+    assert err is None and rows == [["2"]]
+    c.close()
+
+
+def test_bind_binary_result_format_rejected(server):
+    """Bind asking for BINARY result columns gets a loud 0A000 (this
+    server only emits text DataRows); text formats keep working and the
+    connection survives."""
+    host, port = server.address
+    c = ExtClient(host, port)
+    c.startup()
+    # Parse, then Bind with result-format section = one code, binary
+    c.send_msg(b"P", b"\x00" + b"SELECT 7 AS v\x00" + struct.pack("!H", 0))
+    bind = b"\x00" + b"\x00" + struct.pack("!HH", 0, 0)  # no param fmts/vals
+    bind += struct.pack("!HH", 1, 1)  # 1 result format code: binary
+    c.send_msg(b"B", bind)
+    c.send_msg(b"S", b"")
+    msgs = c.read_until_ready()
+    errs = [p for t, p in msgs if t == "E"]
+    assert errs and b"0A000" in errs[0]
+    # same statement with explicit text result format: fine
+    _c, rows, _t, err = c.ext_query("SELECT 7 AS v")
+    assert err is None and rows == [["7"]]
+    c.close()
+
+
+def test_wire_concurrency_chaos(server):
+    """8 concurrent clients mixing DML, prepared statements, cursors and
+    CancelRequests (the wire-level statement-timeout mechanism): every
+    client must see exactly ITS rows, cancels must kill only their own
+    victim, and every connection must finish healthy — no cross-session
+    portal/cursor/job-group bleed."""
+    import threading
+    import time
+
+    host, port = server.address
+    n_clients = 8
+    n_rows = 12
+
+    # DDL happens serially up front: the chaos phase exercises concurrent
+    # DML/SELECT/cursor/cancel traffic, not concurrent catalog writes.
+    setup = Client(host, port)
+    setup.startup()
+    for i in range(n_clients):
+        _c, _r, _t, err = setup.query(
+            f"CREATE TABLE chaos_{i} (id INT PRIMARY KEY, owner STRING)"
+        )
+        assert err is None, err
+    setup.close()
+
+    failures: list[str] = []
+
+    def worker(i: int) -> None:
+        try:
+            c = ExtClient(host, port)
+            msgs = c.startup()
+            pid, secret = struct.unpack(
+                "!II", [p for t, p in msgs if t == "K"][0][:8]
+            )
+            tbl = f"chaos_{i}"
+            # 1) DML: this client's rows carry its own marker
+            vals = ", ".join(f"({k}, 'w{i}')" for k in range(n_rows))
+            _c, _r, tag, err = c.query(f"INSERT INTO {tbl} VALUES {vals}")
+            assert err is None, (i, "insert", err)
+            # 2) prepared statement with a parameter, several rounds
+            for k in (0, 3, n_rows - 1):
+                _c, rows, _t, err = c.ext_query(
+                    f"SELECT owner FROM {tbl} WHERE id = $1", params=(k,)
+                )
+                assert err is None and rows == [[f"w{i}"]], (i, "ext", k, rows)
+            # 3) cursor: page through own rows while others run
+            _c, _r, tag, err = c.query(
+                f"DECLARE cur_{i} CURSOR FOR SELECT id FROM {tbl} ORDER BY id"
+            )
+            assert err is None, (i, "declare", err)
+            got = []
+            while True:
+                _c, rows, tag, err = c.query(f"FETCH 5 FROM cur_{i}")
+                assert err is None, (i, "fetch", err)
+                got += [int(r[0]) for r in rows]
+                if len(rows) < 5:
+                    break
+            assert got == list(range(n_rows)), (i, "cursor rows", got)
+            c.query(f"CLOSE cur_{i}")
+            # 4) slow statement + self-cancel (client-side timeout flow)
+            slow = (
+                "SELECT COUNT(*) AS n FROM (SELECT sha2(CAST(id AS STRING), "
+                "256) h FROM range(2000000000)) WHERE h = ''"
+            )
+            payload = slow.encode() + b"\x00"
+            c.sock.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+
+            def fire():
+                time.sleep(0.8)
+                s = socket.create_connection((host, port), timeout=10)
+                body = struct.pack("!III", 80877102, pid, secret)
+                s.sendall(struct.pack("!I", len(body) + 4) + body)
+                s.close()
+
+            t = threading.Thread(target=fire)
+            t.start()
+            msgs = c.read_until_ready()
+            t.join()
+            errs = [p for typ, p in msgs if typ == "E"]
+            assert errs and b"57014" in errs[0], (i, "cancel", msgs[:3])
+            # 5) connection recovers; data unharmed and still only ours
+            _c, rows, _t, err = c.ext_query(
+                f"SELECT COUNT(*) AS n, COUNT(DISTINCT owner) AS o FROM {tbl}"
+            )
+            assert err is None and rows == [[str(n_rows), "1"]], (i, "post", rows)
+            c.close()
+        except Exception as exc:  # noqa: BLE001 - collected for the report
+            failures.append(f"client {i}: {type(exc).__name__}: {exc}")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not failures, failures
+
+    # cross-check from a fresh connection: every table has exactly its
+    # owner's rows (no write bleed between sessions)
+    check = Client(host, port)
+    check.startup()
+    for i in range(n_clients):
+        _c, rows, _t, err = check.query(
+            f"SELECT COUNT(*) AS n, MIN(owner) AS lo, MAX(owner) AS hi "
+            f"FROM chaos_{i}"
+        )
+        assert err is None and rows == [[str(n_rows), f"w{i}", f"w{i}"]], (i, rows)
+    check.close()

@@ -908,3 +908,68 @@ def test_information_schema_tables_and_columns(spark, tmp_path):
         "WHERE t.table_type = 'BASE TABLE'"
     ).first()["n"]
     assert n == 3
+
+
+def test_incremental_mview_accepts_cte_definition(spark, tmp_path):
+    """A conforming single-table definition that uses a CTE must pass
+    contract validation (CTE aliases parse as UnresolvedRelation and must
+    not be mistaken for foreign tables — ADVICE r6) and refresh
+    incrementally."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE ev (id INT PRIMARY KEY, site STRING, hits INT)")
+    s.sql("INSERT INTO ev VALUES (1, 'a', 3), (2, 'a', 4), (3, 'b', 5)")
+    s.sql(
+        "CREATE INCREMENTAL MATERIALIZED VIEW cte_mv ON ev GROUP BY (site) "
+        "AS WITH pos AS (SELECT site, hits FROM ev WHERE hits > 0) "
+        "SELECT site, SUM(hits) AS total FROM pos GROUP BY site"
+    )
+    rows = {
+        (r.site, r.total) for r in s.sql("SELECT * FROM cte_mv").collect()
+    }
+    assert rows == {("a", 7), ("b", 5)}
+    s.sql("INSERT INTO ev VALUES (4, 'b', 10)")
+    assert s.sql("REFRESH MATERIALIZED VIEW cte_mv") == 1  # only site 'b'
+    rows = {
+        (r.site, r.total) for r in s.sql("SELECT * FROM cte_mv").collect()
+    }
+    assert rows == {("a", 7), ("b", 15)}
+    # a CTE must not LAUNDER a foreign table through an alias
+    s.sql("CREATE TABLE dim (site STRING PRIMARY KEY, region STRING)")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="dim"):
+        s.sql(
+            "CREATE INCREMENTAL MATERIALIZED VIEW bad_cte ON ev GROUP BY (site) "
+            "AS WITH d AS (SELECT site FROM dim) "
+            "SELECT e.site, COUNT(*) AS n FROM ev e JOIN d ON e.site = d.site "
+            "GROUP BY e.site"
+        )
+
+
+def test_publish_versioned_keeps_previous_version_one_cycle(spark, tmp_path):
+    """The deferred sweep (ADVICE r6): the version superseded by THIS
+    publish survives until the NEXT one, so an in-flight reader of the
+    just-replaced version never loses its files mid-scan."""
+    import os
+
+    from driftdb_spark.views import publish_versioned, resolve_versioned
+
+    d = str(tmp_path)
+    df = spark.range(3).toDF("id")
+
+    def versions():
+        return sorted(
+            e for e in os.listdir(d) if e.startswith("vv.v") and e.endswith(".parquet")
+        )
+
+    p0 = publish_versioned(df, d, "vv")
+    assert versions() == ["vv.v0.parquet"]
+    p1 = publish_versioned(df, d, "vv")
+    # v0 still on disk: a reader holding it finishes cleanly
+    assert versions() == ["vv.v0.parquet", "vv.v1.parquet"]
+    assert spark.read.parquet(p0).count() == 3
+    publish_versioned(df, d, "vv")
+    # the NEXT publish sweeps v0; v1 now serves the grace window
+    assert versions() == ["vv.v1.parquet", "vv.v2.parquet"]
+    assert resolve_versioned(d, "vv").endswith("vv.v2.parquet")
+    assert spark.read.parquet(p1).count() == 3
