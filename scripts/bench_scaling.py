@@ -1,5 +1,6 @@
 """Scaling-curve micro-bench: time representative operators at
-sf0.001 / sf0.01 / sf0.1 (100× input growth) and report throughput.
+sf0.001 / sf0.01 / sf0.1 (100x input growth), plus an sf1 decade for the
+iterative family (BPE, pagerank, connected components, k-means, PCA).
 
 The 100 TB argument needs more than one point: a plan that holds scales
 near-linearly in input rows once fixed job overhead (~0.1-0.3 s/job on
@@ -8,7 +9,15 @@ shuffle or driver choke growing faster than the data. The driver-facing
 JSON records per-SF wall time and the large-SF throughput so rounds can
 compare.
 
-Usage: python scripts/bench_scaling.py  (writes BENCH_scaling_r04.json)
+The driver ships testdata up to sf0.1 only; the sf1 decade is the
+repo-local `_scaledata/sf1/` synthesized by scripts/gen_sf_scale.py
+(10x key-shifted replication of sf0.1, referential integrity preserved).
+sf1 timings are attempted only for the iterative ops -- their claim is
+"one exchange per iteration", which the 0.001-0.1 range cannot separate
+from the local[32] per-job floor. If `_scaledata/sf1` is absent the sf1
+column is skipped and a note is recorded.
+
+Usage: python scripts/bench_scaling.py  (writes BENCH_scaling_r07.json)
 """
 
 from __future__ import annotations
@@ -24,7 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from driftdb_spark.registry import QUERIES, query_map  # noqa: E402
 from driftdb_spark.session import get_spark  # noqa: E402
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SFS = ["0.001", "0.01", "0.1"]
+SF_DIRS = {sf: f"/root/testdata/sf{sf}" for sf in SFS}
+SF_DIRS["1"] = os.path.join(REPO, "_scaledata", "sf1")
+
 # one per plan family: scan+agg, window, shingle exchange, iterative,
 # broadcast-model scoring, map-only
 OPS = [
@@ -42,26 +55,44 @@ OPS = [
     ("sim_pca_power_iteration", "embeddings"),
     # round 6: sweep-line window partitioned on (type, day) — no global sort
     ("events_concurrency_sweep", "events"),
+    # round 7: the remaining iterative-family members get the sf1 decade
+    ("text_bpe_learn_merges", "documents"),
+    ("graph_pagerank_nations", "lineitem"),
 ]
+
+# ops whose "one exchange per iteration" claim is validated at sf1
+ITERATIVE = {
+    "sim_kmeans_lloyd",
+    "dedup_cluster_components",
+    "sim_pca_power_iteration",
+    "text_bpe_learn_merges",
+    "graph_pagerank_nations",
+}
 
 
 def main() -> None:
     spark = get_spark(app_name="bench_scaling")
     query_map()
+    have_sf1 = os.path.isdir(SF_DIRS["1"])
     rows_at = {}
-    for sf in SFS:
-        for _name, table in OPS:
-            key = (sf, table)
-            if key not in rows_at:
-                rows_at[key] = spark.read.parquet(
-                    f"/root/testdata/sf{sf}/{table}.parquet"
-                ).count()
-    out = {"sfs": SFS, "ops": {}}
+
+    def count_rows(sf: str, table: str) -> int:
+        key = (sf, table)
+        if key not in rows_at:
+            rows_at[key] = spark.read.parquet(
+                f"{SF_DIRS[sf]}/{table}.parquet"
+            ).count()
+        return rows_at[key]
+
+    out = {"sfs": SFS, "sf1_available": have_sf1, "ops": {}}
+    if not have_sf1:
+        out["note"] = "run scripts/gen_sf_scale.py to enable the sf1 decade"
     for name, table in OPS:
         spec = QUERIES[name]
+        sfs = list(SFS) + (["1"] if have_sf1 and name in ITERATIVE else [])
         entry = {"driver_table": table, "times_sec": {}, "rows": {}}
-        for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+        for sf in sfs:
+            sf_dir = SF_DIRS[sf]
             # warm once, median of 3
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ts = []
@@ -70,17 +101,24 @@ def main() -> None:
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 ts.append(time.perf_counter() - t0)
             entry["times_sec"][sf] = round(statistics.median(ts), 4)
-            entry["rows"][sf] = rows_at[(sf, table)]
+            entry["rows"][sf] = count_rows(sf, table)
         big, small = entry["times_sec"]["0.1"], entry["times_sec"]["0.001"]
-        growth_rows = entry["rows"][("0.1")] / max(entry["rows"]["0.001"], 1)
+        growth_rows = entry["rows"]["0.1"] / max(entry["rows"]["0.001"], 1)
         entry["time_ratio_100x_rows"] = round(big / small, 2)
         entry["rows_growth"] = round(growth_rows, 1)
-        entry["throughput_rows_per_sec_sf01"] = int(
-            entry["rows"]["0.1"] / big
-        )
+        entry["throughput_rows_per_sec_sf01"] = int(entry["rows"]["0.1"] / big)
+        if "1" in entry["times_sec"]:
+            # the decade that matters: 10x rows beyond the local floor
+            entry["time_ratio_sf1_over_sf01"] = round(
+                entry["times_sec"]["1"] / entry["times_sec"]["0.1"], 2
+            )
+            entry["throughput_rows_per_sec_sf1"] = int(
+                entry["rows"]["1"] / entry["times_sec"]["1"]
+            )
         out["ops"][name] = entry
+        print(f"{name}: {entry['times_sec']}", flush=True)
     print(json.dumps(out, indent=1))
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_scaling_r06.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH_scaling_r07.json"), "w") as fh:
         json.dump(out, fh, indent=1)
 
 
