@@ -1,0 +1,347 @@
+"""Administrative inspection surface — the reference's ``driftdb-admin``
+tool (crates/driftdb-admin/src/main.rs:36-138: ``status | health | tables |
+indexes | verify | config | migrate status | monitor``), Spark-first.
+
+Commands that the reference admin tool has and this module deliberately
+routes elsewhere:
+
+- ``backup`` (main.rs:140-178) — already first-class in the CLI
+  (``backup | restore | verify-backup``, backup.py).
+- ``analyze`` / ``compact`` (main.rs:70-86) — already CLI verbs.
+- ``connections`` / ``monitor`` live gauges (main.rs:111-119,372) — served
+  by the HTTP health endpoint (observability.py) and ``SHOW STATUS``;
+  ``admin status`` returns the same counter snapshot for one-shot use.
+- ``replication`` / failover (main.rs:180-217) — documented out of scope
+  (SURVEY §7.6: a Spark deployment delegates replica management to the
+  cluster manager and replicated storage).
+
+Everything here is read-only: inspection never takes the write path, so
+it is safe to run against a directory another session is serving. The
+per-table loops iterate the CATALOG (droplet-sized); all data-sized work
+(duplicate scans, constraint validation, checksum reads) happens as Spark
+jobs, so ``verify`` on a 100 TB table is a handful of distributed passes,
+never a driver loop over rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+__all__ = [
+    "status",
+    "health_check",
+    "verify_integrity",
+    "index_stats",
+    "config_dump",
+    "migration_status",
+]
+
+
+def _conf_get(spark, key: str):
+    try:
+        return spark.conf.get(key)
+    except Exception:
+        return None  # no value and no engine default (e.g. spark.master on connect)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _table_dirs(log) -> dict:
+    events_dir = log._events_dir
+    batches = sorted(glob.glob(os.path.join(events_dir, "batch-*")))
+    staging = glob.glob(os.path.join(events_dir, "_staging-*"))
+    swap_leftovers = glob.glob(events_dir + ".old-*")
+    snaps = log._snapshot_seqs()
+    return {
+        "batch_dirs": len(batches),
+        "staging_orphans": len(staging),
+        "swap_leftovers": len(swap_leftovers),
+        "snapshots": snaps,
+    }
+
+
+def status(sess, counts: bool = False) -> dict:
+    """Database status and statistics (reference show_status,
+    main.rs:292-370: table list, event totals, storage footprint).
+
+    ``counts=False`` (default) reports only filesystem/catalog facts and
+    runs zero Spark jobs — the cheap scrape. ``counts=True`` adds per-table
+    event counts and last sequences (one small aggregate job per table)."""
+    tables = {}
+    tot_bytes = 0
+    for name, (log, cols) in sorted(sess._tables.items()):
+        d = _table_dirs(log)
+        nbytes = _dir_bytes(log.path)
+        tot_bytes += nbytes
+        entry = {
+            "pk": log.pk_col,
+            "columns": len(cols),
+            "bytes": nbytes,
+            **d,
+        }
+        if counts:
+            entry["events"] = log.events().count()
+            entry["last_sequence"] = log.last_sequence()
+        tables[name] = entry
+    return {
+        "storage_dir": sess.storage_dir,
+        "tables": tables,
+        "total_tables": len(tables),
+        "total_bytes": tot_bytes,
+        "engine": sess.status_snapshot(),
+    }
+
+
+def health_check(sess, verbose: bool = False) -> dict:
+    """Liveness/consistency checks (reference check_health,
+    main.rs:695-738: engine health, storage access, per-table probes).
+
+    Driver-local except the optional per-table probes: with
+    ``verbose=True`` each table's event log is opened and its newest batch
+    touched (one file-listing job per table, no full scan)."""
+    checks: dict[str, str] = {}
+    try:
+        sc = sess.spark.sparkContext
+        stopped = sc._jsc is None or sc._jsc.sc().isStopped()
+        checks["spark"] = "ok" if not stopped else "stopped"
+    except Exception as exc:  # pragma: no cover - defensive
+        checks["spark"] = f"error: {exc}"
+    checks["storage_dir"] = "ok" if os.path.isdir(sess.storage_dir) else "missing"
+    try:
+        probe = os.path.join(sess.storage_dir, "_admin_probe.tmp")
+        with open(probe, "w") as fh:
+            fh.write("x")
+        os.remove(probe)
+        checks["storage_writable"] = "ok"
+    except OSError as exc:
+        checks["storage_writable"] = f"error: {exc}"
+    cat_path = sess._catalog_path()
+    if os.path.exists(cat_path):
+        try:
+            with open(cat_path) as fh:
+                json.load(fh)
+            checks["catalog_parses"] = "ok"
+        except (OSError, json.JSONDecodeError) as exc:
+            checks["catalog_parses"] = f"error: {exc}"
+    else:
+        checks["catalog_parses"] = "ok"  # empty database
+    orphans = sum(
+        _table_dirs(log)["staging_orphans"] for _n, (log, _c) in sess._tables.items()
+    )
+    # Staging dirs are hidden from readers, so leftovers are harmless to
+    # correctness — they are dead disk from a torn append worth surfacing.
+    checks["staging_orphans"] = "ok" if orphans == 0 else f"warn: {orphans} dirs"
+    if verbose:
+        for name, (log, _cols) in sorted(sess._tables.items()):
+            try:
+                log.events().limit(1).collect()
+                checks[f"table:{name}"] = "ok"
+            except Exception as exc:
+                checks[f"table:{name}"] = f"error: {type(exc).__name__}"
+    ok = all(not v.startswith("error") for v in checks.values())
+    return {"ok": ok, "checks": checks}
+
+
+def verify_integrity(
+    sess, table: str | None = None, checksums: bool = False
+) -> dict:
+    """Data-integrity verification (reference ``verify`` subcommand,
+    main.rs:121-130 and verify_integrity:867+ — table scan + optional CRC
+    pass; parquet carries page-level checksums, so the ``checksums`` pass
+    here is a full decompressing read, which surfaces any bit rot the
+    same way the reference's CRC32 walk does).
+
+    Per table, each check is ONE distributed aggregate:
+
+    - ``sequence_duplicates`` — the log's invariant: every event owns a
+      distinct sequence (events.py assigns contiguous ranges per batch).
+    - ``batch_alignment`` — each ``batch-<startseq>`` directory's minimum
+      contained sequence equals its directory name; a mismatch means a
+      rename landed on the wrong claim.
+    - ``pk_duplicates`` — the folded current state must be unique per pk
+      (fold_events guarantees it structurally; this re-derives it).
+    - ``constraints`` — declared UNIQUE/CHECK/NOT NULL re-validated
+      against current state (constraints.validate_existing).
+    - ``snapshot_readable`` — every snapshot parquet opens and its
+      sequence marker parses.
+    - ``checksum_rows`` (opt-in) — full read of every event/snapshot file.
+    """
+    from driftdb_spark.constraints import ConstraintViolation, validate_existing
+
+    names = [table] if table else sorted(sess._tables)
+    out: dict[str, dict] = {}
+
+    def _safe(thunk):
+        # a corrupt file fails the READ, whichever check touches it first;
+        # capture per-check so one rotted batch yields a structured report
+        # instead of aborting the whole walk (the reference's verify keeps
+        # going past a failed CRC the same way, main.rs:867+)
+        try:
+            return thunk()
+        except Exception as exc:
+            return f"error: {type(exc).__name__}"
+
+    for name in names:
+        log, cols = sess._tables[name]
+        r: dict[str, object] = {}
+        ev = log.events()
+        r["sequence_duplicates"] = _safe(
+            lambda: ev.groupBy("sequence").count().filter(F.col("count") > 1).count()
+        )
+        r["batch_misaligned"] = _safe(
+            lambda: ev.withColumn(
+                "_batch",
+                F.regexp_extract(F.input_file_name(), r"batch-(\d+)", 1).cast(
+                    "long"
+                ),
+            )
+            .groupBy("_batch")
+            .agg(F.min("sequence").alias("_min"))
+            .filter(F.col("_batch") != F.col("_min"))
+            .count()
+        )
+        state = log.state_df(cols)
+        r["pk_duplicates"] = _safe(
+            lambda: state.groupBy(log.pk_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        cons = sess._constraints.get(name)
+        if cons is not None and not cons.is_empty():
+            try:
+                validate_existing(name, cons, state)
+                r["constraints"] = "ok"
+            except ConstraintViolation as exc:
+                r["constraints"] = f"violation: {exc}"
+            except Exception as exc:
+                r["constraints"] = f"error: {type(exc).__name__}"
+        else:
+            r["constraints"] = "none declared"
+        snap_err = None
+        for seq in log._snapshot_seqs():
+            try:
+                sess.spark.read.parquet(
+                    os.path.join(log._snap_dir, f"seq={seq}")
+                ).limit(1).collect()
+            except Exception as exc:
+                snap_err = f"seq={seq}: {type(exc).__name__}"
+                break
+        r["snapshots"] = snap_err or "ok"
+        if checksums:
+
+            def _full_read():
+                n = ev.count()
+                for seq in log._snapshot_seqs():
+                    n += sess.spark.read.parquet(
+                        os.path.join(log._snap_dir, f"seq={seq}")
+                    ).count()
+                return n
+
+            r["checksum_rows"] = _safe(_full_read)
+        r["ok"] = (
+            r["sequence_duplicates"] == 0
+            and r["batch_misaligned"] == 0
+            and r["pk_duplicates"] == 0
+            and r["constraints"] in ("ok", "none declared")
+            and r["snapshots"] == "ok"
+            and not str(r.get("checksum_rows", "")).startswith("error")
+        )
+        out[name] = r
+    return {"ok": all(r["ok"] for r in out.values()), "tables": out}
+
+
+def index_stats(sess, table: str | None = None) -> list[dict]:
+    """Index statistics (reference ``indexes`` subcommand, main.rs:104-109).
+
+    The engine's indexes are the primary key plus declared UNIQUE
+    constraints (CREATE UNIQUE INDEX lowers to one). Cardinality = exact
+    distinct count over current state — one aggregate per index."""
+    names = [table] if table else sorted(sess._tables)
+    rows: list[dict] = []
+    for name in names:
+        log, cols = sess._tables[name]
+        state = log.state_df(cols)
+        total = state.count()
+        indexes: list[tuple[str, list[str]]] = [("PRIMARY", [log.pk_col])]
+        cons = sess._constraints.get(name)
+        if cons is not None:
+            for ucols, uname in zip(cons.uniques, cons.unique_names):
+                indexes.append((uname or f"unique_{'_'.join(ucols)}", ucols))
+        for iname, icols in indexes:
+            distinct = state.select(*icols).distinct().count()
+            rows.append(
+                {
+                    "table": name,
+                    "index": iname,
+                    "columns": icols,
+                    "rows": total,
+                    "distinct_keys": distinct,
+                    "unique": distinct == total,
+                }
+            )
+    return rows
+
+
+def config_dump(sess, section: str | None = None) -> dict:
+    """Effective configuration (reference ``config`` subcommand,
+    main.rs:132-138). Sections: ``storage``, ``session``, ``spark``."""
+    cfg = {
+        "storage": {
+            "storage_dir": sess.storage_dir,
+            "catalog_path": sess._catalog_path(),
+            "tables": sorted(sess._tables),
+        },
+        "session": {
+            "rate_limited": sess._rate_limiter is not None,
+            "rls_policies": sum(len(p) for p in sess.rls._policies.values()),
+            "rls_enabled_tables": sorted(sess.rls._enabled),
+            "security_context": (
+                sess._security.username if sess._security else None
+            ),
+        },
+        "spark": {
+            # no-default get reports the EFFECTIVE value (Spark's own
+            # default when the key was never set), not a placeholder
+            k: _conf_get(sess.spark, k)
+            for k in (
+                "spark.master",
+                "spark.sql.shuffle.partitions",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.ansi.enabled",
+                "spark.sql.session.timeZone",
+            )
+        },
+    }
+    if section:
+        return {section: cfg.get(section, {})}
+    return cfg
+
+
+def migration_status(sess) -> dict:
+    """Migration ledger status (reference ``migrate status``,
+    main.rs:843-852): applied versions with checksums from the persisted
+    ledger; registered-but-unapplied migrations are per-process, so a
+    bare admin session reports ledger facts only."""
+    from driftdb_spark.migrations import MigrationManager
+
+    mgr = MigrationManager(sess)
+    ledger = mgr._ledger()  # {version: {description, checksum, applied_unix}}
+    st = mgr.status()
+    st["applied"] = [
+        {"version": v, **(ledger.get(v) or {})} for v in st["applied"]
+    ]
+    return st

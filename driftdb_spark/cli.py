@@ -84,6 +84,33 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp = sub.add_parser("verify-backup", help="checksum-verify a backup dir")
     sp.add_argument("src")
 
+    sp = sub.add_parser(
+        "admin",
+        help="administrative inspection (reference driftdb-admin: status | "
+        "health | verify | indexes | config | migrations)",
+    )
+    asub = sp.add_subparsers(dest="admin_cmd", required=True)
+    ap = asub.add_parser("status", help="database status and statistics")
+    ap.add_argument(
+        "--counts",
+        action="store_true",
+        help="include per-table event counts (runs Spark jobs)",
+    )
+    ap = asub.add_parser("health", help="engine + storage health checks")
+    ap.add_argument("--verbose", action="store_true", help="probe every table")
+    ap = asub.add_parser("verify", help="data-integrity verification")
+    ap.add_argument("--table", default=None)
+    ap.add_argument(
+        "--checksums",
+        action="store_true",
+        help="full decompressing read of every event/snapshot file",
+    )
+    ap = asub.add_parser("indexes", help="index statistics (PK + UNIQUE)")
+    ap.add_argument("--table", default=None)
+    ap = asub.add_parser("config", help="effective configuration")
+    ap.add_argument("--section", default=None, choices=("storage", "session", "spark"))
+    asub.add_parser("migrations", help="migration ledger status")
+
     sp = sub.add_parser("serve", help="serve --data over the Postgres wire protocol")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=5432)
@@ -181,6 +208,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         ok = BackupManager.verify(args.src)
         print(json.dumps({"ok": ok}))
         return 0 if ok else 1
+    elif args.cmd == "admin":
+        from driftdb_spark import admin
+
+        if args.admin_cmd == "status":
+            print(json.dumps(admin.status(sess, counts=args.counts)))
+        elif args.admin_cmd == "health":
+            rep = admin.health_check(sess, verbose=args.verbose)
+            print(json.dumps(rep))
+            return 0 if rep["ok"] else 1
+        elif args.admin_cmd == "verify":
+            rep = admin.verify_integrity(
+                sess, table=args.table, checksums=args.checksums
+            )
+            print(json.dumps(rep))
+            return 0 if rep["ok"] else 1
+        elif args.admin_cmd == "indexes":
+            for row in admin.index_stats(sess, table=args.table):
+                print(json.dumps(row))
+        elif args.admin_cmd == "config":
+            print(json.dumps(admin.config_dump(sess, section=args.section)))
+        elif args.admin_cmd == "migrations":
+            print(json.dumps(admin.migration_status(sess)))
     elif args.cmd == "serve":
         from driftdb_spark.server import PgWireServer
 
