@@ -165,7 +165,28 @@ class DriftSession:
         self._started_at = _time.time()
         self._statements_total = 0  # monotonic (query_log is ring-buffered)
         self._errors_total = 0
+        self._result_cache = None  # opt-in, see enable_result_cache
         self._load_catalog()
+
+    def enable_result_cache(
+        self, max_entries: int = 64, max_bytes: int = 256 * 1024 * 1024
+    ):
+        """Opt into the version-vector query-result cache (reference
+        cache.rs QueryCache; exact invalidation instead of TTL — see
+        cache.py). While enabled, cacheable SELECTs execute EAGERLY on
+        first run (the result materializes to parquet) and repeats serve
+        the materialized copy. Returns the cache for stats/clear."""
+        from driftdb_spark.cache import ResultCache
+
+        self._result_cache = ResultCache(
+            self, max_entries=max_entries, max_bytes=max_bytes
+        )
+        return self._result_cache
+
+    def disable_result_cache(self) -> None:
+        if self._result_cache is not None:
+            self._result_cache.clear()
+            self._result_cache = None
 
     def set_rate_limit(self, statements_per_sec: float, burst: int = 10, clock=None):
         """Throttle top-level statements with a token bucket (reference
@@ -525,6 +546,11 @@ class DriftSession:
             "views": len(self._views) + len(self._mviews) + len(self._imvs),
             "transaction_open": self._active_txn is not None,
             "rate_limited": self._rate_limiter is not None,
+            **(
+                {"result_cache": self._result_cache.statistics()}
+                if self._result_cache is not None
+                else {}
+            ),
         }
 
     def sql_with_timeout(self, query: str, timeout_sec: float, args=None):
@@ -591,8 +617,28 @@ class DriftSession:
         if routed is not None:
             return routed
         clean, asof = parse_system_time(stripped)
-        if self._INFO_SCHEMA_RE.search(clean):
+        is_info = bool(self._INFO_SCHEMA_RE.search(clean))
+        if is_info:
             clean = self._rewrite_info_schema(clean)
+        cache = self._result_cache
+        if cache is not None and not is_info:
+            tables = cache.cacheable(clean)
+            if tables is not None:
+                key = cache._key(clean, asof, args, tables)
+                hit = cache.lookup(key)
+                if hit is not None:
+                    # a hit scans the materialized parquet directly — no
+                    # state-view registration, no re-planning
+                    return hit
+                self._register_states(asof)
+                self._register_views(asof)
+                df = (
+                    self.spark.sql(clean)
+                    if args is None
+                    else self.spark.sql(clean, args=args)
+                )
+                return cache.store(key, df)
+            cache.bypasses += 1
         self._register_states(asof)
         self._register_views(asof)
         if args is None:

@@ -1,0 +1,181 @@
+"""Query-result cache (reference driftdb-core cache.rs: SHA256 keys,
+user scoping, LRU + size caps, should_cache gating) — upgraded here to
+EXACT version-vector invalidation: a write changes the key, so no TTL
+window can ever serve stale rows. These tests pin the invalidation
+guarantee the reference lacks, plus the parity behaviors it has."""
+
+from __future__ import annotations
+
+import os
+
+from driftdb_spark.sql_frontend import DriftSession
+
+
+def _mkdb(spark, tmp_path, name="cachedata"):
+    sess = DriftSession(spark, str(tmp_path / name))
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, grp STRING, v INT)")
+    sess.sql(
+        "INSERT INTO t VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)"
+    )
+    return sess
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cache_hit_and_exact_result(spark, tmp_path):
+    sess = _mkdb(spark, tmp_path)
+    cache = sess.enable_result_cache()
+    q = "SELECT grp, SUM(v) AS s FROM t GROUP BY grp"
+    first = _rows(sess.sql(q))
+    assert cache.statistics()["misses"] == 1
+    second = _rows(sess.sql(q))
+    st = cache.statistics()
+    assert st["hits"] == 1 and st["entries"] == 1
+    assert first == second == [("a", 30), ("b", 30)]
+
+
+def test_write_invalidates_exactly(spark, tmp_path):
+    """The upgrade over the reference's TTL: a write between two identical
+    SELECTs yields fresh rows immediately — no staleness window."""
+    sess = _mkdb(spark, tmp_path, "cacheinv")
+    cache = sess.enable_result_cache()
+    q = "SELECT COUNT(*) AS n FROM t"
+    assert _rows(sess.sql(q)) == [(3,)]
+    assert _rows(sess.sql(q)) == [(3,)]  # hit
+    sess.sql("INSERT INTO t VALUES (4, 'b', 40)")
+    assert _rows(sess.sql(q)) == [(4,)]  # key changed -> fresh execution
+    st = cache.statistics()
+    assert st["hits"] == 1 and st["misses"] == 2
+    # UPDATE and DELETE invalidate too (they publish new batches)
+    sess.sql("UPDATE t SET v = 99 WHERE id = 1")
+    assert _rows(sess.sql("SELECT v FROM t WHERE id = 1")) == [(99,)]
+    sess.sql("DELETE FROM t WHERE id = 4")
+    assert _rows(sess.sql(q)) == [(3,)]
+
+
+def test_cache_through_views_and_view_redefinition(spark, tmp_path):
+    sess = _mkdb(spark, tmp_path, "cachevw")
+    cache = sess.enable_result_cache()
+    sess.sql("CREATE VIEW va AS SELECT * FROM t WHERE grp = 'a'")
+    q = "SELECT COUNT(*) AS n FROM va"
+    assert _rows(sess.sql(q)) == [(2,)]
+    assert _rows(sess.sql(q)) == [(2,)]
+    assert cache.statistics()["hits"] == 1
+    # a write to the view's BASE table invalidates the view's entry
+    sess.sql("INSERT INTO t VALUES (5, 'a', 50)")
+    assert _rows(sess.sql(q)) == [(3,)]
+    # redefining the view invalidates without any table write
+    sess.sql("DROP VIEW va")
+    sess.sql("CREATE VIEW va AS SELECT * FROM t WHERE grp = 'b'")
+    assert _rows(sess.sql(q)) == [(1,)]
+
+
+def test_security_context_scopes_entries(spark, tmp_path):
+    """Two principals must not share rows through the cache (reference
+    CacheKey.user, cache.rs:66-73) — with RLS active the same statement
+    returns different rows per user."""
+    sess = _mkdb(spark, tmp_path, "cacherls")
+    sess.sql("ALTER TABLE t ENABLE ROW LEVEL SECURITY")
+    sess.sql("CREATE POLICY pa ON t USING (grp = 'a')")
+    sess.sql("CREATE POLICY pall ON t TO admin USING (true)")
+    cache = sess.enable_result_cache()
+    q = "SELECT COUNT(*) AS n FROM t"
+    sess.set_security_context("alice")
+    assert _rows(sess.sql(q)) == [(2,)]
+    sess.set_security_context("bob", roles=["admin"])
+    assert _rows(sess.sql(q)) == [(3,)]  # different key -> no bleed
+    sess.set_security_context("alice")
+    assert _rows(sess.sql(q)) == [(2,)]  # alice's entry still hers
+    assert cache.statistics()["hits"] == 1
+    sess.set_security_context(None)
+
+
+def test_parameterized_statements_key_on_args(spark, tmp_path):
+    sess = _mkdb(spark, tmp_path, "cacheargs")
+    cache = sess.enable_result_cache()
+    q = "SELECT COUNT(*) AS n FROM t WHERE grp = :g"
+    assert _rows(sess.sql(q, args={"g": "a"})) == [(2,)]
+    assert _rows(sess.sql(q, args={"g": "b"})) == [(1,)]
+    assert _rows(sess.sql(q, args={"g": "a"})) == [(2,)]
+    st = cache.statistics()
+    assert st["misses"] == 2 and st["hits"] == 1
+
+
+def test_temporal_reads_cacheable(spark, tmp_path):
+    sess = _mkdb(spark, tmp_path, "cachetmp")
+    cache = sess.enable_result_cache()
+    q = "SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME AS OF @SEQ:3"
+    assert _rows(sess.sql(q)) == [(3,)]
+    assert _rows(sess.sql(q)) == [(3,)]
+    assert cache.statistics()["hits"] == 1
+    # pinned-sequence reads stay CORRECT after writes (over-invalidation
+    # re-executes; the answer cannot change)
+    sess.sql("INSERT INTO t VALUES (6, 'c', 60)")
+    assert _rows(sess.sql(q)) == [(3,)]
+
+
+def test_bypass_in_transaction_and_unknown_relations(spark, tmp_path):
+    sess = _mkdb(spark, tmp_path, "cachebyp")
+    cache = sess.enable_result_cache()
+    q = "SELECT COUNT(*) AS n FROM t"
+    sess.sql("BEGIN")
+    sess.sql("INSERT INTO t VALUES (7, 'c', 70)")
+    # buffered write IS visible in-txn, and must not poison the cache
+    assert _rows(sess.sql(q)) == [(4,)]
+    sess.sql("ROLLBACK")
+    assert cache.statistics()["entries"] == 0
+    assert _rows(sess.sql(q)) == [(3,)]
+    # a temp view outside the catalog is unversionable -> bypass
+    sess.spark.range(5).createOrReplaceTempView("ephemeral")
+    before = cache.statistics()["bypasses"]
+    assert sess.sql("SELECT COUNT(*) AS n FROM ephemeral").collect()[0][0] == 5
+    assert cache.statistics()["bypasses"] == before + 1
+
+
+def test_lru_eviction_and_clear(spark, tmp_path):
+    sess = _mkdb(spark, tmp_path, "cachelru")
+    cache = sess.enable_result_cache(max_entries=2)
+    qs = [f"SELECT {i} AS c, COUNT(*) AS n FROM t" for i in (1, 2, 3)]
+    for q in qs:
+        sess.sql(q).collect()
+    st = cache.statistics()
+    assert st["entries"] == 2 and st["evictions"] == 1
+    # evicted oldest: re-running q1 misses; q3 (newest) hits
+    sess.sql(qs[2]).collect()
+    sess.sql(qs[0]).collect()
+    st = cache.statistics()
+    assert st["hits"] == 1 and st["misses"] == 4
+    cache.clear()
+    assert cache.statistics()["entries"] == 0
+
+
+def test_size_cap_skips_retention(spark, tmp_path):
+    sess = _mkdb(spark, tmp_path, "cachecap")
+    cache = sess.enable_result_cache(max_bytes=64)  # smaller than any parquet
+    q = "SELECT * FROM t"
+    assert len(_rows(sess.sql(q))) == 3  # still correct, served once
+    assert cache.statistics()["entries"] == 0
+
+
+def test_cache_dirs_cleaned_on_eviction(spark, tmp_path):
+    sess = _mkdb(spark, tmp_path, "cachefs")
+    cache = sess.enable_result_cache(max_entries=1)
+    sess.sql("SELECT 1 AS c, COUNT(*) AS n FROM t").collect()
+    sess.sql("SELECT 2 AS c, COUNT(*) AS n FROM t").collect()
+    sess.sql("SELECT 3 AS c, COUNT(*) AS n FROM t").collect()  # sweeps #1
+    dirs = os.listdir(cache._dir)
+    assert len(dirs) <= 2  # live entry + at most one deferred-sweep dir
+    stats = sess.status_snapshot()
+    assert stats["result_cache"]["entries"] == 1
+
+
+def test_empty_result_roundtrip(spark, tmp_path):
+    sess = _mkdb(spark, tmp_path, "cacheempty")
+    sess.enable_result_cache()
+    q = "SELECT id, v FROM t WHERE grp = 'zzz'"
+    assert _rows(sess.sql(q)) == []
+    df = sess.sql(q)  # hit: schema must survive the empty parquet
+    assert _rows(df) == []
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
