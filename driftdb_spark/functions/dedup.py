@@ -832,3 +832,89 @@ def dedup_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("canonical_id"))
         .select("doc_id", "canonical_id")
     )
+
+
+@register(
+    "dedup_paragraph_keepfirst",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE n_chars > 0
+    ), segs AS (
+      SELECT doc_id, (k.k - 1) * 10 + 1 AS seg_start,
+             array_to_string(t[(k.k - 1) * 10 + 1 : (k.k - 1) * 10 + 10], ' ') AS seg
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, n // 10)) AS k) k
+      WHERE n >= 10
+    ), ranked AS (
+      SELECT doc_id, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_start) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+           ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+             AS kept_frac
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def dedup_paragraph_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup with keep-first semantics
+    (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data" — duplicated paragraphs are removed corpus-wide,
+    keeping one occurrence): segment each document into consecutive
+    10-token blocks, keep a block only where it is the FIRST occurrence
+    of that exact text corpus-wide (ordered by doc_id, then position —
+    deterministic because the pair is unique), and report per-document
+    retention. A doc whose kept_frac collapses toward 0 is boilerplate.
+
+    This differs from `dedup_substring_spans` (Lee et al. span REMOVAL
+    marks every occurrence of a duplicated 13-gram) exactly where CCNet
+    differs from suffix-array dedup: one canonical copy of each paragraph
+    survives.
+
+    Plan shape: explode fixed blocks (map-only: sequence + slice HOFs,
+    no shuffle), ONE exchange keyed on the block text for the keep-first
+    ranking window, then a doc-keyed aggregate. At 100 TB the ranking
+    exchange keys on xxhash64(seg) (8-byte keys, same topology — the
+    portable-twin pattern above); the window state per key is one row
+    counter, and no doc's full text ever concatenates back together —
+    retention stats and the kept-block set are the pipeline outputs."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
+    toks = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 10)
+    )
+    segs = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("n") / 10).cast("int"))
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        ((F.col("k") - 1) * 10 + 1).alias("seg_start"),
+        F.concat_ws(
+            " ", F.expr("slice(t, (k - 1) * 10 + 1, 10)")
+        ).alias("seg"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("seg").orderBy("doc_id", "seg_start")
+    )
+    ranked = segs.withColumn("rn", rn)
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("kept_segs"),
+        F.round(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("kept_frac"),
+    )
