@@ -128,7 +128,10 @@ class ResultCache:
                 # parquet; their refresh time is not in any log listing,
                 # so results through them are unversionable — bypass.
                 return None
-            sub = _parse_relations(sess.spark, defn.split("FOR SYSTEM_TIME")[0])
+            from driftdb_spark.temporal import parse_system_time
+
+            clean_defn, _asof = parse_system_time(defn)
+            sub = _parse_relations(sess.spark, clean_defn)
             if sub is None:
                 return None
             pending.extend(sub)

@@ -12,10 +12,10 @@ compare.
 The driver ships testdata up to sf0.1 only; the sf1 decade is the
 repo-local `_scaledata/sf1/` synthesized by scripts/gen_sf_scale.py
 (10x key-shifted replication of sf0.1, referential integrity preserved).
-sf1 timings are attempted only for the iterative ops -- their claim is
+The iterative ops are the reason the decade exists -- their claim is
 "one exchange per iteration", which the 0.001-0.1 range cannot separate
-from the local[32] per-job floor. If `_scaledata/sf1` is absent the sf1
-column is skipped and a note is recorded.
+from the local[32] per-job floor -- but every op rides along. If
+`_scaledata/sf1` is absent the sf1 column is skipped and a note recorded.
 
 Usage: python scripts/bench_scaling.py  (writes BENCH_scaling_r07.json)
 """
@@ -60,14 +60,10 @@ OPS = [
     ("graph_pagerank_nations", "lineitem"),
 ]
 
-# ops whose "one exchange per iteration" claim is validated at sf1
-ITERATIVE = {
-    "sim_kmeans_lloyd",
-    "dedup_cluster_components",
-    "sim_pca_power_iteration",
-    "text_bpe_learn_merges",
-    "graph_pagerank_nations",
-}
+# Every op gets the sf1 decade when the synthesized data exists — the
+# iterative family is the one whose claim ("one exchange per iteration")
+# NEEDS it, but scan/window/shingle plans ride along for free.
+SF1_OPS = {name for name, _t in OPS}
 
 
 def main() -> None:
@@ -89,7 +85,7 @@ def main() -> None:
         out["note"] = "run scripts/gen_sf_scale.py to enable the sf1 decade"
     for name, table in OPS:
         spec = QUERIES[name]
-        sfs = list(SFS) + (["1"] if have_sf1 and name in ITERATIVE else [])
+        sfs = list(SFS) + (["1"] if have_sf1 and name in SF1_OPS else [])
         entry = {"driver_table": table, "times_sec": {}, "rows": {}}
         for sf in sfs:
             sf_dir = SF_DIRS[sf]
