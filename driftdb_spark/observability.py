@@ -31,10 +31,11 @@ import json
 import os
 import threading
 import time
+from dataclasses import asdict, dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-__all__ = ["HealthServer"]
+__all__ = ["HealthServer", "AlertRule", "AlertManager"]
 
 
 def _prometheus(counters: dict) -> str:
@@ -80,6 +81,7 @@ class HealthServer:
         self._session = session
         self._wire = wire_server
         self._started = time.time()
+        self.alerts = AlertManager(session, wire_server=wire_server)
         outer = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -117,6 +119,68 @@ class HealthServer:
                     else:
                         self._send(200, json.dumps(counters),
                                    "application/json")
+                # alerting API (reference alert_routes.rs:74-78)
+                elif url.path == "/api/alerts":
+                    self._send(200, json.dumps(outer.alerts.evaluate()),
+                               "application/json")
+                elif url.path == "/api/alerts/history":
+                    limit = int(
+                        parse_qs(url.query).get("limit", ["50"])[0]
+                    )
+                    self._send(200, json.dumps(outer.alerts.history(limit)),
+                               "application/json")
+                elif url.path == "/api/alerts/rules":
+                    self._send(200, json.dumps(outer.alerts.rules()),
+                               "application/json")
+                else:
+                    self._send(404, json.dumps({"error": "not found"}),
+                               "application/json")
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                if url.path != "/api/alerts/rules":
+                    self._send(404, json.dumps({"error": "not found"}),
+                               "application/json")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    rule = AlertRule(
+                        name=body["name"],
+                        metric=body["metric"],
+                        severity=body.get("severity", "warning"),
+                        threshold=float(body["threshold"]),
+                        op=body.get("op", ">"),
+                        for_duration_sec=float(
+                            body.get("for_duration_sec", 0.0)
+                        ),
+                        message=body.get(
+                            "message", AlertRule.message
+                        ),
+                        labels=body.get("labels"),
+                    )
+                    rule.breached(0.0)  # validates op
+                    outer.alerts.add_rule(rule)
+                    self._send(201, json.dumps({"ok": True,
+                                                "rule": rule.to_dict()}),
+                               "application/json")
+                except (KeyError, ValueError, TypeError,
+                        json.JSONDecodeError) as exc:
+                    self._send(400, json.dumps(
+                        {"error": f"bad rule: {exc}"}), "application/json")
+
+            def do_DELETE(self):
+                url = urlparse(self.path)
+                prefix = "/api/alerts/rules/"
+                if url.path.startswith(prefix):
+                    name = url.path[len(prefix):]
+                    if outer.alerts.remove_rule(name):
+                        self._send(200, json.dumps({"ok": True}),
+                                   "application/json")
+                    else:
+                        self._send(404, json.dumps(
+                            {"error": f"no rule named {name!r}"}),
+                            "application/json")
                 else:
                     self._send(404, json.dumps({"error": "not found"}),
                                "application/json")
@@ -169,3 +233,210 @@ class HealthServer:
     def stop(self) -> None:
         self._http.shutdown()
         self._http.server_close()
+
+
+# -- alerting (reference driftdb-server alerting.rs:1-824 + alert_routes.rs) --
+
+
+@dataclass
+class AlertRule:
+    """Threshold rule (reference AlertRule, alerting.rs:134-150). The
+    reference switches on the rule NAME to pick a metric
+    (evaluate_rule, alerting.rs:411-426); here the metric key is an
+    explicit field, so user-posted rules can target any provided metric
+    instead of a hard-coded name list."""
+
+    name: str
+    metric: str
+    severity: str  # info | warning | critical (AlertSeverity)
+    threshold: float
+    op: str  # > >= < <= ==  (ComparisonOperator)
+    for_duration_sec: float = 0.0
+    message: str = "{metric} = {value} (threshold {op} {threshold})"
+    labels: dict | None = None
+
+    def breached(self, value: float) -> bool:
+        return {
+            ">": value > self.threshold,
+            ">=": value >= self.threshold,
+            "<": value < self.threshold,
+            "<=": value <= self.threshold,
+            "==": value == self.threshold,
+        }[self.op]
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+class AlertManager:
+    """Rule evaluation with the reference's pending → firing → resolved
+    lifecycle (alerting.rs:41-131): a breach creates a PENDING alert
+    stamped with first-seen time; it FIRES only once the breach has held
+    for ``for_duration_sec`` (flap suppression); a clean evaluation
+    resolves it (firing alerts land in the bounded history). The
+    reference evaluates on a 30 s background thread
+    (AlertManagerConfig.evaluation_interval); here evaluation runs on
+    each scrape of the /api/alerts routes — a monitor polls anyway, the
+    signal is identical, and the server carries no extra thread. All
+    metric inputs are DRIVER-LOCAL (status_snapshot counters, disk_usage,
+    wire gauges): evaluating alerts runs zero Spark jobs, so the alert
+    path stays responsive while a 100 TB query holds the executors.
+
+    Rate metrics (errors/sec, statements/sec) are deltas between
+    consecutive evaluations, exactly what a Prometheus ``rate()`` would
+    compute from the counters this module already exports. ``clock`` is
+    injectable for deterministic tests (the TokenBucket discipline)."""
+
+    HISTORY_CAP = 200
+
+    def __init__(self, session, wire_server=None, clock=None):
+        self._session = session
+        self._wire = wire_server
+        self._clock = clock or time.monotonic
+        self._rules: dict[str, AlertRule] = {}
+        self._active: dict[str, dict] = {}  # rule name -> alert dict
+        self._history: list[dict] = []
+        self._prev: dict | None = None  # (t, statements_total, errors_total)
+        self.metric_providers: dict = {}  # name -> () -> float (extensible)
+        for r in self._default_rules():
+            self._rules[r.name] = r
+
+    @staticmethod
+    def _default_rules() -> list["AlertRule"]:
+        # the reference's defaults (register_default_rules,
+        # alerting.rs:231-378) restricted to metrics that exist on this
+        # engine: error rate, latency, disk; replication/pool/CPU rules
+        # have no counterpart (replication is documented out of scope,
+        # connections are unpooled, host CPU/memory belong to the
+        # cluster manager / Spark metrics sink)
+        return [
+            AlertRule(
+                "HighErrorRate", "error_rate_per_sec", "critical",
+                10.0, ">", 60.0,
+                "High error rate detected: {value} errors/sec "
+                "(threshold: {threshold})",
+                {"type": "error_rate"},
+            ),
+            AlertRule(
+                "HighP95Latency", "p95_latency_ms", "warning",
+                5000.0, ">", 120.0,
+                "p95 statement latency high: {value} ms "
+                "(threshold: {threshold})",
+                {"type": "latency"},
+            ),
+            AlertRule(
+                "LowDiskSpace", "disk_free_percent", "warning",
+                10.0, "<", 60.0,
+                "Low disk space: {value}% free (threshold: {threshold}%)",
+                {"type": "disk"},
+            ),
+            AlertRule(
+                "CriticalDiskSpace", "disk_free_percent", "critical",
+                5.0, "<", 30.0,
+                "CRITICAL: disk space: {value}% free",
+                {"type": "disk"},
+            ),
+        ]
+
+    # -- rule management (alert_routes.rs add_rule/delete_rule) ----------
+
+    def add_rule(self, rule: AlertRule) -> None:
+        self._rules[rule.name] = rule
+
+    def remove_rule(self, name: str) -> bool:
+        self._active.pop(name, None)
+        return self._rules.pop(name, None) is not None
+
+    def rules(self) -> list[dict]:
+        return [r.to_dict() for r in self._rules.values()]
+
+    # -- metric assembly (driver-local) ----------------------------------
+
+    def _metrics(self) -> dict:
+        now = self._clock()
+        snap = self._session.status_snapshot()
+        vals = {
+            "p95_latency_ms": snap["latency_ms"]["p95"],
+            "statements_total": float(snap["statements_total"]),
+            "errors_total": float(snap["errors_total"]),
+        }
+        prev = self._prev
+        self._prev = (now, snap["statements_total"], snap["errors_total"])
+        if prev is not None and now > prev[0]:
+            dt = now - prev[0]
+            vals["statement_rate_per_sec"] = (
+                snap["statements_total"] - prev[1]
+            ) / dt
+            vals["error_rate_per_sec"] = (snap["errors_total"] - prev[2]) / dt
+        else:
+            vals["statement_rate_per_sec"] = 0.0
+            vals["error_rate_per_sec"] = 0.0
+        try:
+            import shutil as _shutil
+
+            du = _shutil.disk_usage(self._session.storage_dir)
+            vals["disk_free_percent"] = round(du.free / du.total * 100, 3)
+        except OSError:
+            pass
+        if self._wire is not None:
+            backends = getattr(self._wire._tcp, "_backends", None)
+            vals["wire_connections_active"] = float(
+                len(backends) if backends is not None else 0
+            )
+        for name, fn in self.metric_providers.items():
+            try:
+                vals[name] = float(fn())
+            except Exception:
+                pass
+        return vals
+
+    # -- evaluation (alerting.rs evaluate_rules/fire/resolve) ------------
+
+    def evaluate(self) -> list[dict]:
+        now = self._clock()
+        vals = self._metrics()
+        for rule in list(self._rules.values()):
+            value = vals.get(rule.metric)
+            if value is None:
+                continue
+            if rule.breached(value):
+                alert = self._active.get(rule.name)
+                if alert is None:
+                    alert = {
+                        "name": rule.name,
+                        "severity": rule.severity,
+                        "state": "pending",
+                        "metric": rule.metric,
+                        "threshold": rule.threshold,
+                        "labels": rule.labels or {},
+                        "first_breach": now,
+                        "fired_at": None,
+                    }
+                    self._active[rule.name] = alert
+                alert["current_value"] = value
+                alert["message"] = (
+                    rule.message.replace("{value}", f"{value:.2f}")
+                    .replace("{threshold}", f"{rule.threshold:.2f}")
+                    .replace("{metric}", rule.metric)
+                    .replace("{op}", rule.op)
+                )
+                if (
+                    alert["state"] == "pending"
+                    and now - alert["first_breach"] >= rule.for_duration_sec
+                ):
+                    alert["state"] = "firing"
+                    alert["fired_at"] = now
+            else:
+                alert = self._active.pop(rule.name, None)
+                if alert is not None and alert["state"] == "firing":
+                    alert["state"] = "resolved"
+                    alert["resolved_at"] = now
+                    self._history.append(alert)
+                    del self._history[: -self.HISTORY_CAP]
+        return self.active_alerts()
+
+    def active_alerts(self) -> list[dict]:
+        return sorted(self._active.values(), key=lambda a: a["name"])
+
+    def history(self, limit: int = 50) -> list[dict]:
+        return list(self._history[-limit:])

@@ -165,3 +165,156 @@ def test_wire_connection_gauge(spark, tmp_path):
     finally:
         srv.stop()
         wire.stop()
+
+
+# -- alerting (reference alerting.rs + alert_routes.rs) -----------------------
+
+
+def test_alert_lifecycle_pending_firing_resolved(spark, tmp_path):
+    """The reference's state machine (alerting.rs:41-131): breach ->
+    pending, held past for_duration -> firing, cleared -> resolved into
+    history. Deterministic via injected clock + injected metric."""
+    from driftdb_spark.observability import AlertManager, AlertRule
+
+    sess = DriftSession(spark, str(tmp_path / "alert1"))
+    now = [1000.0]
+    mgr = AlertManager(sess, clock=lambda: now[0])
+    gauge = [0.0]
+    mgr.metric_providers["queue_depth"] = lambda: gauge[0]
+    mgr.add_rule(
+        AlertRule("DeepQueue", "queue_depth", "warning", 100.0, ">",
+                  for_duration_sec=30.0)
+    )
+
+    assert mgr.evaluate() == []  # below threshold
+    gauge[0] = 250.0
+    now[0] += 1
+    (a,) = [x for x in mgr.evaluate() if x["name"] == "DeepQueue"]
+    assert a["state"] == "pending" and a["current_value"] == 250.0
+    now[0] += 10  # held 10s < 30s: still pending
+    (a,) = mgr.evaluate()
+    assert a["state"] == "pending"
+    now[0] += 25  # held 35s >= 30s: fires
+    (a,) = mgr.evaluate()
+    assert a["state"] == "firing" and "250.00" in a["message"]
+    gauge[0] = 0.0
+    now[0] += 1
+    assert mgr.evaluate() == []  # resolved
+    hist = mgr.history()
+    assert hist and hist[-1]["name"] == "DeepQueue"
+    assert hist[-1]["state"] == "resolved"
+
+
+def test_alert_flap_suppression_and_zero_duration(spark, tmp_path):
+    from driftdb_spark.observability import AlertManager, AlertRule
+
+    sess = DriftSession(spark, str(tmp_path / "alert2"))
+    now = [0.0]
+    mgr = AlertManager(sess, clock=lambda: now[0])
+    gauge = [0.0]
+    mgr.metric_providers["g"] = lambda: gauge[0]
+    mgr.add_rule(AlertRule("Flappy", "g", "info", 1.0, ">=",
+                           for_duration_sec=60.0))
+    mgr.add_rule(AlertRule("Instant", "g", "critical", 5.0, ">=",
+                           for_duration_sec=0.0))
+
+    # flapping below for_duration never fires (and never reaches history)
+    for _ in range(3):
+        gauge[0] = 2.0
+        now[0] += 10
+        mgr.evaluate()
+        gauge[0] = 0.0
+        now[0] += 10
+        mgr.evaluate()
+    assert mgr.history() == []
+    # zero-duration rule fires on the evaluation that sees the breach
+    gauge[0] = 9.0
+    now[0] += 1
+    states = {a["name"]: a["state"] for a in mgr.evaluate()}
+    assert states["Instant"] == "firing" and states["Flappy"] == "pending"
+
+
+def test_alert_error_rate_is_a_delta(spark, tmp_path):
+    """error_rate_per_sec = d(errors_total)/dt between evaluations (what
+    Prometheus rate() computes from the exported counter)."""
+    from driftdb_spark.observability import AlertManager, AlertRule
+
+    sess = DriftSession(spark, str(tmp_path / "alert3"))
+    now = [100.0]
+    mgr = AlertManager(sess, clock=lambda: now[0])
+    mgr.add_rule(AlertRule("AnyErrors", "error_rate_per_sec", "critical",
+                           0.5, ">", for_duration_sec=0.0))
+    mgr.evaluate()  # establishes the baseline sample
+    for _ in range(10):
+        try:
+            sess.sql("SELECT * FROM missing_table_abc")
+        except Exception:
+            pass
+    now[0] += 10  # 10 errors / 10s = 1.0/s > 0.5
+    (a,) = [x for x in mgr.evaluate() if x["name"] == "AnyErrors"]
+    assert a["state"] == "firing"
+    now[0] += 10  # no new errors: rate 0, resolves
+    assert [x for x in mgr.evaluate() if x["name"] == "AnyErrors"] == []
+
+
+def test_alert_http_routes(spark, tmp_path):
+    """GET /api/alerts, /api/alerts/history, GET/POST /api/alerts/rules,
+    DELETE /api/alerts/rules/:name (reference alert_routes.rs:74-78)."""
+    sess = DriftSession(spark, str(tmp_path / "alert4"))
+    srv = HealthServer(sess).start()
+    try:
+        code, body = _get(srv.address, "/api/alerts")
+        assert code == 200 and json.loads(body) == []
+
+        code, body = _get(srv.address, "/api/alerts/rules")
+        names = {r["name"] for r in json.loads(body)}
+        assert {"HighErrorRate", "LowDiskSpace"} <= names
+
+        host, port = srv.address
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/alerts/rules",
+            data=json.dumps({
+                "name": "NoStatements", "metric": "statements_total",
+                "severity": "info", "threshold": 1e9, "op": "<",
+            }).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 201
+
+        # the new rule breaches immediately (counter < 1e9, duration 0)
+        code, body = _get(srv.address, "/api/alerts")
+        (a,) = [x for x in json.loads(body) if x["name"] == "NoStatements"]
+        assert a["state"] == "firing"
+
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/alerts/rules/NoStatements",
+            method="DELETE",
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+        code, body = _get(srv.address, "/api/alerts")
+        assert json.loads(body) == []
+
+        # malformed rule -> 400, unknown delete -> 404
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/alerts/rules",
+            data=json.dumps({"name": "x", "metric": "m",
+                             "threshold": 1, "op": "!~"}).encode(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/alerts/rules/nope", method="DELETE"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
