@@ -145,8 +145,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp.add_argument(
         "--health-port",
         type=int,
-        help="also serve HTTP /health/live, /health/ready and /metrics "
-        "on this port (reference driftdb-server health.rs/metrics.rs)",
+        help="also serve HTTP /health/live, /health/ready, /metrics and "
+        "the /api/alerts routes on this port (reference driftdb-server "
+        "health.rs/metrics.rs/alerting.rs)",
+    )
+    sp.add_argument(
+        "--result-cache",
+        action="store_true",
+        help="enable the version-vector query-result cache for served "
+        "sessions (reference cache.rs; stats appear in SHOW STATUS and "
+        "/metrics)",
     )
 
     args = p.parse_args(argv)
@@ -261,6 +269,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from driftdb_spark.server import tls_context_from_files
 
             ssl_context = tls_context_from_files(args.tls_cert, args.tls_key)
+        if args.result_cache:
+            sess.enable_result_cache()
         srv = PgWireServer(
             sess,
             host=args.host,

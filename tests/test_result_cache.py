@@ -179,3 +179,60 @@ def test_empty_result_roundtrip(spark, tmp_path):
     df = sess.sql(q)  # hit: schema must survive the empty parquet
     assert _rows(df) == []
     assert [f.name for f in df.schema.fields] == ["id", "v"]
+
+
+def test_cache_model_fuzz_random_dml_interleavings(spark, tmp_path):
+    """Randomized invalidation soak: interleave INSERT/UPDATE/DELETE with
+    SELECTs from a fixed pool, comparing every cached result against an
+    independent cache-DISABLED session over the same storage. Any stale
+    serve — a version vector that failed to change, a key collision, a
+    sweep race — surfaces as a row mismatch. (The IMV-fuzz discipline
+    applied to the cache, the other component that rewires reads.)"""
+    import random
+
+    data = str(tmp_path / "cachefuzz")
+    writer = DriftSession(spark, data)
+    writer.sql("CREATE TABLE f (id INT PRIMARY KEY, g STRING, v INT)")
+    writer.sql(
+        "INSERT INTO f VALUES " + ", ".join(
+            f"({i}, '{'abc'[i % 3]}', {i * 7 % 50})" for i in range(20)
+        )
+    )
+    writer.sql("CREATE VIEW fv AS SELECT g, v FROM f WHERE v >= 10")
+    reader = DriftSession(spark, data)  # twin: no cache, same storage
+    cache = writer.enable_result_cache(max_entries=4)  # force evictions too
+
+    pool = [
+        "SELECT g, COUNT(*) AS n, SUM(v) AS sv FROM f GROUP BY g",
+        "SELECT COUNT(*) AS n FROM f",
+        "SELECT id, v FROM f WHERE v > 20",
+        "SELECT g, MAX(v) AS mx FROM fv GROUP BY g",
+        "SELECT COUNT(*) AS n FROM f WHERE g = 'a'",
+    ]
+    rng = random.Random(7)
+    next_id = 20
+    live = list(range(20))
+    for step in range(50):
+        op = rng.random()
+        if op < 0.2:
+            writer.sql(
+                f"INSERT INTO f VALUES ({next_id}, "
+                f"'{'abc'[next_id % 3]}', {rng.randrange(50)})"
+            )
+            live.append(next_id)
+            next_id += 1
+        elif op < 0.35 and live:
+            victim = rng.choice(live)
+            writer.sql(f"UPDATE f SET v = {rng.randrange(50)} WHERE id = {victim}")
+        elif op < 0.45 and len(live) > 5:
+            victim = live.pop(rng.randrange(len(live)))
+            writer.sql(f"DELETE FROM f WHERE id = {victim}")
+        else:
+            q = rng.choice(pool)
+            got = sorted(tuple(r) for r in writer.sql(q).collect())
+            want = sorted(tuple(r) for r in reader.sql(q).collect())
+            assert got == want, f"step {step}: stale cache for {q!r}"
+    st = cache.statistics()
+    # the soak must actually exercise the cache, not just bypass it
+    assert st["hits"] > 0 and st["misses"] > 0
+    assert st["entries"] <= 4
