@@ -119,6 +119,36 @@ class HealthServer:
                     else:
                         self._send(200, json.dumps(counters),
                                    "application/json")
+                # performance API (reference performance_routes.rs:36-44)
+                elif url.path == "/api/performance":
+                    snap = outer._session.status_snapshot()
+                    self._send(200, json.dumps({
+                        "latency_ms": snap["latency_ms"],
+                        "statements_total": snap["statements_total"],
+                        "errors_total": snap["errors_total"],
+                        "statements_by_verb": snap["statements_by_verb"],
+                        **(
+                            {"result_cache": snap["result_cache"]}
+                            if "result_cache" in snap else {}
+                        ),
+                    }), "application/json")
+                elif url.path == "/api/performance/queries":
+                    # slowest statements from the retained window —
+                    # driver-local list scan, zero Spark jobs
+                    limit = int(parse_qs(url.query).get("limit", ["20"])[0])
+                    log = list(outer._session._query_log)
+                    log.sort(key=lambda e: -e["wall_ms"])
+                    self._send(200, json.dumps(log[:limit]),
+                               "application/json")
+                # security audit API (reference security_audit.rs /
+                # security_monitor.rs event log)
+                elif url.path == "/api/security/events":
+                    q = parse_qs(url.query)
+                    self._send(200, json.dumps(
+                        outer._session.security.events(
+                            kind=q.get("kind", [None])[0],
+                            limit=int(q.get("limit", ["100"])[0]),
+                        )), "application/json")
                 # alerting API (reference alert_routes.rs:74-78)
                 elif url.path == "/api/alerts":
                     self._send(200, json.dumps(outer.alerts.evaluate()),
@@ -336,6 +366,15 @@ class AlertManager:
                 "CRITICAL: disk space: {value}% free",
                 {"type": "disk"},
             ),
+            # brute-force signal (reference security_monitor.rs failed-
+            # login tracking): sustained wire auth failures
+            AlertRule(
+                "HighAuthFailureRate", "security_auth_failure_rate_per_sec",
+                "critical", 1.0, ">", 60.0,
+                "Sustained authentication failures: {value}/sec "
+                "(threshold: {threshold})",
+                {"type": "security"},
+            ),
         ]
 
     # -- rule management (alert_routes.rs add_rule/delete_rule) ----------
@@ -360,17 +399,24 @@ class AlertManager:
             "statements_total": float(snap["statements_total"]),
             "errors_total": float(snap["errors_total"]),
         }
+        sec = snap.get("security_events", {})
         prev = self._prev
-        self._prev = (now, snap["statements_total"], snap["errors_total"])
+        self._prev = (now, snap["statements_total"], snap["errors_total"], sec)
         if prev is not None and now > prev[0]:
             dt = now - prev[0]
             vals["statement_rate_per_sec"] = (
                 snap["statements_total"] - prev[1]
             ) / dt
             vals["error_rate_per_sec"] = (snap["errors_total"] - prev[2]) / dt
+            for kind in set(sec) | set(prev[3]):
+                vals[f"security_{kind}_rate_per_sec"] = (
+                    sec.get(kind, 0) - prev[3].get(kind, 0)
+                ) / dt
         else:
             vals["statement_rate_per_sec"] = 0.0
             vals["error_rate_per_sec"] = 0.0
+            for kind in sec:
+                vals[f"security_{kind}_rate_per_sec"] = 0.0
         try:
             import shutil as _shutil
 

@@ -392,6 +392,11 @@ class _Handler(socketserver.BaseRequestHandler):
         else:
             ok = False  # unknown user: burn the exchange, then fail
         if not ok:
+            self.server.session.security.record(
+                "auth_failure",
+                actor=self.username,
+                source=f"{self.client_address[0]}:{self.client_address[1]}",
+            )
             self._error(
                 "28P01", f'password authentication failed for user "{self.username}"'
             )
@@ -457,6 +462,11 @@ class _Handler(socketserver.BaseRequestHandler):
                 return True
             return False
         if _FORBIDDEN_SET.match(sql):
+            self.session.security.record(
+                "privilege_violation",
+                actor=self.username or None,
+                detail="SET ROLE / session_authorization GUC spelling",
+            )
             err = NotImplementedError(
                 "SET ROLE / session_authorization variants are not "
                 "supported; use SET SESSION AUTHORIZATION (superuser only)"
@@ -902,6 +912,9 @@ class _Handler(socketserver.BaseRequestHandler):
         base = self.server.session
         try:
             self.session = type(base)(base.spark, base.storage_dir)
+            # ONE security monitor server-wide: per-connection escalation/
+            # rate-limit events aggregate on the base session's counters
+            self.session.security = base.security
         except Exception:
             self.session = base
         self.username = ""
@@ -1028,7 +1041,14 @@ class _TcpServer(socketserver.ThreadingTCPServer):
         connection never learns whether it matched)."""
         with self._backend_lock:
             handler = self._backends.get(pid)
-        if handler is None or handler._cancel_secret != secret:
+        if handler is None:
+            return
+        if handler._cancel_secret != secret:
+            # a live pid with a wrong secret is a guess, not a race —
+            # legitimate clients echo the BackendKeyData they were handed
+            self.session.security.record(
+                "cancel_bad_secret", detail=f"backend pid {pid}"
+            )
             return
         group = getattr(handler, "job_group", None)
         if group is None:

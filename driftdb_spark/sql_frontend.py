@@ -166,6 +166,11 @@ class DriftSession:
         self._statements_total = 0  # monotonic (query_log is ring-buffered)
         self._errors_total = 0
         self._result_cache = None  # opt-in, see enable_result_cache
+        from driftdb_spark.security import SecurityMonitor
+
+        # the wire server swaps in its shared monitor per connection so
+        # counters aggregate server-wide (security.py)
+        self.security = SecurityMonitor()
         self._load_catalog()
 
     def enable_result_cache(
@@ -432,6 +437,10 @@ class DriftSession:
             and self._rate_limiter is not None
             and not self._rate_limiter.try_acquire()
         ):
+            self.security.record(
+                "rate_limit_exceeded",
+                actor=self._security.username if self._security else None,
+            )
             raise RateLimitExceeded(
                 "statement rate limit exceeded; retry after backoff"
             )
@@ -546,6 +555,7 @@ class DriftSession:
             "views": len(self._views) + len(self._mviews) + len(self._imvs),
             "transaction_open": self._active_txn is not None,
             "rate_limited": self._rate_limiter is not None,
+            "security_events": self.security.counters(),
             **(
                 {"result_cache": self._result_cache.statistics()}
                 if self._result_cache is not None
@@ -1097,6 +1107,11 @@ class DriftSession:
         and nested sql cannot launder the statement past a wire-level
         regex gate (PostgreSQL error 42501)."""
         if self._auth_identity is not None and not self._auth_identity[1]:
+            self.security.record(
+                "privilege_violation",
+                actor=self._auth_identity[0],
+                detail="SET/RESET SESSION AUTHORIZATION by restricted identity",
+            )
             err = PermissionError(
                 "permission denied to set session authorization"
             )
