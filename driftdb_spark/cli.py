@@ -150,6 +150,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "health.rs/metrics.rs/alerting.rs)",
     )
     sp.add_argument(
+        "--max-connections",
+        type=int,
+        default=None,
+        help="cap concurrent wire connections; excess clients get "
+        "PostgreSQL's 53300 (reference advanced_pool.rs)",
+    )
+    sp.add_argument(
         "--result-cache",
         action="store_true",
         help="enable the version-vector query-result cache for served "
@@ -279,6 +286,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             superusers=set(args.superuser),
             auth_method=args.auth_method,
             ssl_context=ssl_context,
+            max_connections=args.max_connections,
         ).start()
         health_addr = None
         if args.health_port is not None:

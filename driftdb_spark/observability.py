@@ -366,6 +366,22 @@ class AlertManager:
                 "CRITICAL: disk space: {value}% free",
                 {"type": "disk"},
             ),
+            # pool family (reference alerting.rs:266-292): only evaluates
+            # when a wire server with max_connections is attached — the
+            # metric is absent otherwise and the rules skip
+            AlertRule(
+                "PoolNearExhaustion", "wire_connection_utilization_percent",
+                "warning", 90.0, ">", 120.0,
+                "Connection pool utilization high: {value}% "
+                "(threshold: {threshold}%)",
+                {"type": "pool"},
+            ),
+            AlertRule(
+                "PoolExhausted", "wire_connection_utilization_percent",
+                "critical", 100.0, ">=", 30.0,
+                "CRITICAL: Connection pool exhausted!",
+                {"type": "pool"},
+            ),
             # brute-force signal (reference security_monitor.rs failed-
             # login tracking): sustained wire auth failures
             AlertRule(
@@ -429,6 +445,11 @@ class AlertManager:
             vals["wire_connections_active"] = float(
                 len(backends) if backends is not None else 0
             )
+            maxc = getattr(self._wire._tcp, "max_connections", None)
+            if maxc:
+                vals["wire_connection_utilization_percent"] = round(
+                    self._wire._tcp.active_connections() / maxc * 100, 3
+                )
         for name, fn in self.metric_providers.items():
             try:
                 vals[name] = float(fn())

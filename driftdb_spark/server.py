@@ -314,6 +314,19 @@ class _Handler(socketserver.BaseRequestHandler):
             self._error("08P01", f"unsupported protocol {code}")
             return False
         self.username = params.get("user", "")
+        # connection cap (reference advanced_pool.rs bounded pool; the
+        # PoolExhausted alert family keys on the utilization this cap
+        # defines). Checked AFTER the startup packet so the client gets a
+        # proper ErrorResponse — PostgreSQL's 53300 flow — and BEFORE
+        # auth, so a full server never burns a password exchange.
+        maxc = self.server.max_connections
+        if maxc is not None and self.server.active_connections() > maxc:
+            self.server.session.security.record(
+                "connection_limit_exceeded",
+                source=f"{self.client_address[0]}:{self.client_address[1]}",
+            )
+            self._error("53300", "sorry, too many clients already")
+            return False
         if not self._authenticate():
             return False
         self._send(self._msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
@@ -909,6 +922,13 @@ class _Handler(socketserver.BaseRequestHandler):
         # (PostgreSQL semantics — one backend per connection), while the
         # catalog/storage is shared. Falls back to the server's single
         # session if it wasn't built from a storage dir.
+        self.server.conn_started()
+        try:
+            self._handle_inner()
+        finally:
+            self.server.conn_finished()
+
+    def _handle_inner(self) -> None:
         base = self.server.session
         try:
             self.session = type(base)(base.spark, base.storage_dir)
@@ -1011,6 +1031,20 @@ class _TcpServer(socketserver.ThreadingTCPServer):
         self._backends: dict[int, _Handler] = {}
         self._backend_lock = threading.Lock()
         self._next_pid = 1
+        self._active_conns = 0
+        self.max_connections: int | None = None
+
+    def conn_started(self) -> None:
+        with self._backend_lock:
+            self._active_conns += 1
+
+    def conn_finished(self) -> None:
+        with self._backend_lock:
+            self._active_conns -= 1
+
+    def active_connections(self) -> int:
+        with self._backend_lock:
+            return self._active_conns
 
     def register_backend(self, handler) -> tuple[int, int]:
         # Fully arm the handler for cancellation BEFORE publishing it: a
@@ -1106,10 +1140,12 @@ class PgWireServer:
         superusers: set[str] | None = None,
         auth_method: str = "md5",
         ssl_context=None,
+        max_connections: int | None = None,
     ):
         if auth_method not in ("md5", "cleartext"):
             raise ValueError("auth_method must be 'md5' or 'cleartext'")
         self._tcp = _TcpServer((host, port), _Handler, bind_and_activate=True)
+        self._tcp.max_connections = max_connections
         self._tcp.ssl_context = ssl_context
         self._tcp.daemon_threads = True
         self._tcp.allow_reuse_address = True

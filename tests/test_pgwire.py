@@ -1057,3 +1057,53 @@ def test_wire_concurrency_chaos(server):
         )
         assert err is None and rows == [[str(n_rows), f"w{i}", f"w{i}"]], (i, rows)
     check.close()
+
+
+def test_max_connections_cap(spark, tmp_path):
+    """Connections beyond max_connections get PostgreSQL's 53300 after
+    their startup packet (reference advanced_pool.rs bounded pool); a
+    freed slot admits the next client, and rejections are recorded as
+    security events."""
+    sess = DriftSession(spark, str(tmp_path))
+    srv = PgWireServer(sess, max_connections=2).start()
+    try:
+        host, port = srv.address
+        a, b = Client(host, port), Client(host, port)
+        assert a.startup()[-1][0] == "Z"
+        assert b.startup()[-1][0] == "Z"
+        raw = socket.create_connection((host, port), timeout=10)
+        params = b"user\x00tester\x00database\x00drift\x00\x00"
+        payload = struct.pack("!I", 196608) + params
+        raw.sendall(struct.pack("!I", len(payload) + 4) + payload)
+        head = raw.recv(5)
+        assert head[:1] == b"E"  # ErrorResponse, then close — no Ready
+        (ln,) = struct.unpack("!I", head[1:5])
+        body = b""
+        while len(body) < ln - 4:
+            body += raw.recv(ln - 4 - len(body))
+        assert b"53300" in body and b"too many clients" in body
+        raw.close()
+        a.close()
+        # a freed slot admits the next connection (allow the server a
+        # moment to run the finally that decrements the gauge)
+        import time as _t
+
+        d = None
+        for _ in range(50):
+            d = Client(host, port)
+            try:
+                if d.startup()[-1][0] == "Z":
+                    break
+            except Exception:
+                pass
+            d.close()
+            d = None
+            _t.sleep(0.05)
+        assert d is not None
+        _c, rows, _t2, err = d.query("SELECT 1 AS ok")
+        assert err is None and rows == [["1"]]
+        d.close()
+        b.close()
+        assert sess.security.counters()["connection_limit_exceeded"] >= 1
+    finally:
+        srv.stop()
