@@ -28,6 +28,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -38,6 +39,7 @@ __all__ = [
     "index_stats",
     "config_dump",
     "migration_status",
+    "recover",
 ]
 
 
@@ -345,3 +347,122 @@ def migration_status(sess) -> dict:
         {"version": v, **(ledger.get(v) or {})} for v in st["applied"]
     ]
     return st
+
+
+def recover(
+    sess,
+    table: str | None = None,
+    min_staging_age_sec: float = 3600.0,
+    dry_run: bool = False,
+) -> dict:
+    """Crash recovery (reference error_recovery.rs RecoveryManager:
+    startup scan → per-component repair → recovery stats). The engine's
+    write protocols are crash-safe by construction — a torn append stays
+    invisible (underscore-hidden staging), a torn log-swap leaves the
+    previous directory intact — so recovery never repairs DATA; it
+    completes interrupted protocols and reclaims dead disk:
+
+    - **Interrupted log swap** (events.py _swap_events_dir): if the live
+      ``events`` dir is missing but ``events.new`` exists, the crash hit
+      between the two renames — finish it (rename new into place). Then,
+      for any ``events.old-*`` leftover, re-run the RESCUE step: a batch
+      in the old dir belongs in the new log iff its start sequence
+      exceeds the rebuilt log's max sequence (the swap's own invariant:
+      concurrent appends base on last_sequence(), which a rewrite never
+      lowers — batches at-or-below the max are already folded into the
+      rebuild, and moving them would double their events). One max-
+      sequence aggregate per affected table decides every batch.
+    - **Aborted rewrite scratch** (``events.rewrite`` / ``events.new``
+      beside a live dir): the rewrite never reached its rename — delete.
+    - **Stale append staging** (``_staging-*`` older than
+      ``min_staging_age_sec``): hidden from readers, pure dead disk; the
+      age gate protects an append that is still in flight.
+    - **Torn snapshot** (``seq=N`` without ``_SUCCESS``): the writer
+      crashed mid-write; the dir is unreadable — delete (state rebuilds
+      from the log; snapshots are an optimization, never the record).
+    - **Torn catalog save** (``_catalog.json.tmp``): the atomic
+      os.replace never happened — delete the temp.
+
+    ``dry_run`` reports every planned action without touching disk
+    (reference RecoveryConfig dry-run semantics)."""
+    import time as _time
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    names = [table] if table else sorted(sess._tables)
+    report: dict[str, list] = {}
+    now = _time.time()
+
+    def act(tname: str, kind: str, path: str, **extra):
+        report.setdefault(tname, []).append(
+            {"action": kind, "path": os.path.basename(path), **extra}
+        )
+
+    for name in names:
+        log, _cols = sess._tables[name]
+        ev_dir = log._events_dir
+        new_dir = ev_dir + ".new"
+        rewrite = ev_dir + ".rewrite"
+        olds = sorted(glob.glob(ev_dir + ".old-*"))
+
+        if not os.path.exists(ev_dir) and olds and os.path.exists(new_dir):
+            act(name, "complete_swap", new_dir)
+            if not dry_run:
+                os.rename(new_dir, ev_dir)
+        if os.path.exists(ev_dir):
+            for o in olds:
+                if not os.path.exists(o):
+                    continue
+                stranded = [
+                    e for e in sorted(os.listdir(o)) if e.startswith("batch-")
+                ]
+                if stranded:
+                    row = log.events().agg(
+                        F.max("sequence").alias("s")
+                    ).first()
+                    max_seq = int(row["s"] or 0)
+                    for e in stranded:
+                        start = int(e.split("-", 1)[1])
+                        if start > max_seq and not os.path.exists(
+                            os.path.join(ev_dir, e)
+                        ):
+                            act(name, "rescue_batch", os.path.join(o, e),
+                                start_sequence=start)
+                            if not dry_run:
+                                os.rename(
+                                    os.path.join(o, e),
+                                    os.path.join(ev_dir, e),
+                                )
+                act(name, "remove_old_dir", o)
+                if not dry_run:
+                    shutil.rmtree(o, ignore_errors=True)
+            for scratch in (rewrite, new_dir):
+                if os.path.exists(scratch):
+                    act(name, "remove_rewrite_scratch", scratch)
+                    if not dry_run:
+                        shutil.rmtree(scratch, ignore_errors=True)
+        for st in glob.glob(os.path.join(ev_dir, "_staging-*")):
+            try:
+                age = now - os.path.getmtime(st)
+            except OSError:
+                continue
+            if age >= min_staging_age_sec:
+                act(name, "remove_stale_staging", st, age_sec=round(age))
+                if not dry_run:
+                    shutil.rmtree(st, ignore_errors=True)
+        for snap in glob.glob(os.path.join(log._snap_dir, "seq=*")):
+            if not os.path.exists(os.path.join(snap, "_SUCCESS")):
+                act(name, "remove_torn_snapshot", snap)
+                if not dry_run:
+                    shutil.rmtree(snap, ignore_errors=True)
+
+    cat_tmp = sess._catalog_path() + ".tmp"
+    if os.path.exists(cat_tmp):
+        report.setdefault("_catalog", []).append(
+            {"action": "remove_torn_catalog_save", "path": os.path.basename(cat_tmp)}
+        )
+        if not dry_run:
+            os.remove(cat_tmp)
+
+    total = sum(len(v) for v in report.values())
+    return {"dry_run": dry_run, "actions_total": total, "tables": report}

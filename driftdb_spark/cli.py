@@ -110,6 +110,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap = asub.add_parser("config", help="effective configuration")
     ap.add_argument("--section", default=None, choices=("storage", "session", "spark"))
     asub.add_parser("migrations", help="migration ledger status")
+    ap = asub.add_parser(
+        "recover",
+        help="complete interrupted log swaps, rescue stranded batches, "
+        "reclaim torn-write scratch (reference error_recovery.rs)",
+    )
+    ap.add_argument("--table", default=None)
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--min-staging-age",
+        type=float,
+        default=3600.0,
+        metavar="SEC",
+        help="only remove _staging-* dirs older than this (protects "
+        "in-flight appends)",
+    )
 
     sp = sub.add_parser("serve", help="serve --data over the Postgres wire protocol")
     sp.add_argument("--host", default="127.0.0.1")
@@ -245,6 +260,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(json.dumps(admin.config_dump(sess, section=args.section)))
         elif args.admin_cmd == "migrations":
             print(json.dumps(admin.migration_status(sess)))
+        elif args.admin_cmd == "recover":
+            print(
+                json.dumps(
+                    admin.recover(
+                        sess,
+                        table=args.table,
+                        min_staging_age_sec=args.min_staging_age,
+                        dry_run=args.dry_run,
+                    )
+                )
+            )
     elif args.cmd == "serve":
         from driftdb_spark.server import PgWireServer
 

@@ -183,3 +183,135 @@ def test_admin_cli_verify_exit_code(spark, tmp_path, capsys):
     )
     rep = _run(capsys, spark, "--data", data, "admin", "verify", expect_rc=1)[0]
     assert not rep["ok"]
+
+
+# -- crash recovery (reference error_recovery.rs RecoveryManager) -------------
+
+
+def test_recover_clean_database_is_noop(spark, tmp_path):
+    _data, sess = _mkdb(spark, tmp_path, "recnoop")
+    rep = admin.recover(sess)
+    assert rep["actions_total"] == 0 and rep["tables"] == {}
+
+
+def test_recover_interrupted_swap_completes_and_rescues(spark, tmp_path):
+    """Simulate a crash between _swap_events_dir's two renames PLUS a
+    concurrent append stranded in the old dir: recovery must finish the
+    swap, rescue ONLY the batch whose sequences exceed the rebuilt log
+    (the swap invariant), and drop the old dir."""
+    import shutil
+
+    _data, sess = _mkdb(spark, tmp_path, "recswap")
+    sess.sql("INSERT INTO items VALUES (4, 'rod', 7)")  # seq 5
+    log = sess.table("items")
+    ev = log._events_dir
+
+    # build the crash scene: old dir = the real log moved aside;
+    # events.new = a "rebuilt" flat copy that folded batches 1-2 (seqs
+    # 1-4) but NOT the concurrent batch-5; crash before rename(new, events)
+    batches = sorted(
+        d for d in os.listdir(ev) if d.startswith("batch-")
+    )
+    assert batches[-1].endswith("5".zfill(20))
+    rebuilt = (
+        sess.spark.read.option("recursiveFileLookup", "true")
+        .parquet(*[os.path.join(ev, b) for b in batches[:-1]])
+    )
+    new_dir = ev + ".new"
+    rebuilt.write.parquet(new_dir)
+    old_dir = ev + ".old-deadbeef"
+    os.rename(ev, old_dir)
+    # batches[:-1] were folded into the rebuild; only batch-5 is stranded
+    for b in batches[:-1]:
+        shutil.rmtree(os.path.join(old_dir, b))
+
+    rep = admin.recover(sess)
+    kinds = [a["action"] for a in rep["tables"]["items"]]
+    assert kinds == ["complete_swap", "rescue_batch", "remove_old_dir"]
+    assert not os.path.exists(old_dir) and os.path.exists(ev)
+    # the table reads whole again: all 4 rows incl. the rescued update
+    rows = {
+        (r["iid"], r["qty"])
+        for r in sess.sql("SELECT iid, qty FROM items").collect()
+    }
+    assert rows == {(1, 6), (2, 9), (3, 2), (4, 7)}
+    # idempotent: a second pass finds nothing
+    assert admin.recover(sess)["actions_total"] == 0
+
+
+def test_recover_does_not_double_known_batches(spark, tmp_path):
+    """An old-dir batch whose sequences are already in the rebuilt log
+    (it was folded in before the crash) must NOT be rescued — moving it
+    would double its events."""
+    import shutil
+
+    _data, sess = _mkdb(spark, tmp_path, "recdup")
+    log = sess.table("items")
+    ev = log._events_dir
+    batches = sorted(d for d in os.listdir(ev) if d.startswith("batch-"))
+    # old dir holds a COPY of batch-1 (already folded into the live log)
+    old_dir = ev + ".old-cafebabe"
+    os.makedirs(old_dir)
+    shutil.copytree(
+        os.path.join(ev, batches[0]), os.path.join(old_dir, batches[0])
+    )
+    before = sess.sql("SELECT COUNT(*) AS n FROM items").collect()[0][0]
+    rep = admin.recover(sess)
+    kinds = [a["action"] for a in rep["tables"]["items"]]
+    assert kinds == ["remove_old_dir"]  # no rescue
+    after = sess.sql("SELECT COUNT(*) AS n FROM items").collect()[0][0]
+    assert before == after
+
+
+def test_recover_scratch_staging_snapshot_catalog(spark, tmp_path):
+    _data, sess = _mkdb(spark, tmp_path, "recmisc")
+    log = sess.table("items")
+    ev = log._events_dir
+    # aborted rewrite scratch beside a live dir
+    os.makedirs(ev + ".rewrite")
+    os.makedirs(ev + ".new")
+    # one stale and one fresh staging dir
+    stale = os.path.join(ev, "_staging-old")
+    fresh = os.path.join(ev, "_staging-new")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    os.utime(stale, (1, 1))  # ancient mtime
+    # torn snapshot (no _SUCCESS) + a good one
+    log.snapshot()
+    torn = os.path.join(log._snap_dir, "seq=999")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    # torn catalog save
+    with open(sess._catalog_path() + ".tmp", "w") as fh:
+        fh.write("{")
+
+    dry = admin.recover(sess, dry_run=True)
+    assert dry["dry_run"] and dry["actions_total"] == 5
+    assert os.path.exists(stale)  # dry run touches nothing
+
+    rep = admin.recover(sess)
+    kinds = sorted(a["action"] for a in rep["tables"]["items"])
+    assert kinds == [
+        "remove_rewrite_scratch", "remove_rewrite_scratch",
+        "remove_stale_staging", "remove_torn_snapshot",
+    ]
+    assert rep["tables"]["_catalog"][0]["action"] == "remove_torn_catalog_save"
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+    assert not os.path.exists(torn)
+    assert not os.path.exists(sess._catalog_path() + ".tmp")
+    # the good snapshot survives and still serves AS OF reads
+    assert log._snapshot_seqs() == [4]
+
+
+def test_recover_cli_surface(spark, tmp_path, capsys):
+    data, sess = _mkdb(spark, tmp_path, "reccli")
+    log = sess.table("items")
+    st = os.path.join(log._events_dir, "_staging-dead")
+    os.makedirs(st)
+    os.utime(st, (1, 1))
+    rep = _run(capsys, spark, "--data", data, "admin", "recover",
+               "--dry-run")[0]
+    assert rep["dry_run"] and rep["actions_total"] == 1
+    rep = _run(capsys, spark, "--data", data, "admin", "recover")[0]
+    assert rep["actions_total"] == 1 and not os.path.exists(st)
