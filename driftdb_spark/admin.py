@@ -456,6 +456,25 @@ def recover(
                 if not dry_run:
                     shutil.rmtree(snap, ignore_errors=True)
 
+    # result-cache namespaces are in-process state (cache.py): a crashed
+    # process strands its instance dir; the same age gate protects live
+    # sessions' caches
+    for rc in glob.glob(os.path.join(sess.storage_dir, "_result_cache", "*")):
+        try:
+            age = now - os.path.getmtime(rc)
+        except OSError:
+            continue
+        if age >= min_staging_age_sec:
+            report.setdefault("_result_cache", []).append(
+                {
+                    "action": "remove_orphan_cache_namespace",
+                    "path": os.path.basename(rc),
+                    "age_sec": round(age),
+                }
+            )
+            if not dry_run:
+                shutil.rmtree(rc, ignore_errors=True)
+
     cat_tmp = sess._catalog_path() + ".tmp"
     if os.path.exists(cat_tmp):
         report.setdefault("_catalog", []).append(

@@ -82,13 +82,20 @@ class ResultCache:
         max_entries: int = 64,
         max_bytes: int = 256 * 1024 * 1024,
     ):
+        import uuid
+
         self._sess = session
         self.max_entries = max_entries
         self.max_bytes = max_bytes
-        self._dir = os.path.join(session.storage_dir, "_result_cache")
-        # entries persist across puts but not sessions: a fresh cache
-        # starts clean (the reference cache is in-process too)
-        shutil.rmtree(self._dir, ignore_errors=True)
+        # Instance-scoped directory: each enabled session (e.g. every wire
+        # connection) owns its namespace, so enabling a second cache over
+        # the same storage never deletes a sibling's live entries. Entries
+        # are in-process state (the reference cache is too); close()
+        # reclaims the directory, and admin.recover sweeps aged orphans
+        # from crashed processes.
+        self._dir = os.path.join(
+            session.storage_dir, "_result_cache", uuid.uuid4().hex[:12]
+        )
         os.makedirs(self._dir, exist_ok=True)
         self._entries: OrderedDict[str, dict] = OrderedDict()  # key -> meta
         # Evicted directories are swept one put-cycle LATE: a reader that
@@ -248,6 +255,13 @@ class ResultCache:
         for meta in self._entries.values():
             self._sweep_queue.append(meta["path"])
         self._entries.clear()
+
+    def close(self) -> None:
+        """Reclaim the instance directory (disable_result_cache and the
+        wire server's per-connection teardown call this)."""
+        self._entries.clear()
+        self._sweep_queue.clear()
+        shutil.rmtree(self._dir, ignore_errors=True)
 
     def invalidate_table(self, table: str) -> int:
         """Drop every entry — version-vector keying makes per-table

@@ -935,6 +935,15 @@ class _Handler(socketserver.BaseRequestHandler):
             # ONE security monitor server-wide: per-connection escalation/
             # rate-limit events aggregate on the base session's counters
             self.session.security = base.security
+            # result cache enabled on the base session propagates: each
+            # connection gets its OWN cache instance (keys embed the
+            # connection's security context; an instance-scoped directory
+            # means teardown never touches a sibling's entries)
+            if base._result_cache is not None:
+                self.session.enable_result_cache(
+                    max_entries=base._result_cache.max_entries,
+                    max_bytes=base._result_cache.max_bytes,
+                )
         except Exception:
             self.session = base
         self.username = ""
@@ -948,6 +957,11 @@ class _Handler(socketserver.BaseRequestHandler):
             self._serve_loop(ext_error)
         finally:
             self.server.unregister_backend(getattr(self, "backend_pid", None))
+            if (
+                self.session is not self.server.session
+                and self.session._result_cache is not None
+            ):
+                self.session.disable_result_cache()  # reclaim instance dir
 
     def _classify_error(self, exc: Exception) -> tuple[str, str]:
         """SQLSTATE + message for an execution error; a cancellation this

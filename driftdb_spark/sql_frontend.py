@@ -190,7 +190,7 @@ class DriftSession:
 
     def disable_result_cache(self) -> None:
         if self._result_cache is not None:
-            self._result_cache.clear()
+            self._result_cache.close()
             self._result_cache = None
 
     def set_rate_limit(self, statements_per_sec: float, burst: int = 10, clock=None):

@@ -236,3 +236,49 @@ def test_cache_model_fuzz_random_dml_interleavings(spark, tmp_path):
     # the soak must actually exercise the cache, not just bypass it
     assert st["hits"] > 0 and st["misses"] > 0
     assert st["entries"] <= 4
+
+
+def test_wire_connections_get_isolated_caches(spark, tmp_path):
+    """serve-with-cache semantics: each wire connection gets its OWN
+    cache instance (per-connection security context keys; instance
+    directory), cross-connection writes invalidate via the shared
+    version vector, and teardown reclaims the namespace."""
+    from test_pgwire import Client
+
+    from driftdb_spark.server import PgWireServer
+
+    sess = _mkdb(spark, tmp_path, "cachewire")
+    sess.enable_result_cache()
+    srv = PgWireServer(sess).start()
+    try:
+        host, port = srv.address
+        a, b = Client(host, port), Client(host, port)
+        a.startup()
+        b.startup()
+        q = "SELECT COUNT(*) AS n FROM t"
+        _c, rows, _t, err = a.query(q)
+        assert err is None and rows == [["3"]]
+        _c, rows, _t, err = a.query(q)  # a's cache hit
+        assert err is None and rows == [["3"]]
+        # b INSERTS; a's next read must see it (version vector, not TTL)
+        _c, _r, _t, err = b.query("INSERT INTO t VALUES (9, 'c', 90)")
+        assert err is None
+        _c, rows, _t, err = a.query(q)
+        assert err is None and rows == [["4"]]
+        _c, rows, _t, err = b.query(q)
+        assert err is None and rows == [["4"]]
+        cache_root = os.path.join(sess.storage_dir, "_result_cache")
+        # base session's namespace + two live connection namespaces
+        assert len(os.listdir(cache_root)) >= 3
+        a.close()
+        b.close()
+        import time as _t2
+
+        deadline = _t2.time() + 5
+        while _t2.time() < deadline and len(os.listdir(cache_root)) > 1:
+            _t2.sleep(0.05)
+        # connection teardown reclaimed both instance dirs
+        assert len(os.listdir(cache_root)) == 1
+    finally:
+        srv.stop()
+        sess.disable_result_cache()
