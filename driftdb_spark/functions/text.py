@@ -296,6 +296,218 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom layout shared by the Spark query and its DuckDB oracle: m = 2^24 bits
+# stored as 524288 x 32-bit words (bits live in the low half of a BIGINT so
+# two's-complement sign never participates), k = 4 hashes drawn from the four
+# disjoint 8-hex-char quarters of md5(gram).  Sizing note: per-gram FP is
+# (1 - e^(-kn/m))^k — ~2e-8 at sf0.01 shingle cardinality (~5e4), ~2e-4 at
+# sf0.1 (~5e5) — and doc-level flagging ORs over every gram in the doc, so
+# per-gram FP must stay well under 1/grams-per-doc or the prefilter flags
+# everything (measured: the first cut used m=2^18, k=2 and false-flagged
+# ~half of all docs at sf0.001).  At larger corpora you grow m, not k.
+_BLOOM_WORDS = 524288
+_BLOOM_BITS = _BLOOM_WORDS * 32
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               substr(md5(cast(doc_id as varchar)), 1, 2) AS h2,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(lower(text), ' ')) >= 5
+    ),
+    grams AS (
+        SELECT doc_id, lang, h2,
+               unnest(list_transform(generate_series(1, len(toks) - 4),
+                                     i -> array_to_string(toks[i:i+4], ' ')))
+                 AS gram
+        FROM base
+    ),
+    hashed AS (
+        SELECT doc_id, lang, h2, gram,
+               CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                 % {_BLOOM_BITS} AS p1,
+               CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT)
+                 % {_BLOOM_BITS} AS p2,
+               CAST(('0x' || substr(md5(gram), 17, 8)) AS BIGINT)
+                 % {_BLOOM_BITS} AS p3,
+               CAST(('0x' || substr(md5(gram), 25, 8)) AS BIGINT)
+                 % {_BLOOM_BITS} AS p4
+        FROM grams
+    ),
+    bloom AS (
+        SELECT p // 32 AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+        FROM (SELECT unnest([p1, p2, p3, p4]) AS p FROM hashed WHERE h2 < 'cc')
+        GROUP BY 1
+    ),
+    train_grams AS (
+        SELECT DISTINCT gram FROM hashed WHERE h2 < 'cc'
+    ),
+    probed AS (
+        SELECT t.doc_id, t.lang,
+               CASE WHEN (b1.bits & (CAST(1 AS BIGINT) << CAST(t.p1 % 32 AS INTEGER))) != 0
+                     AND (b2.bits & (CAST(1 AS BIGINT) << CAST(t.p2 % 32 AS INTEGER))) != 0
+                     AND (b3.bits & (CAST(1 AS BIGINT) << CAST(t.p3 % 32 AS INTEGER))) != 0
+                     AND (b4.bits & (CAST(1 AS BIGINT) << CAST(t.p4 % 32 AS INTEGER))) != 0
+                    THEN 1 ELSE 0 END AS bloom_hit,
+               CASE WHEN g.gram IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+        FROM hashed t
+        LEFT JOIN bloom b1 ON b1.w = t.p1 // 32
+        LEFT JOIN bloom b2 ON b2.w = t.p2 // 32
+        LEFT JOIN bloom b3 ON b3.w = t.p3 // 32
+        LEFT JOIN bloom b4 ON b4.w = t.p4 // 32
+        LEFT JOIN train_grams g ON g.gram = t.gram
+        WHERE t.h2 >= 'cc'
+    ),
+    docs AS (
+        SELECT doc_id, lang,
+               COUNT(*) AS n_grams,
+               SUM(bloom_hit) AS gram_bloom,
+               SUM(exact_hit) AS gram_exact,
+               MAX(bloom_hit) AS doc_bloom,
+               MAX(exact_hit) AS doc_exact
+        FROM probed GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_test_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_test_grams,
+           CAST(SUM(gram_exact) AS BIGINT) AS gram_hits_exact,
+           CAST(SUM(gram_bloom) AS BIGINT) AS gram_hits_bloom,
+           CAST(SUM(gram_bloom - gram_exact) AS BIGINT) AS gram_false_pos,
+           CAST(SUM(doc_exact) AS BIGINT) AS flagged_exact,
+           CAST(SUM(doc_bloom) AS BIGINT) AS flagged_bloom,
+           CAST(SUM(CASE WHEN doc_bloom = 1 AND doc_exact = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bloom_false_pos_docs
+    FROM docs
+    GROUP BY lang
+    """,
+    tags=("text", "dedup", "sampling", "pipeline"),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter with a measured
+    false-positive audit — the query-level counterpart of the reference's
+    storage-side Bloom filters (reference
+    crates/driftdb-core/src/bloom_filter.rs: bit array + k hashes,
+    contains-maybe semantics), applied to the train/test shingle-overlap
+    check that ``decontaminate_ngram_overlap`` runs exactly.
+
+    Why it matters at 100 TB: the exact check shuffles EVERY distinct
+    train shingle to meet the test shingles on the join key. The Bloom
+    build instead folds train shingles into a fixed 2 MiB bitmap with a
+    map-side partial ``bit_or`` — the exchange carries at most
+    ``_BLOOM_WORDS`` rows per map partition regardless of corpus size,
+    and the probe is four broadcast lookups per test shingle (no corpus
+    shuffle at all). No false negatives by construction (every train
+    shingle's bits are set — asserted in tests); the price is the
+    measured ``gram_false_pos`` / ``bloom_false_pos_docs`` columns, so
+    the rate is a published number instead of a guess. This query keeps
+    the exact path alongside as ground truth; a production prefilter
+    runs the Bloom stage alone and routes only the (far smaller) flagged
+    slice into the exact join.
+
+    Determinism: bit positions derive from the four disjoint md5(gram)
+    quarters via exact integer conv/mod — identical on both engines;
+    bits stay in the low 32 of a BIGINT so ``bit_or``/``&`` never touch
+    the sign bit."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("h2"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    ).where(F.size("toks") >= 5)
+    grams = base.select(
+        "doc_id",
+        "lang",
+        "h2",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4),"
+                " i -> array_join(slice(toks, i, 5), ' '))"
+            )
+        ).alias("gram"),
+    )
+
+    def _pos(start: int) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5("gram"), start, 8), 16, 10).cast("long")
+            % _BLOOM_BITS
+        )
+
+    hashed = grams.select(
+        "doc_id",
+        "lang",
+        "h2",
+        "gram",
+        _pos(1).alias("p1"),
+        _pos(9).alias("p2"),
+        _pos(17).alias("p3"),
+        _pos(25).alias("p4"),
+    )
+    # Build: no DISTINCT on the train side — bit_or is idempotent, so the
+    # dedup exchange the exact path needs simply disappears here.
+    bloom = (
+        hashed.where(F.col("h2") < "cc")
+        .select(F.explode(F.array("p1", "p2", "p3", "p4")).alias("p"))
+        .groupBy(F.expr("p DIV 32").alias("w"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, CAST(p % 32 AS INT))")).alias("bits")
+        )
+    )
+    train_grams = hashed.where(F.col("h2") < "cc").select("gram").distinct()
+    test = hashed.where(F.col("h2") >= "cc")
+    probe = test
+    hit = F.lit(True)
+    for i in (1, 2, 3, 4):
+        side = F.broadcast(
+            bloom.select(F.col("w").alias(f"w{i}"), F.col("bits").alias(f"bits{i}"))
+        )
+        probe = probe.join(side, F.expr(f"p{i} DIV 32") == F.col(f"w{i}"), "left")
+        hit = hit & (
+            F.coalesce(F.col(f"bits{i}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(1L, CAST(p{i} % 32 AS INT))")
+            )
+            != 0
+        )
+    probed = probe.join(
+        train_grams.withColumn("exact", F.lit(1)), "gram", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.when(hit, 1).otherwise(0).alias("bloom_hit"),
+        F.coalesce(F.col("exact"), F.lit(0)).alias("exact_hit"),
+    )
+    docs = probed.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("bloom_hit").alias("gram_bloom"),
+        F.sum("exact_hit").alias("gram_exact"),
+        F.max("bloom_hit").alias("doc_bloom"),
+        F.max("exact_hit").alias("doc_exact"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_test_grams"),
+        F.sum("gram_exact").cast("bigint").alias("gram_hits_exact"),
+        F.sum("gram_bloom").cast("bigint").alias("gram_hits_bloom"),
+        F.sum(F.col("gram_bloom") - F.col("gram_exact"))
+        .cast("bigint")
+        .alias("gram_false_pos"),
+        F.sum("doc_exact").cast("bigint").alias("flagged_exact"),
+        F.sum("doc_bloom").cast("bigint").alias("flagged_bloom"),
+        F.sum(
+            F.when((F.col("doc_bloom") == 1) & (F.col("doc_exact") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("bloom_false_pos_docs"),
+    )
+
+
 @register(
     "text_repetition_ngram",
     oracle="""

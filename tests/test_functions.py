@@ -174,3 +174,37 @@ def test_approx_distinct_audit_all_within_bound(spark):
     _ensure_loaded()
     rows = QUERIES["agg_approx_distinct_error_audit"].fn(spark, SF).collect()
     assert rows and all(r.within_3rsd for r in rows)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom membership can over-approximate but never under-approximate:
+    every exact train/test shingle hit must also be a Bloom hit, at both
+    gram and doc granularity (a miss would mean a train shingle's bits
+    were not all set — a construction bug, not a tuning issue)."""
+    from driftdb_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    rows = QUERIES["decontaminate_bloom"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.gram_hits_bloom >= r.gram_hits_exact, r
+        assert r.flagged_bloom >= r.flagged_exact, r
+        assert r.gram_false_pos == r.gram_hits_bloom - r.gram_hits_exact, r
+
+
+def test_bloom_decontaminate_matches_exact_overlap_flags(spark):
+    """The Bloom query's exact-path columns must agree with the standalone
+    exact operator (`decontaminate_ngram_overlap`) — they implement the
+    same ground truth, so a divergence is a bug in one of them."""
+    from driftdb_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    bloom = {
+        r.lang: (r.n_test_docs, r.flagged_exact)
+        for r in QUERIES["decontaminate_bloom"].fn(spark, SF).collect()
+    }
+    exact = {
+        r.lang: (r.n_test_docs, r.n_contaminated)
+        for r in QUERIES["decontaminate_ngram_overlap"].fn(spark, SF).collect()
+    }
+    assert bloom == exact
