@@ -53,6 +53,15 @@ from driftdb_spark.temporal import AsOf, apply_asof, resolve_sequence_at
 INSERT, PATCH, SOFT_DELETE = "INSERT", "PATCH", "SOFT_DELETE"
 
 
+class ReadOnlyLog(RuntimeError):
+    """Write attempted against a read-only (replica) log — the standby
+    analog of PostgreSQL's `cannot execute ... in a read-only transaction`
+    (reference replication.rs replicas serve reads only). Carries SQLSTATE
+    25006 so the wire server reports it like a Postgres standby would."""
+
+    sqlstate = "25006"
+
+
 class ConcurrentAppendError(RuntimeError):
     """Two writers raced the same sequence range; the loser's batch was
     rolled back. Retry re-reads last_sequence and appends after the
@@ -170,6 +179,17 @@ class EventLog:
         self.post_commit_fn = post_commit_fn
         self._events_dir = os.path.join(path, "events")
         self._snap_dir = os.path.join(path, "snapshots")
+        # Replica logs are read-only: every mutation path (append, txn
+        # publish, snapshot, compact, purge) refuses with SQLSTATE 25006.
+        # Set by replication.Replica; cleared by promote().
+        self.read_only = False
+
+    def _check_writable(self, op: str) -> None:
+        if self.read_only:
+            raise ReadOnlyLog(
+                f"cannot {op} on table log {self.path!r}: "
+                "this is a read-only replica (promote it to accept writes)"
+            )
 
     # -- storage ------------------------------------------------------------
 
@@ -270,6 +290,7 @@ class EventLog:
     def _assign_and_publish(
         self, src: DataFrame, order_cols: list[str], hook_event_type: str
     ) -> int:
+        self._check_writable("append")
         base = self.last_sequence()
         src = (
             src.withColumn("_pid", F.spark_partition_id())
@@ -570,6 +591,7 @@ class EventLog:
         sequence read and the state write would otherwise leak events newer
         than the snapshot's labeled sequence into the snapshot, making
         ``AS OF`` through that snapshot serve future state."""
+        self._check_writable("snapshot")
         return self._snapshot_of(self._log_entries())
 
     def _snapshot_of(self, entries: list[str]) -> int:
@@ -643,6 +665,7 @@ class EventLog:
         compaction point still resolve to a sequence instead of going
         empty. Concurrent appends are preserved by the pinned-entries +
         rescue-sweep swap (``_swap_events_dir``)."""
+        self._check_writable("compact")
         entries = self._log_entries()
         seq = self._snapshot_of(entries)
         snap = self.spark.read.parquet(os.path.join(self._snap_dir, f"seq={seq}"))
@@ -682,6 +705,7 @@ class EventLog:
         quiescing writers of the purged keys for a compliance-grade
         guarantee — the return value being 0 confirms convergence.
         """
+        self._check_writable("purge")
         pk_list = keys.select(
             F.col(keys.columns[0]).cast("string").alias("pk")
         ).distinct()

@@ -1,0 +1,489 @@
+"""Log-shipping replication + failover — the reference's replication and
+failover families, Spark-first.
+
+The reference replicates by streaming WAL entries over TCP from a master
+to slaves with heartbeats, acks, lag tracking and catch-up requests
+(replication.rs:81-118 ReplicationMessage, :612-620 get_replication_lag),
+and fails over via health-checked role transitions guarded by a
+monotonically-increasing FencingToken that stale masters fail to validate
+(failover.rs:25-44, :421-439 validate_fencing_token). Raft/consensus
+(raft.rs, consensus.rs) remain out of scope here: on Spark, leader
+election across many nodes is the cluster manager's job (SURVEY §7.6);
+what this module keeps is everything a SINGLE replication stream needs —
+shipping, catch-up, lag, read-only standbys, promote, and fencing.
+
+The event-sourced storage makes shipping trivial and *naturally
+idempotent*: published log entries (``batch-*`` directories, or the
+parquet files a compaction leaves) are immutable once visible, so a
+"WAL entry" here is a whole published log entry, shipped by name. The
+stream is a plain directory (`ship_dir`) — on a cluster this is an
+object-store prefix, and the same staged-copy-then-rename protocol the
+EventLog uses for appends makes each shipped entry visible atomically.
+
+Correctness pieces beyond naive copying:
+
+* **Generations**: ``compact()``/``purge()`` REWRITE the log (and purge
+  rewrites snapshot content under unchanged names), so shipping by name
+  would serve stale bytes. ``ship()`` detects a rewrite — any
+  previously-live entry no longer live — and bumps the table's
+  *generation*: the table re-ships wholesale under ``gen-<G>/`` and
+  replicas reseed. This is exactly how a compliance purge propagates to
+  standbys (the purged rows disappear from replicas on the next apply).
+* **Fencing epochs** (failover.rs FencingToken): the stream carries an
+  ``_epoch.json``; ``promote()`` claims epoch N+1 via an exclusive-create
+  claim file (two racing replicas: exactly one wins — the filesystem
+  analog of the token CAS in failover.rs:421). A fenced old primary's
+  ``ship()`` raises :class:`FencedPrimary`; and because *replicas ignore
+  heartbeats whose epoch is older than the stream epoch*, even a
+  heartbeat the zombie managed to write in the race window is inert.
+* **Read-only standbys**: the replica's session refuses every mutating
+  statement with SQLSTATE 25006 (events.ReadOnlyLog), at both the SQL
+  dispatcher and the EventLog layer — reads (incl. AS OF time travel)
+  work normally.
+
+At 100 TB the design holds: shipping is a per-entry object copy
+proportional to NEW data only (the incremental-backup property), apply
+is rename-only metadata work, and replica reads are ordinary Spark scans
+over the same immutable parquet — no row-level apply loop anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from driftdb_spark.events import ReadOnlyLog
+
+EPOCH_FILE = "_epoch.json"
+HEARTBEAT_FILE = "_heartbeat.json"
+MANIFEST_FILE = "_manifest.json"
+CATALOG_FILE = "_catalog.json"
+REPLICA_STATE = "_replica_state.json"
+
+__all__ = [
+    "FencedPrimary",
+    "PromoteRace",
+    "ReadOnlyLog",
+    "Replica",
+    "ReplicationPrimary",
+]
+
+
+class FencedPrimary(RuntimeError):
+    """A demoted primary tried to ship after a replica promoted — the
+    reference's FencingToken validation failure (failover.rs:421-439:
+    "Stale fencing token ... newer token exists")."""
+
+    sqlstate = "55000"  # object_not_in_prerequisite_state
+
+
+class PromoteRace(RuntimeError):
+    """Two replicas raced a promote for the same epoch; this one lost.
+    The winner holds the claim file (exactly-one-winner, like the
+    append-rename protocol in events.py)."""
+
+    sqlstate = "55P03"
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def _read_json(path: str, default=None):
+    if not os.path.exists(path):
+        return default
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _atomic_copy(src: str, dst: str) -> None:
+    """Copy a log entry (file or directory) so it becomes visible at
+    ``dst`` atomically: stage under a hidden sibling, then one rename.
+    Hidden/marker files (.crc, _SUCCESS) regenerate and are skipped, same
+    as backup.py. Idempotent: an entry already at ``dst`` is left alone
+    (entries are immutable within a generation)."""
+    if os.path.exists(dst):
+        return
+    parent = os.path.dirname(dst)
+    os.makedirs(parent, exist_ok=True)
+    staging = os.path.join(parent, f"_staging-{uuid.uuid4().hex[:8]}")
+    try:
+        if os.path.isdir(src):
+            os.makedirs(staging, exist_ok=True)
+            for root, _dirs, files in os.walk(src):
+                rel = os.path.relpath(root, src)
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    d = os.path.join(staging, rel, f)
+                    os.makedirs(os.path.dirname(d), exist_ok=True)
+                    shutil.copy2(os.path.join(root, f), d)
+        else:
+            shutil.copy2(src, staging)
+        try:
+            os.rename(staging, dst)
+        except OSError:
+            # a concurrent shipper won the name: entries are immutable, so
+            # the winner's bytes are equivalent — drop ours
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(dst):
+                raise
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        if os.path.isfile(staging):
+            os.remove(staging)
+        raise
+
+
+def _stream_epoch(ship_dir: str) -> dict:
+    return _read_json(
+        os.path.join(ship_dir, EPOCH_FILE),
+        {"epoch": 0, "holder": None, "changed_unix": 0.0},
+    )
+
+
+class ReplicationPrimary:
+    """Ships a session's published log entries into a replication stream
+    directory and maintains the stream heartbeat (reference
+    ReplicationCoordinator in the Master role, replication.rs:120+)."""
+
+    def __init__(
+        self,
+        session,
+        ship_dir: str,
+        node_id: str = "primary",
+        _claim: int | None = None,
+    ):
+        self.session = session
+        self.ship_dir = os.path.abspath(ship_dir)
+        self.node_id = node_id
+        os.makedirs(self.ship_dir, exist_ok=True)
+        if _claim is not None:
+            # promote() path: claim a specific epoch (exclusive-create)
+            self._claim_epoch(_claim)
+            self.epoch = _claim
+            return
+        cur = _stream_epoch(self.ship_dir)
+        if cur["epoch"] == 0:
+            # first primary on a fresh stream claims epoch 1
+            self._claim_epoch(1)
+            self.epoch = 1
+        elif cur["holder"] == node_id:
+            self.epoch = int(cur["epoch"])
+        else:
+            raise FencedPrimary(
+                f"stream {self.ship_dir} is held by {cur['holder']!r} at "
+                f"epoch {cur['epoch']}; this node ({node_id!r}) must not ship"
+            )
+
+    # -- fencing --------------------------------------------------------------
+
+    def _claim_epoch(self, epoch: int) -> None:
+        """Exclusive-create claim: exactly one node wins a given epoch
+        (failover.rs FencingToken::next + validate; the claim file is the
+        CAS)."""
+        claim = os.path.join(self.ship_dir, f"_epoch-claim-{epoch:012d}")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise PromoteRace(
+                f"epoch {epoch} on stream {self.ship_dir} was already "
+                "claimed by another node"
+            ) from exc
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"holder": self.node_id, "unix": time.time()}, fh)
+        _write_json_atomic(
+            os.path.join(self.ship_dir, EPOCH_FILE),
+            {"epoch": epoch, "holder": self.node_id, "changed_unix": time.time()},
+        )
+
+    def _check_fence(self) -> None:
+        cur = _stream_epoch(self.ship_dir)
+        if cur["epoch"] > self.epoch or (
+            cur["epoch"] == self.epoch and cur["holder"] != self.node_id
+        ):
+            raise FencedPrimary(
+                f"fenced: stream epoch is {cur['epoch']} (holder "
+                f"{cur['holder']!r}), this primary holds epoch {self.epoch} — "
+                "a replica was promoted; stop writing"
+            )
+
+    # -- shipping ---------------------------------------------------------------
+
+    def ship(self) -> dict:
+        """Copy every published-but-unshipped log entry into the stream,
+        then advance the heartbeat. Incremental by construction (entries
+        are immutable); a log rewrite (compact/purge) bumps the table
+        generation and re-ships it wholesale so replicas reseed.
+
+        Returns ``{table: n_entries_shipped}``. Raises
+        :class:`FencedPrimary` (and leaves the heartbeat untouched) if a
+        replica promoted."""
+        self._check_fence()
+        manifest = _read_json(
+            os.path.join(self.ship_dir, MANIFEST_FILE), {"tables": {}}
+        )
+        shipped: dict[str, int] = {}
+        hb_tables: dict[str, dict] = {}
+        for name, (log, _cols) in sorted(self.session._tables.items()):
+            entries = log._log_entries()  # pinned published set
+            snaps = [f"seq={s}" for s in log._snapshot_seqs()]
+            prev = manifest["tables"].get(
+                name, {"generation": 0, "entries": [], "snapshots": []}
+            )
+            gen = int(prev["generation"])
+            rewritten = bool(set(prev["entries"]) - set(entries))
+            if gen == 0 or rewritten:
+                gen += 1  # fresh table or a compact/purge rewrite: reseed
+                prev_shipped_e: set[str] = set()
+                prev_shipped_s: set[str] = set()
+            else:
+                prev_shipped_e = set(prev["entries"])
+                prev_shipped_s = set(prev["snapshots"])
+            gen_dir = os.path.join(self.ship_dir, name, f"gen-{gen:06d}")
+            n = 0
+            for e in entries:
+                if e not in prev_shipped_e:
+                    _atomic_copy(
+                        os.path.join(log._events_dir, e),
+                        os.path.join(gen_dir, "events", e),
+                    )
+                    n += 1
+            for s in snaps:
+                if s not in prev_shipped_s:
+                    _atomic_copy(
+                        os.path.join(log._snap_dir, s),
+                        os.path.join(gen_dir, "snapshots", s),
+                    )
+            manifest["tables"][name] = {
+                "generation": gen,
+                "entries": entries,
+                "snapshots": snaps,
+                "pk": log.pk_col,
+            }
+            hb_tables[name] = {"last_sequence": log.last_sequence()}
+            shipped[name] = n
+            # keep current + previous generation only: in-flight applies of
+            # gen G-1 survive, older generations sweep (views.py pattern)
+            tbl_dir = os.path.join(self.ship_dir, name)
+            for d in sorted(os.listdir(tbl_dir)):
+                if d.startswith("gen-") and int(d[4:]) < gen - 1:
+                    shutil.rmtree(os.path.join(tbl_dir, d), ignore_errors=True)
+        cat = self.session._catalog_path()
+        if os.path.exists(cat):
+            tmp = os.path.join(self.ship_dir, f"_cat-tmp-{uuid.uuid4().hex[:8]}")
+            shutil.copy2(cat, tmp)
+            os.replace(tmp, os.path.join(self.ship_dir, CATALOG_FILE))
+        # re-check the fence before publishing progress: if a promote
+        # landed mid-copy, the copied bytes are inert (the heartbeat/
+        # manifest never advance, and replicas ignore stale-epoch
+        # heartbeats regardless)
+        self._check_fence()
+        _write_json_atomic(os.path.join(self.ship_dir, MANIFEST_FILE), manifest)
+        self.heartbeat(hb_tables)
+        return shipped
+
+    def heartbeat(self, tables: dict | None = None) -> None:
+        """Liveness beacon (replication.rs Heartbeat message). Replicas
+        treat a stale heartbeat as primary failure (failover.rs
+        health checks)."""
+        if tables is None:
+            tables = {
+                name: {"last_sequence": log.last_sequence()}
+                for name, (log, _c) in self.session._tables.items()
+            }
+        _write_json_atomic(
+            os.path.join(self.ship_dir, HEARTBEAT_FILE),
+            {
+                "epoch": self.epoch,
+                "node": self.node_id,
+                "ts_unix": time.time(),
+                "tables": tables,
+            },
+        )
+
+
+class Replica:
+    """A read-only standby following a replication stream (reference
+    NodeRole::Slave, replication.rs:66-71; serves reads, applies shipped
+    entries, tracks lag, and can promote)."""
+
+    def __init__(self, spark, storage_dir: str, ship_dir: str, node_id: str = "replica"):
+        self.spark = spark
+        self.storage_dir = os.path.abspath(storage_dir)
+        self.ship_dir = os.path.abspath(ship_dir)
+        self.node_id = node_id
+        self.promoted = False
+        os.makedirs(self.storage_dir, exist_ok=True)
+        self.session = None
+        self._rebuild_session()
+
+    def _state_path(self) -> str:
+        return os.path.join(self.storage_dir, REPLICA_STATE)
+
+    def _rebuild_session(self) -> None:
+        from driftdb_spark.sql_frontend import DriftSession
+
+        self.session = DriftSession(self.spark, self.storage_dir)
+        if not self.promoted:
+            self.session._read_only = True
+            for _name, (log, _cols) in self.session._tables.items():
+                log.read_only = True
+
+    # -- applying ---------------------------------------------------------------
+
+    def apply_pending(self) -> dict:
+        """Catch up to the stream manifest (reference CatchupRequest/
+        CatchupResponse, replication.rs:103-108): copy unseen entries in,
+        reseed any table whose generation advanced (upstream compact/
+        purge), adopt the shipped catalog, refresh the session.
+
+        Pure metadata work — per-entry copy + rename, no row-level apply.
+        Idempotent and crash-safe: a torn copy stays hidden in a
+        ``_staging-*`` sibling and re-runs cleanly."""
+        if self.promoted:
+            raise RuntimeError("promoted replica no longer follows the stream")
+        manifest = _read_json(os.path.join(self.ship_dir, MANIFEST_FILE))
+        if manifest is None:
+            return {"applied": 0, "tables": {}}
+        state = _read_json(self._state_path(), {"tables": {}})
+        applied: dict[str, int] = {}
+        total = 0
+        for name, t in sorted(manifest["tables"].items()):
+            gen = int(t["generation"])
+            gen_dir = os.path.join(self.ship_dir, name, f"gen-{gen:06d}")
+            local = state["tables"].get(
+                name, {"generation": 0, "entries": [], "snapshots": []}
+            )
+            tbl_dir = os.path.join(self.storage_dir, name)
+            n = 0
+            if local["generation"] != gen:
+                # reseed: build the new generation aside, then swap — a
+                # reader mid-scan of the old tree finishes against moved-
+                # aside files, same as the EventLog's swap protocol
+                fresh = tbl_dir + f".reseed-{uuid.uuid4().hex[:8]}"
+                for e in t["entries"]:
+                    _atomic_copy(
+                        os.path.join(gen_dir, "events", e),
+                        os.path.join(fresh, "events", e),
+                    )
+                    n += 1
+                for s in t["snapshots"]:
+                    _atomic_copy(
+                        os.path.join(gen_dir, "snapshots", s),
+                        os.path.join(fresh, "snapshots", s),
+                    )
+                old = tbl_dir + f".old-{uuid.uuid4().hex[:8]}"
+                if os.path.exists(tbl_dir):
+                    os.rename(tbl_dir, old)
+                    os.rename(fresh, tbl_dir)
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.rename(fresh, tbl_dir)
+            else:
+                for e in t["entries"]:
+                    if e not in set(local["entries"]):
+                        _atomic_copy(
+                            os.path.join(gen_dir, "events", e),
+                            os.path.join(tbl_dir, "events", e),
+                        )
+                        n += 1
+                for s in t["snapshots"]:
+                    if s not in set(local["snapshots"]):
+                        _atomic_copy(
+                            os.path.join(gen_dir, "snapshots", s),
+                            os.path.join(tbl_dir, "snapshots", s),
+                        )
+            state["tables"][name] = {
+                "generation": gen,
+                "entries": t["entries"],
+                "snapshots": t["snapshots"],
+            }
+            applied[name] = n
+            total += n
+        cat = os.path.join(self.ship_dir, CATALOG_FILE)
+        if os.path.exists(cat):
+            tmp = os.path.join(
+                self.storage_dir, f"_cat-tmp-{uuid.uuid4().hex[:8]}"
+            )
+            shutil.copy2(cat, tmp)
+            os.replace(tmp, os.path.join(self.storage_dir, CATALOG_FILE))
+        _write_json_atomic(self._state_path(), state)
+        self._rebuild_session()
+        return {"applied": total, "tables": applied}
+
+    # -- monitoring -------------------------------------------------------------
+
+    def _heartbeat(self) -> dict | None:
+        hb = _read_json(os.path.join(self.ship_dir, HEARTBEAT_FILE))
+        if hb is None:
+            return None
+        # a heartbeat carrying a pre-promote epoch is a zombie's — inert
+        # (failover.rs:421-439 stale-token rejection, replica side)
+        if hb["epoch"] < _stream_epoch(self.ship_dir)["epoch"]:
+            return None
+        return hb
+
+    def lag(self) -> dict:
+        """Per-table sequence lag vs the primary heartbeat + heartbeat age
+        (reference get_replication_lag, replication.rs:612-620)."""
+        hb = self._heartbeat()
+        tables = {}
+        if hb is not None:
+            for name, t in hb.get("tables", {}).items():
+                have = 0
+                if self.session is not None and name in self.session._tables:
+                    have = self.session._tables[name][0].last_sequence()
+                tables[name] = int(t["last_sequence"]) - have
+        return {
+            "heartbeat_age_sec": (
+                None if hb is None else round(time.time() - hb["ts_unix"], 3)
+            ),
+            "stream_epoch": _stream_epoch(self.ship_dir)["epoch"],
+            "tables": tables,
+            "max_lag": max(tables.values(), default=0),
+        }
+
+    def status(self) -> dict:
+        lag = self.lag()
+        return {
+            "role": "primary" if self.promoted else "replica",
+            "node": self.node_id,
+            "read_only": not self.promoted,
+            **lag,
+        }
+
+    # -- failover ---------------------------------------------------------------
+
+    def promote(self) -> ReplicationPrimary:
+        """Take over the stream: claim the next fencing epoch (exactly one
+        claimant wins — failover.rs FencingToken::next), flip this node
+        writable, and return a :class:`ReplicationPrimary` bound to the
+        SAME stream so the old primary's ship() is refused and downstream
+        replicas keep following without re-pointing."""
+        cur = _stream_epoch(self.ship_dir)
+        new_epoch = int(cur["epoch"]) + 1
+        primary = ReplicationPrimary(
+            self.session, self.ship_dir, node_id=self.node_id, _claim=new_epoch
+        )
+        self.promoted = True
+        self.session._read_only = False
+        for _name, (log, _cols) in self.session._tables.items():
+            log.read_only = False
+        return primary
+
+    def maybe_promote(self, stale_after_sec: float) -> ReplicationPrimary | None:
+        """Auto-failover: promote iff the primary heartbeat is missing or
+        older than the threshold (reference failover_timeout_ms,
+        replication.rs:44; health-check path failover.rs:178+). Returns
+        the new primary handle, or None while the primary looks alive."""
+        hb = self._heartbeat()
+        if hb is not None and (time.time() - hb["ts_unix"]) < stale_after_sec:
+            return None
+        return self.promote()

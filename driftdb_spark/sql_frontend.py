@@ -157,6 +157,9 @@ class DriftSession:
         # (simple query, PREPARE/EXECUTE, CALL body, nested sql) — so the
         # wire-level gate cannot be laundered through an indirect path.
         self._auth_identity: tuple[str, bool] | None = None
+        # True while this session fronts a read-only replica
+        # (replication.Replica); promote() clears it.
+        self._read_only = False
         self._query_log: list[dict] = []
         self._sql_depth = 0  # only top-level statements are logged
         self._rate_limiter: TokenBucket | None = None
@@ -620,6 +623,19 @@ class DriftSession:
                 "current transaction is aborted, commands ignored until "
                 "end of transaction block"
             )
+        # Read-only replica gate (replication.py, reference replication.rs:
+        # replicas serve reads only — the Postgres-standby 25006 refusal).
+        # Catches every statement-level mutation, including DDL and
+        # maintenance; anything that slips through an indirect path
+        # (procedure body, direct EventLog call) is caught again by the
+        # per-log read_only check in events.py.
+        if self._read_only and self._WRITE_VERB_RE.match(stripped):
+            from driftdb_spark.events import ReadOnlyLog
+
+            raise ReadOnlyLog(
+                f"cannot execute {stripped.split(None, 1)[0].upper()} on a "
+                "read-only replica (promote it to accept writes)"
+            )
         routed = self._dispatch_txn(stripped)
         if routed is not None:
             return routed
@@ -685,6 +701,11 @@ class DriftSession:
         r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$", _re.IGNORECASE
     )
 
+    _WRITE_VERB_RE = _re.compile(
+        r"^(INSERT|UPDATE|DELETE|TRUNCATE|MERGE|CREATE|DROP|ALTER|SNAPSHOT"
+        r"|COMPACT|VACUUM|CHECKPOINT|REFRESH)\b",
+        _re.IGNORECASE,
+    )
     _EXPLAIN_RE = _re.compile(r"^EXPLAIN\s+(.*)$", _re.IGNORECASE | _re.DOTALL)
     _ALTER_RE = _re.compile(
         r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)"

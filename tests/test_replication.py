@@ -1,0 +1,228 @@
+"""Log-shipping replication + failover (reference replication.rs:81-118
+ReplicationMessage / :612-620 lag, failover.rs:25-44 FencingToken /
+:421-439 stale-token rejection). Spark-first: entries ship by name
+(immutable), generations propagate compact/purge, epochs fence zombies."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from driftdb_spark.events import ReadOnlyLog
+from driftdb_spark.replication import (
+    FencedPrimary,
+    PromoteRace,
+    Replica,
+    ReplicationPrimary,
+)
+from driftdb_spark.sql_frontend import DriftSession
+
+
+@pytest.fixture
+def rig(spark, tmp_path):
+    """A primary session with one table, a ship stream, and a replica."""
+    sess = DriftSession(spark, str(tmp_path / "primary"))
+    sess.sql("CREATE TABLE users (id INT PRIMARY KEY, name STRING, qty INT)")
+    sess.sql("INSERT INTO users VALUES (1, 'a', 10), (2, 'b', 20)")
+    primary = ReplicationPrimary(sess, str(tmp_path / "stream"), node_id="p1")
+    replica = Replica(
+        spark, str(tmp_path / "replica"), str(tmp_path / "stream"), node_id="r1"
+    )
+    return sess, primary, replica
+
+
+def _names(sess, table="users"):
+    df = sess.sql(f"SELECT name FROM {table} ORDER BY name")
+    return [r["name"] for r in df.collect()]
+
+
+def test_ship_apply_catchup_and_lag(rig):
+    sess, primary, replica = rig
+    # before any ship: nothing to read, no heartbeat
+    assert replica.lag()["heartbeat_age_sec"] is None
+    primary.ship()
+    out = replica.apply_pending()
+    assert out["applied"] >= 1
+    assert _names(replica.session) == ["a", "b"]
+    assert replica.lag()["max_lag"] == 0
+
+    # new writes: lag becomes visible after the next ship, then catches up
+    sess.sql("INSERT INTO users VALUES (3, 'c', 30)")
+    sess.sql("UPDATE users SET qty = 99 WHERE id = 1")
+    primary.ship()
+    assert replica.lag()["tables"]["users"] > 0
+    replica.apply_pending()
+    assert replica.lag()["max_lag"] == 0
+    assert _names(replica.session) == ["a", "b", "c"]
+    got = replica.session.sql("SELECT qty FROM users WHERE id = 1").collect()
+    assert got[0]["qty"] == 99
+
+
+def test_apply_is_idempotent_and_incremental(rig):
+    sess, primary, replica = rig
+    primary.ship()
+    first = replica.apply_pending()
+    again = replica.apply_pending()
+    assert first["applied"] >= 1 and again["applied"] == 0
+    # an unchanged primary re-ship copies nothing
+    assert primary.ship() == {"users": 0}
+
+
+def test_replica_refuses_writes_with_25006(rig):
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    for stmt in (
+        "INSERT INTO users VALUES (9, 'z', 1)",
+        "UPDATE users SET qty = 0",
+        "DELETE FROM users WHERE id = 1",
+        "CREATE TABLE other (id INT PRIMARY KEY)",
+        "DROP TABLE users",
+        "SNAPSHOT users",
+    ):
+        with pytest.raises(ReadOnlyLog):
+            replica.session.sql(stmt)
+    assert ReadOnlyLog.sqlstate == "25006"
+    # the EventLog layer refuses too (indirect paths can't slip through)
+    log, _cols = replica.session._tables["users"]
+    with pytest.raises(ReadOnlyLog):
+        log.insert(replica.session.spark.createDataFrame([(9, "z", 1)], "id int, name string, qty int"))
+    # reads (incl. time travel surface) still work
+    assert len(_names(replica.session)) == 2
+
+
+def test_snapshots_ship_and_replay_on_replica(rig):
+    sess, primary, replica = rig
+    log, _cols = sess._tables["users"]
+    log.snapshot()
+    sess.sql("INSERT INTO users VALUES (4, 'd', 40)")
+    primary.ship()
+    replica.apply_pending()
+    rlog, _c = replica.session._tables["users"]
+    assert rlog._snapshot_seqs(), "snapshot did not ship"
+    assert _names(replica.session) == ["a", "b", "d"]
+
+
+def test_compact_bumps_generation_and_replica_reseeds(rig):
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    sess.sql("UPDATE users SET qty = 5 WHERE id = 2")
+    log, _cols = sess._tables["users"]
+    log.compact()  # rewrites the log -> live entry set changes
+    primary.ship()
+    replica.apply_pending()
+    state = json.load(open(os.path.join(replica.storage_dir, "_replica_state.json")))
+    assert state["tables"]["users"]["generation"] == 2
+    assert _names(replica.session) == ["a", "b"]
+    got = replica.session.sql("SELECT qty FROM users WHERE id = 2").collect()
+    assert got[0]["qty"] == 5
+
+
+def test_purge_propagates_to_replica(rig):
+    """A compliance purge must disappear from standbys too — the
+    generation reseed carries it (reference has no hard-delete; this is
+    the rebuild's right-to-be-forgotten path crossed with replication)."""
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    log, _cols = sess._tables["users"]
+    log.purge(sess.spark.createDataFrame([(1,)], "id int"))
+    primary.ship()
+    replica.apply_pending()
+    assert _names(replica.session) == ["b"]
+    # purged key is gone from the replica's whole history, not just state
+    ev = replica.session._tables["users"][0].events()
+    assert ev.filter("pk = '1'").count() == 0
+
+
+def test_failover_promote_fences_old_primary(rig):
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    new_primary = replica.promote()
+    # the promoted node accepts writes
+    replica.session.sql("INSERT INTO users VALUES (7, 'g', 70)")
+    assert "g" in _names(replica.session)
+    # ... and ships onward on the SAME stream for downstream replicas
+    assert new_primary.ship()["users"] >= 1
+    # the zombie is fenced and its heartbeat never advances
+    with pytest.raises(FencedPrimary):
+        primary.ship()
+    # a second promote attempt for the same epoch loses the claim race
+    with pytest.raises(PromoteRace):
+        ReplicationPrimary(sess, primary.ship_dir, node_id="p1", _claim=2)
+
+
+def test_stale_epoch_heartbeat_is_ignored(rig):
+    """Even a heartbeat a zombie wrote in the promote race window is inert:
+    replicas reject heartbeats older than the stream epoch
+    (failover.rs:421-439, replica side)."""
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    replica2 = Replica(
+        replica.spark,
+        os.path.join(os.path.dirname(replica.storage_dir), "replica2"),
+        primary.ship_dir,
+        node_id="r2",
+    )
+    replica.promote()
+    # zombie force-writes a heartbeat bypassing ship()'s fence check
+    primary.heartbeat()
+    assert replica2._heartbeat() is None
+    assert replica2.lag()["heartbeat_age_sec"] is None
+
+
+def test_maybe_promote_on_stale_heartbeat(rig):
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    # fresh heartbeat: no failover
+    assert replica.maybe_promote(stale_after_sec=3600) is None
+    # stale heartbeat: auto-promote fires
+    hb_path = os.path.join(primary.ship_dir, "_heartbeat.json")
+    hb = json.load(open(hb_path))
+    hb["ts_unix"] = time.time() - 999
+    json.dump(hb, open(hb_path, "w"))
+    new_primary = replica.maybe_promote(stale_after_sec=30)
+    assert new_primary is not None and new_primary.epoch == 2
+    assert replica.status()["role"] == "primary"
+
+
+def test_torn_ship_is_invisible_to_replica(rig):
+    """A crashed mid-copy ship leaves only hidden _staging-* litter; the
+    manifest/heartbeat never advanced, so the replica applies nothing and
+    a re-ship completes cleanly (same staged-rename crash model as the
+    EventLog append)."""
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    sess.sql("INSERT INTO users VALUES (5, 'e', 50)")
+    # simulate the torn ship: stage bytes without manifest/heartbeat
+    gen_events = os.path.join(primary.ship_dir, "users", "gen-000001", "events")
+    os.makedirs(os.path.join(gen_events, "_staging-dead"), exist_ok=True)
+    open(os.path.join(gen_events, "_staging-dead", "part-x.parquet"), "wb").close()
+    assert replica.apply_pending()["applied"] == 0
+    assert _names(replica.session) == ["a", "b"]
+    # recovery: a clean ship supersedes the litter
+    primary.ship()
+    replica.apply_pending()
+    assert _names(replica.session) == ["a", "b", "e"]
+
+
+def test_catalog_and_new_tables_follow_the_stream(rig):
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    sess.sql("CREATE TABLE tags (id INT PRIMARY KEY, tag STRING)")
+    sess.sql("INSERT INTO tags VALUES (1, 'x')")
+    primary.ship()
+    replica.apply_pending()
+    assert [r["tag"] for r in replica.session.sql("SELECT tag FROM tags").collect()] == ["x"]
+    # the new table's log is read-only on the replica as well
+    with pytest.raises(ReadOnlyLog):
+        replica.session.sql("INSERT INTO tags VALUES (2, 'y')")
