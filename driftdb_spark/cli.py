@@ -126,6 +126,36 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "in-flight appends)",
     )
 
+    sp = sub.add_parser(
+        "replicate",
+        help="log-shipping replication (reference replication.rs/"
+        "failover.rs): ship | apply | status | promote",
+    )
+    rsub = sp.add_subparsers(dest="repl_cmd", required=True)
+    rp = rsub.add_parser("ship", help="ship --data's published log entries into a stream dir")
+    rp.add_argument("--to", required=True, metavar="STREAM", help="replication stream directory")
+    rp.add_argument("--node-id", default="primary")
+    rp = rsub.add_parser("apply", help="apply pending stream entries into --data (read-only standby)")
+    rp.add_argument("--from", required=True, dest="stream", metavar="STREAM")
+    rp.add_argument("--node-id", default="replica")
+    rp = rsub.add_parser("status", help="replica role, per-table lag, heartbeat age")
+    rp.add_argument("--from", required=True, dest="stream", metavar="STREAM")
+    rp.add_argument("--node-id", default="replica")
+    rp = rsub.add_parser(
+        "promote",
+        help="take over the stream: claim the next fencing epoch, go writable",
+    )
+    rp.add_argument("--from", required=True, dest="stream", metavar="STREAM")
+    rp.add_argument("--node-id", default="replica")
+    rp.add_argument(
+        "--if-stale",
+        type=float,
+        default=None,
+        metavar="SEC",
+        help="only promote if the primary heartbeat is missing or older "
+        "than SEC (auto-failover guard; unconditional without it)",
+    )
+
     sp = sub.add_parser("serve", help="serve --data over the Postgres wire protocol")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=5432)
@@ -271,6 +301,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     )
                 )
             )
+    elif args.cmd == "replicate":
+        from driftdb_spark.replication import Replica, ReplicationPrimary
+
+        if args.repl_cmd == "ship":
+            primary = ReplicationPrimary(sess, args.to, node_id=args.node_id)
+            shipped = primary.ship()
+            print(json.dumps({"ok": True, "epoch": primary.epoch, "shipped": shipped}))
+        else:
+            replica = Replica(spark, args.data, args.stream, node_id=args.node_id)
+            if args.repl_cmd == "apply":
+                out = replica.apply_pending()
+                print(json.dumps({"ok": True, **out, "lag": replica.lag()}))
+            elif args.repl_cmd == "status":
+                print(json.dumps(replica.status()))
+            elif args.repl_cmd == "promote":
+                if args.if_stale is not None:
+                    new_primary = replica.maybe_promote(args.if_stale)
+                    if new_primary is None:
+                        print(json.dumps({"ok": False, "promoted": False,
+                                          "reason": "primary heartbeat is fresh"}))
+                        return 1
+                else:
+                    new_primary = replica.promote()
+                print(json.dumps({"ok": True, "promoted": True, "epoch": new_primary.epoch}))
     elif args.cmd == "serve":
         from driftdb_spark.server import PgWireServer
 

@@ -71,3 +71,45 @@ def test_cli_backup_restore_verify(spark, tmp_path, capsys):
     assert out[0]["ok"] and out[0]["tables"] == ["items"]
     rows = _run(capsys, spark, "--data", restored, "select", "items")
     assert {(r["iid"], r["qty"]) for r in rows} == {(1, 5), (2, 9), (3, 7)}
+
+
+def test_cli_replicate_ship_apply_promote(spark, tmp_path, capsys):
+    """replicate ship/apply/status/promote round-trip (reference
+    replication.rs master/slave roles, failover.rs promote)."""
+    data = str(tmp_path / "primary")
+    stream = str(tmp_path / "stream")
+    standby = str(tmp_path / "standby")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "CREATE TABLE kv (k INT PRIMARY KEY, v STRING)")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "INSERT INTO kv VALUES (1, 'x'), (2, 'y')")
+
+    out = _run(capsys, spark, "--data", data, "replicate", "ship", "--to", stream)
+    assert out[0]["ok"] and out[0]["epoch"] == 1 and out[0]["shipped"]["kv"] >= 1
+
+    out = _run(capsys, spark, "--data", standby, "replicate", "apply", "--from", stream)
+    assert out[0]["applied"] >= 1 and out[0]["lag"]["max_lag"] == 0
+
+    rows = _run(capsys, spark, "--data", standby, "select", "kv")
+    assert {r["k"] for r in rows} == {1, 2}
+
+    st = _run(capsys, spark, "--data", standby, "replicate", "status", "--from", stream)
+    assert st[0]["role"] == "replica" and st[0]["read_only"]
+
+    # fresh heartbeat: the guarded promote refuses (exit 1)
+    rc = main(["--data", standby, "replicate", "promote", "--from", stream,
+               "--if-stale", "3600"], spark=spark)
+    assert rc == 1
+    capsys.readouterr()
+
+    out = _run(capsys, spark, "--data", standby, "replicate", "promote", "--from", stream)
+    assert out[0]["promoted"] and out[0]["epoch"] == 2
+
+    # promoted standby accepts writes; the fenced old primary cannot ship
+    _run(capsys, spark, "--data", standby, "sql", "-e",
+         "INSERT INTO kv VALUES (3, 'z')")
+    from driftdb_spark.replication import FencedPrimary
+
+    with pytest.raises(FencedPrimary):
+        main(["--data", data, "replicate", "ship", "--to", stream], spark=spark)
+    capsys.readouterr()
