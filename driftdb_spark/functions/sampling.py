@@ -608,3 +608,114 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs"),
         )
     )
+
+
+@register(
+    "sample_pareto_frontier",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, n_chars,
+             COUNT(*) AS n_tok, COUNT(DISTINCT token) AS n_uniq
+      FROM (SELECT doc_id, n_chars, UNNEST(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, n_chars
+    )
+    SELECT p.doc_id, p.n_chars, p.n_tok, p.n_uniq
+    FROM stats p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM stats d
+      WHERE d.n_chars >= p.n_chars
+        AND d.n_uniq * p.n_tok >= p.n_uniq * d.n_tok
+        AND (d.n_chars > p.n_chars OR d.n_uniq * p.n_tok > p.n_uniq * d.n_tok)
+    )
+    """,
+    tags=("sampling",),
+)
+def sample_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal (skyline) document selection on two quality axes —
+    length (n_chars) and lexical diversity (distinct-token fraction): keep
+    exactly the documents no other document dominates on both. The
+    multi-criteria analog of weighted top-k for curating "long AND
+    diverse" training data without inventing a single blended score.
+
+    Exactness: diversity fractions are compared by integer
+    cross-multiplication (d.n_uniq·p.n_tok vs p.n_uniq·d.n_tok), so
+    domination has no float edge cases and matches the oracle bit-for-bit.
+
+    Scale (the naive skyline is an all-pairs NOT EXISTS — quadratic):
+    1. per-doc stats: one explode + keyed aggregate over the corpus;
+    2. bin-prune: 32 fixed-width integer bins over n_chars; per-bin max
+       diversity (tiny aggregate) → suffix-max over strictly-higher bins
+       (32-row window) broadcast back. A doc below the suffix-max is
+       dominated by that bin's maximizer (strictly longer AND more
+       diverse) and is pruned. Every frontier doc provably survives, and
+       every dominator of a survivor is itself a survivor, so
+    3. the exact all-pairs anti-join runs only among the ~frontier-sized
+       candidate set (broadcast nested loop over a few rows), never the
+       corpus. The double-valued ratio is used ONLY inside the
+       conservative prune (with 1e-6 slack); the exact check is integer.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    stats = (
+        d.select(
+            "doc_id", "n_chars", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.countDistinct("token").alias("n_uniq"),
+        )
+        # referenced by the range aggregate, the bin maxima, and the
+        # candidate filter: pin the doc-sized (not corpus-sized) stats so
+        # the explode over the raw text runs exactly once
+        .persist()
+    )
+    n_bins = 32
+    rng = stats.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    pts = (
+        stats.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "bin",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    (F.col("n_chars") - F.col("lo"))
+                    * n_bins
+                    / (F.col("hi") - F.col("lo") + 1),
+                ).cast("int")
+            ),
+        )
+        .withColumn(
+            "ratio", F.col("n_uniq").cast("double") / F.col("n_tok").cast("double")
+        )
+        .drop("lo", "hi")
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    suffix = (
+        pts.groupBy("bin")
+        .agg(F.max("ratio").alias("bin_max"))
+        .select("bin", F.max("bin_max").over(w).alias("smax"))
+    )
+    cand = (
+        pts.join(F.broadcast(suffix), "bin")
+        .where(F.col("smax").isNull() | (F.col("ratio") >= F.col("smax") - 1e-6))
+        .select("doc_id", "n_chars", "n_tok", "n_uniq")
+        .persist()  # frontier-sized; both sides of the exact check
+    )
+    dom = cand.select(
+        F.col("doc_id").alias("d_id"),
+        F.col("n_chars").alias("d_chars"),
+        F.col("n_tok").alias("d_tok"),
+        F.col("n_uniq").alias("d_uniq"),
+    )
+    strict = (F.col("d_chars") > F.col("n_chars")) | (
+        F.col("d_uniq") * F.col("n_tok") > F.col("n_uniq") * F.col("d_tok")
+    )
+    dominated_by = (
+        (F.col("d_chars") >= F.col("n_chars"))
+        & (F.col("d_uniq") * F.col("n_tok") >= F.col("n_uniq") * F.col("d_tok"))
+        & strict
+    )
+    return cand.join(F.broadcast(dom), dominated_by, "left_anti")

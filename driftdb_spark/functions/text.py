@@ -15,7 +15,7 @@ where rounding absorbs libm last-ulp differences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from driftdb_spark.catalog import load_tables
@@ -1508,4 +1508,103 @@ def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", F.round("score", 6).alias("score"), "rnk")
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+    ranked AS (
+        SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+        FROM freq
+    ),
+    top AS (SELECT rank, tf FROM ranked WHERE rank <= 500),
+    pts AS (
+        SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+               CAST(ROUND(LN(CAST(tf AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        FROM top
+    ),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM pts
+    )
+    SELECT n AS n_ranks,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_exponent,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS log_c,
+           ROUND(POW(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+               / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM m
+    """,
+    tags=("text",),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: log-log OLS of term
+    frequency against frequency rank over the top 500 terms. The fitted
+    exponent (≈ −1 for natural language) is a standard corpus-health
+    diagnostic — a synthetic or template-heavy corpus shows a visibly
+    flatter or steeper tail, and the r² says how law-like the tail is.
+
+    Numerics: ln(rank)/ln(tf) are rounded to 9 decimals and summed as
+    DECIMAL (the agg_corr_exact discipline) so the five OLS moments are
+    order-independent; the closed form then runs in a fixed handful of
+    double ops both engines evaluate identically.
+
+    Scale: term frequencies are one explode + keyed aggregate; the top
+    500 come from a distributed top-k (TakeOrderedAndProject — each
+    partition keeps ≤ 500 rows before the single merge), so ranking
+    never globally sorts the vocabulary; the OLS runs on a 500-row
+    frame."""
+    d = load_tables(spark, sf_dir)["documents"]
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    top = freq.orderBy(F.col("tf").desc(), F.col("token")).limit(500)
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    pts = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("tf").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_exponent"),
+        F.round((sy - slope * sx) / n, 6).alias("log_c"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
     )

@@ -1630,3 +1630,90 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type,
+             CAST(ISODOW(ts) - 1 AS BIGINT) AS dow,
+             CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(12,4))) AS sx,
+             SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS sxx
+      FROM events
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, c.dow, c.hr,
+             CAST(e.value AS DOUBLE) AS value,
+             CAST(c.sx AS DOUBLE) / c.n AS mean,
+             sqrt((CAST(c.sxx AS DOUBLE) - CAST(c.sx AS DOUBLE) * CAST(c.sx AS DOUBLE) / c.n) / c.n) AS std,
+             c.n AS cell_n
+      FROM events e
+      JOIN cell c
+        ON c.event_type = e.event_type
+       AND c.dow = CAST(ISODOW(e.ts) - 1 AS BIGINT)
+       AND c.hr = CAST(EXTRACT(HOUR FROM e.ts) AS BIGINT)
+    )
+    SELECT event_id, event_type, dow, hr,
+           ROUND(value, 4) AS value,
+           ROUND((value - mean) / std, 6) AS zscore
+    FROM scored
+    WHERE cell_n >= 20 AND std > 0 AND ABS(value - mean) > 3 * std
+    """,
+    tags=("temporal", "agg"),
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: a (type, day-of-week, hour)
+    baseline instead of `events_rolling_zscore`'s trailing window, so a
+    Friday-evening spike is judged against Friday evenings, not the last
+    N events. Baselines use the exact-decimal moment discipline
+    (agg_corr_exact): Σx/Σx² accumulate as DECIMAL so the baseline is
+    partitioning-independent, then a handful of double ops per cell.
+
+    Scale: ONE keyed aggregate over the stream builds ≤ |types|·168
+    baseline cells; the scoring join broadcasts them back over the fact
+    scan (no second shuffle of the big side). Cells below n=20 are
+    excluded — a baseline of a handful of points flags noise."""
+    e = load_tables(spark, sf_dir)["events"]
+    x = F.col("value").cast("decimal(12,4)")
+    dow = F.expr("extract(DAYOFWEEK_ISO FROM ts)") - F.lit(1)
+    hr = F.hour("ts").cast("bigint")
+    keyed = e.select(
+        "event_id",
+        "event_type",
+        dow.cast("bigint").alias("dow"),
+        hr.alias("hr"),
+        F.col("value").cast("double").alias("value"),
+        x.alias("xv"),
+    )
+    cell = keyed.groupBy("event_type", "dow", "hr").agg(
+        F.count(F.lit(1)).alias("cell_n"),
+        F.sum("xv").alias("sx"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+    )
+    n = F.col("cell_n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    base = cell.select(
+        "event_type",
+        "dow",
+        "hr",
+        "cell_n",
+        (sx / n).alias("mean"),
+        F.sqrt((sxx - sx * sx / n) / n).alias("std"),
+    )
+    scored = keyed.join(F.broadcast(base), ["event_type", "dow", "hr"])
+    return scored.where(
+        (F.col("cell_n") >= 20)
+        & (F.col("std") > 0)
+        & (F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"))
+    ).select(
+        "event_id",
+        "event_type",
+        "dow",
+        "hr",
+        F.round("value", 4).alias("value"),
+        F.round((F.col("value") - F.col("mean")) / F.col("std"), 6).alias("zscore"),
+    )
