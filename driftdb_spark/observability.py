@@ -65,6 +65,14 @@ def _prometheus(counters: dict) -> str:
     emit("views", counters.get("views", 0))
     emit("transaction_open", counters.get("transaction_open", False))
     emit("wire_connections_active", counters.get("wire_connections_active", 0))
+    repl = counters.get("replication")
+    if repl:
+        emit("replication_is_replica", repl.get("role") == "replica")
+        emit("replication_max_lag_entries", repl.get("max_lag_entries", 0))
+        # None until the first heartbeat: emit() drops non-numerics
+        emit("replication_heartbeat_age_sec", repl.get("heartbeat_age_sec"))
+        for tbl, n in repl.get("tables", {}).items():
+            emit("replication_lag_entries", n, {"table": tbl})
     return "\n".join(lines) + "\n"
 
 
@@ -77,11 +85,17 @@ class HealthServer:
     """
 
     def __init__(self, session, host: str = "127.0.0.1", port: int = 0,
-                 wire_server=None):
+                 wire_server=None, replica=None):
         self._session = session
         self._wire = wire_server
+        self._replica = replica
         self._started = time.time()
         self.alerts = AlertManager(session, wire_server=wire_server)
+        if replica is not None:
+            # replication gauges (zero-job manifest reads) feed the
+            # HighReplicationLag / CriticalReplicationLag /
+            # ReplicationHeartbeatStale default rules
+            self.alerts.metric_providers.update(replica.metric_providers())
         outer = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -245,6 +259,11 @@ class HealthServer:
             snap["wire_connections_active"] = (
                 len(backends) if backends is not None else 0
             )
+        if self._replica is not None:
+            snap["replication"] = {
+                "role": "primary" if self._replica.promoted else "replica",
+                **self._replica.lag_entries(),
+            }
         return snap
 
     # -- lifecycle -------------------------------------------------------
@@ -335,10 +354,11 @@ class AlertManager:
     def _default_rules() -> list["AlertRule"]:
         # the reference's defaults (register_default_rules,
         # alerting.rs:231-378) restricted to metrics that exist on this
-        # engine: error rate, latency, disk; replication/pool/CPU rules
-        # have no counterpart (replication is documented out of scope,
-        # connections are unpooled, host CPU/memory belong to the
-        # cluster manager / Spark metrics sink)
+        # engine: error rate, latency, disk, pool, replication; CPU rules
+        # have no counterpart (host CPU/memory belong to the cluster
+        # manager / Spark metrics sink). Replication metrics appear only
+        # when a Replica is attached (HealthServer(replica=...)); absent
+        # metric -> the rules skip, same as the pool family.
         return [
             AlertRule(
                 "HighErrorRate", "error_rate_per_sec", "critical",
@@ -381,6 +401,29 @@ class AlertManager:
                 "critical", 100.0, ">=", 30.0,
                 "CRITICAL: Connection pool exhausted!",
                 {"type": "pool"},
+            ),
+            # replication family (reference alerting.rs:246-266; lag there
+            # is WAL bytes, here shipped-but-unapplied log entries — the
+            # unit the log-shipping design actually moves)
+            AlertRule(
+                "HighReplicationLag", "replication_max_lag_entries",
+                "warning", 50.0, ">", 120.0,
+                "Replication lag is high: {value} entries "
+                "(threshold: {threshold})",
+                {"type": "replication"},
+            ),
+            AlertRule(
+                "CriticalReplicationLag", "replication_max_lag_entries",
+                "critical", 500.0, ">", 60.0,
+                "CRITICAL: replication lag {value} entries",
+                {"type": "replication"},
+            ),
+            AlertRule(
+                "ReplicationHeartbeatStale", "replication_heartbeat_age_sec",
+                "critical", 300.0, ">", 0.0,
+                "Primary heartbeat stale: {value}s old "
+                "(failover threshold candidates should check maybe_promote)",
+                {"type": "replication"},
             ),
             # brute-force signal (reference security_monitor.rs failed-
             # login tracking): sustained wire auth failures

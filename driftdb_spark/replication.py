@@ -450,6 +450,56 @@ class Replica:
             "max_lag": max(tables.values(), default=0),
         }
 
+    def lag_entries(self) -> dict:
+        """Filesystem-metadata lag — shipped-but-unapplied LOG ENTRIES per
+        table plus heartbeat age, with ZERO Spark jobs (pure manifest/state
+        JSON reads), so a metrics scrape stays sub-ms while a long query
+        holds the executors. The scrape-safe twin of :meth:`lag` (which
+        compares sequences and runs a Spark aggregate per table)."""
+        manifest = _read_json(
+            os.path.join(self.ship_dir, MANIFEST_FILE), {"tables": {}}
+        )
+        state = _read_json(self._state_path(), {"tables": {}})
+        tables = {}
+        for name, t in manifest["tables"].items():
+            local = state["tables"].get(
+                name, {"generation": 0, "entries": []}
+            )
+            if local["generation"] != int(t["generation"]):
+                tables[name] = len(t["entries"])  # reseed pending: all of it
+            else:
+                tables[name] = len(set(t["entries"]) - set(local["entries"]))
+        hb = self._heartbeat()
+        return {
+            "heartbeat_age_sec": (
+                None if hb is None else round(time.time() - hb["ts_unix"], 3)
+            ),
+            "tables": tables,
+            "max_lag_entries": max(tables.values(), default=0),
+        }
+
+    def metric_providers(self) -> dict:
+        """Gauges for the observability AlertManager (reference
+        get_max_replication_lag, alerting.rs:561+ feeding the
+        HighReplicationLag/CriticalReplicationLag defaults). A provider
+        raising (e.g. no heartbeat yet) makes its metric absent for that
+        scrape, so the matching rules skip — same contract as the pool
+        family."""
+
+        def _max_lag() -> float:
+            return float(self.lag_entries()["max_lag_entries"])
+
+        def _hb_age() -> float:
+            age = self.lag_entries()["heartbeat_age_sec"]
+            if age is None:
+                raise RuntimeError("no heartbeat on the stream yet")
+            return float(age)
+
+        return {
+            "replication_max_lag_entries": _max_lag,
+            "replication_heartbeat_age_sec": _hb_age,
+        }
+
     def status(self) -> dict:
         lag = self.lag()
         return {

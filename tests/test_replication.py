@@ -226,3 +226,68 @@ def test_catalog_and_new_tables_follow_the_stream(rig):
     # the new table's log is read-only on the replica as well
     with pytest.raises(ReadOnlyLog):
         replica.session.sql("INSERT INTO tags VALUES (2, 'y')")
+
+
+def test_replication_metrics_and_lag_alerts(rig):
+    """Zero-job lag gauges feed /metrics and the replication alert family
+    (reference alerting.rs:246-266 HighReplicationLag/Critical; metric
+    absent -> rules skip, like the pool family)."""
+    import json as _json
+    import urllib.request
+
+    from driftdb_spark.observability import HealthServer
+
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    srv = HealthServer(replica.session, replica=replica).start()
+    try:
+        host, port = srv.address
+        with urllib.request.urlopen(f"http://{host}:{port}/metrics") as r:
+            m = _json.loads(r.read())
+        assert m["replication"]["role"] == "replica"
+        assert m["replication"]["max_lag_entries"] == 0
+        assert m["replication"]["heartbeat_age_sec"] is not None
+
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/metrics?format=prometheus"
+        ) as r:
+            text = r.read().decode()
+        assert "driftdb_replication_max_lag_entries 0" in text
+        assert 'driftdb_replication_lag_entries{table="users"} 0' in text
+
+        # fall behind: ship 3 more batches without applying
+        for i in range(10, 13):
+            sess.sql(f"INSERT INTO users VALUES ({i}, 'u{i}', {i})")
+            primary.ship()
+        assert replica.lag_entries()["max_lag_entries"] == 3
+
+        # the default rules are registered and see the gauge; drop the
+        # warning threshold so 3 entries breach it, then walk the
+        # pending->firing lifecycle with the injectable clock
+        from driftdb_spark.observability import AlertManager, AlertRule
+
+        now = [1000.0]
+        mgr = AlertManager(replica.session, clock=lambda: now[0])
+        assert {"HighReplicationLag", "CriticalReplicationLag",
+                "ReplicationHeartbeatStale"} <= {r["name"] for r in mgr.rules()}
+        mgr.metric_providers.update(replica.metric_providers())
+        mgr.add_rule(AlertRule(
+            "HighReplicationLag", "replication_max_lag_entries",
+            "warning", 2.0, ">", for_duration_sec=120.0,
+        ))
+        mgr.evaluate()  # establish the rate baseline
+        now[0] += 1.0
+        states = {a["name"]: a["state"] for a in mgr.evaluate()}
+        assert states.get("HighReplicationLag") == "pending"
+        now[0] += 121.0
+        states = {a["name"]: a["state"] for a in mgr.evaluate()}
+        assert states.get("HighReplicationLag") == "firing"
+
+        # catch up -> resolved
+        replica.apply_pending()
+        now[0] += 1.0
+        active = {a["name"] for a in mgr.evaluate()}
+        assert "HighReplicationLag" not in active
+    finally:
+        srv.stop()
