@@ -449,3 +449,166 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPM image decode, proven with actual sample math. Deterministic, so
     the rows-only check is stable."""
     return extract_wav_features(synthetic_wav_media(spark)).orderBy("media_id")
+
+
+# --- perceptual-hash image near-dup detection --------------------------------
+# The missing dedup modality: text has MinHash/SimHash, embeddings have
+# cosine; images get dHash (difference hash) over REAL decoded pixels —
+# the standard near-dup key that survives re-encoding and mild noise.
+
+
+def dhash_ppm(content: bytes) -> int:
+    """REAL perceptual hash: decode the P6 pixels, reduce to luminance,
+    block-mean down to a 9×8 grid, emit 64 bits of left<right comparisons
+    (dHash). Pure numpy, no image library; returns a signed int64 so the
+    bits survive a Spark LongType column (xor/bit_count don't care about
+    sign)."""
+    m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+255\s", content or b"")
+    if m is None:
+        return 0
+    w, h = int(m.group(1)), int(m.group(2))
+    px = _np.frombuffer(content, dtype=_np.uint8, count=w * h * 3, offset=m.end())
+    img = px.reshape(h, w, 3).astype(_np.float64)
+    gray = img @ _np.array([0.299, 0.587, 0.114])
+    # block means onto a 9×8 grid with integer boundaries (deterministic)
+    ys = (_np.arange(9) * h) // 8
+    xs = (_np.arange(10) * w) // 9
+    grid = _np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            grid[r, c] = gray[ys[r]: ys[r + 1], xs[c]: xs[c + 1]].mean()
+    bits = (grid[:, :-1] < grid[:, 1:]).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return int(_np.int64(_np.uint64(val)))
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def extract_ppm_phash(media: DataFrame) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` emitting one 64-bit dHash per image —
+    the only Python boundary in the image-dedup path; everything after
+    (banding, candidate join, hamming filter) is JVM-side bit math."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [dhash_ppm(c) for c in pdf["content"]],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(hashes, PHASH_SCHEMA)
+
+
+def noise_ppm_bytes(seed: int, width: int, height: int, perturb: int = 0) -> bytes:
+    """A P6 image of deterministic per-seed pseudo-random texture (unlike
+    the gradient generator, distinct seeds give uncorrelated dHashes).
+    ``perturb`` overwrites a 4×4 corner block — a localized-edit / mild
+    re-encode analog whose dHash moves only 1-2 bits (measured: planted
+    pairs land at hamming 1-2, distinct seeds at 29-38). The seed enters
+    multiplicatively with BOTH coordinates: a purely additive seed term
+    would cancel out of dHash's left<right comparisons and make all
+    seeds collide."""
+    x = _np.arange(width, dtype=_np.uint64)[None, :]
+    y = _np.arange(height, dtype=_np.uint64)[:, None]
+    base = (
+        (x + _np.uint64(seed * 13 + 1))
+        * (y + _np.uint64(seed * 7 + 3))
+        * _np.uint64(2654435761)
+    ) % 251
+    img = _np.stack(
+        [(base + k * 17) % 251 for k in range(3)], axis=-1
+    ).astype(_np.uint8)
+    body = bytearray(img.tobytes())
+    if perturb:
+        for r in range(4):
+            for c in range(4):
+                for k in range(3):
+                    body[(r * width + c) * 3 + k] = 200
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(body)
+
+
+def phash_near_dup_pairs(
+    sigs: DataFrame, max_hamming: int = 10, n_bands: int = 4
+) -> DataFrame:
+    """Banded near-dup pair mining over 64-bit perceptual hashes — the
+    SimHash recipe applied to images: split each hash into ``n_bands``
+    16-bit bands; only pairs agreeing on ≥1 band meet (an exact-match
+    shuffle on the band value, never all-pairs); survivors take an exact
+    popcount(xor) hamming filter. A true near-dup within ``max_hamming``
+    bits can miss only if its flipped bits hit every band — the usual LSH
+    recall trade, measured for SimHash in dedup.py's audits."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = sigs.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_bands)])
+        ).alias("band"),
+    ).select(
+        "media_id",
+        "phash",
+        "band",
+        F.expr(f"shiftrightunsigned(phash, band * {width}) & {mask}").alias(
+            "band_val"
+        ),
+    )
+    left = bands.select(
+        F.col("media_id").alias("a_id"),
+        F.col("phash").alias("a_hash"),
+        "band",
+        "band_val",
+    )
+    right = bands.select(
+        F.col("media_id").alias("b_id"),
+        F.col("phash").alias("b_hash"),
+        "band",
+        "band_val",
+    )
+    pairs = (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hash", "b_hash")
+        .distinct()
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def synthetic_phash_media(spark) -> DataFrame:
+    """Six distinct textures + three planted near-duplicates (ids 100+i are
+    perturbed copies of i for i in 0..2)."""
+    rows = []
+    for i in range(6):
+        w, h = 32 + 2 * (i % 3), 24 + 2 * (i % 2)
+        rows.append((i, "image", noise_ppm_bytes(i, w, h),
+                     ("image/x-portable-pixmap", f"src{i % 3}", 0)))
+        if i < 3:
+            rows.append((100 + i, "image", noise_ppm_bytes(i, w, h, perturb=1),
+                         ("image/x-portable-pixmap", f"src{i % 3}", 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=None,  # pixel decode is not SQL-expressible; the planted
+    # near-dup pairs are asserted in tests/test_multimodal.py
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection end-to-end: REAL pixel decode →
+    dHash in one Arrow-batched boundary, then banded candidate join +
+    exact hamming filter entirely in JVM bit math. Scale: the corpus is
+    hashed once (64 bits/image retained), candidates meet only on equal
+    16-bit bands — the same never-all-pairs discipline as MinHash-LSH and
+    SimHash over text."""
+    sigs = extract_ppm_phash(synthetic_phash_media(spark))
+    return phash_near_dup_pairs(sigs).orderBy("a_id", "b_id")

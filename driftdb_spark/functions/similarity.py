@@ -1359,3 +1359,75 @@ def sim_matryoshka_prefix_fidelity(spark: SparkSession, sf_dir: str) -> DataFram
             "n_threshold_agree"
         ),
     )
+
+
+@register(
+    "sim_cosine_topk_batch",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+    ),
+    s AS (
+        SELECT q.q_id, e.vec_id,
+          ROUND(
+            list_sum(list_transform(range(1, {DIM + 1}),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+          , 6) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id >= 8
+    )
+    SELECT q_id, vec_id, rank, cos_sim
+    FROM (
+        SELECT q_id, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM s
+    )
+    WHERE rank <= 3
+    """,
+    tags=("similarity",),
+)
+def sim_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k: 8 query vectors scored against the corpus in
+    ONE pass — the hard-negative-mining / retrieval-eval shape, where
+    queries arrive by the thousand and per-query scans would read the
+    corpus Q times.
+
+    Scale: the query block broadcasts (Q·DIM floats); each corpus row
+    fans out Q-fold inside the scan (bounded, no shuffle of the corpus);
+    the per-query cutoff compiles to WindowGroupLimit, so each partition
+    keeps ≤ k rows per query BEFORE the single exchange on q_id. Corpus
+    read exactly once regardless of Q. Same float64-promote + sequential
+    fold + ROUND(...,6) determinism discipline as sim_cosine_topk."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dots("embedding", "qe")
+                / (
+                    F.sqrt(_dots("embedding", "embedding"))
+                    * F.sqrt(_dots("qe", "qe"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )

@@ -148,3 +148,30 @@ def test_wav_decode_handles_junk_and_extra_chunks(spark):
     spliced = raw[:36] + junk + raw[36:]
     clean = decode_wav(raw)
     assert decode_wav(spliced) == clean and clean[0] == 8000
+
+
+def test_phash_dedup_finds_planted_near_dups(spark):
+    """dHash over real decoded pixels: the three planted perturbed copies
+    pair with their originals at small hamming; uncorrelated textures
+    (measured 29-38 bits apart) never pair. Banding is exact-match-join
+    only — no all-pairs."""
+    from driftdb_spark.functions.multimodal import (
+        dhash_ppm,
+        extract_ppm_phash,
+        noise_ppm_bytes,
+        phash_near_dup_pairs,
+        synthetic_phash_media,
+    )
+
+    sigs = extract_ppm_phash(synthetic_phash_media(spark))
+    pairs = {(r.a_id, r.b_id): r.hamming
+             for r in phash_near_dup_pairs(sigs).collect()}
+    assert {(0, 100), (1, 101), (2, 102)} <= set(pairs)
+    assert all(h <= 4 for h in pairs.values())
+    # no pair between distinct base textures
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+
+    # the Spark-side hamming agrees with an independent local popcount
+    h0 = dhash_ppm(noise_ppm_bytes(0, 32, 24))
+    h100 = dhash_ppm(noise_ppm_bytes(0, 32, 24, perturb=1))
+    assert pairs[(0, 100)] == bin((h0 ^ h100) & ((1 << 64) - 1)).count("1")
