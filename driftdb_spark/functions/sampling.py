@@ -719,3 +719,45 @@ def sample_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & strict
     )
     return cand.join(F.broadcast(dom), dominated_by, "left_anti")
+
+
+@register(
+    "sample_balanced_classes",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n) AS min_n FROM counts),
+    ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_HASH2}, doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.lang, r.doc_id
+    FROM ranked r, mn
+    WHERE r.rn <= mn.min_n
+    """,
+    tags=("sampling",),
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class balancing: downsample every language to the
+    size of the SMALLEST language, members chosen by content-hash order —
+    the uniform-prior rebalance before training a language-ID or quality
+    classifier, reproducible across engines and re-shards (no rand()).
+
+    Scale: one tiny per-class count aggregate (broadcast scalar), one
+    shuffle on the class key for the hash-ranked window; the rank cutoff
+    compiles to WindowGroupLimit so partitions drop rows past min_n
+    before the exchange when min_n is known; selection is stable under
+    incremental corpus growth except at the hash boundary."""
+    d = load_tables(spark, sf_dir)["documents"]
+    min_n = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("min_n"))
+    )
+    w = Window.partitionBy("lang").orderBy(_hash2(), F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .crossJoin(F.broadcast(min_n))
+        .where(F.col("rn") <= F.col("min_n"))
+        .select("lang", "doc_id")
+    )

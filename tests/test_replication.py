@@ -291,3 +291,37 @@ def test_replication_metrics_and_lag_alerts(rig):
         assert "HighReplicationLag" not in active
     finally:
         srv.stop()
+
+
+def test_ship_races_concurrent_appends_without_loss(rig):
+    """Chaos: a writer thread appends batches while ship()/apply() loop
+    concurrently. The pinned-entry-set protocol means every ship is a
+    consistent prefix; once the writer stops, one final ship+apply makes
+    the replica byte-equal to the primary — nothing lost, nothing torn."""
+    import threading
+
+    sess, primary, replica = rig
+    errors = []
+
+    def writer():
+        try:
+            for i in range(20, 40):
+                sess.sql(f"INSERT INTO users VALUES ({i}, 'w{i}', {i})")
+        except Exception as exc:  # pragma: no cover - failure surface
+            errors.append(exc)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(6):
+            primary.ship()
+            replica.apply_pending()
+    finally:
+        t.join()
+    assert not errors
+    primary.ship()
+    replica.apply_pending()
+    want = sorted(r["id"] for r in sess.sql("SELECT id FROM users").collect())
+    got = sorted(r["id"] for r in replica.session.sql("SELECT id FROM users").collect())
+    assert got == want and len(want) == 22
+    assert replica.lag()["max_lag"] == 0
