@@ -142,6 +142,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     rp.add_argument("--from", required=True, dest="stream", metavar="STREAM")
     rp.add_argument("--node-id", default="replica")
     rp = rsub.add_parser(
+        "follow",
+        help="standby daemon: apply continuously; optional auto-failover",
+    )
+    rp.add_argument("--from", required=True, dest="stream", metavar="STREAM")
+    rp.add_argument("--node-id", default="replica")
+    rp.add_argument("--interval", type=float, default=1.0, metavar="SEC")
+    rp.add_argument(
+        "--failover-after",
+        type=float,
+        default=None,
+        metavar="SEC",
+        help="auto-promote when the primary heartbeat is older than SEC "
+        "(only after the shipped backlog is applied)",
+    )
+    rp.add_argument(
+        "--max-seconds",
+        type=float,
+        default=None,
+        help="exit after this long (default: run until interrupted)",
+    )
+    rp = rsub.add_parser(
         "promote",
         help="take over the stream: claim the next fencing epoch, go writable",
     )
@@ -310,6 +331,33 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(json.dumps({"ok": True, "epoch": primary.epoch, "shipped": shipped}))
         else:
             replica = Replica(spark, args.data, args.stream, node_id=args.node_id)
+            if args.repl_cmd == "follow":
+                import time as _time
+
+                loop = replica.follow(
+                    interval_sec=args.interval,
+                    failover_after_sec=args.failover_after,
+                )
+                t0 = _time.time()
+                try:
+                    while loop.promoted_to is None and (
+                        args.max_seconds is None
+                        or _time.time() - t0 < args.max_seconds
+                    ):
+                        _time.sleep(min(args.interval, 1.0))
+                except KeyboardInterrupt:
+                    pass
+                finally:
+                    loop.stop()
+                print(json.dumps({
+                    "ok": True,
+                    "applies": loop.applies,
+                    "promoted": loop.promoted_to is not None,
+                    **({"epoch": loop.promoted_to.epoch}
+                       if loop.promoted_to is not None else {}),
+                    "errors": loop.errors[-5:],
+                }))
+                return 0
             if args.repl_cmd == "apply":
                 out = replica.apply_pending()
                 print(json.dumps({"ok": True, **out, "lag": replica.lag()}))

@@ -537,3 +537,70 @@ class Replica:
         if hb is not None and (time.time() - hb["ts_unix"]) < stale_after_sec:
             return None
         return self.promote()
+
+    def follow(
+        self,
+        interval_sec: float = 1.0,
+        failover_after_sec: float | None = None,
+        on_promote=None,
+    ) -> "FollowerLoop":
+        """Run the standby loop in a daemon thread: apply pending entries
+        every ``interval_sec`` (reference sync_interval_ms,
+        replication.rs:42, the coordinator's background sync), and — when
+        ``failover_after_sec`` is set — auto-promote once the primary
+        heartbeat goes stale past it, BUT only after the backlog the
+        stream already holds is applied (promoting behind known shipped
+        data would discard acknowledged writes; the reference's failover
+        likewise elects the most-caught-up node, failover.rs:178+).
+        ``on_promote(new_primary)`` fires once after a promotion. Returns
+        a handle with ``.stop()``; the loop also stops itself after a
+        promotion (a primary does not follow)."""
+        loop = FollowerLoop(self, interval_sec, failover_after_sec, on_promote)
+        loop.start()
+        return loop
+
+
+class FollowerLoop:
+    """Background apply/auto-failover loop for a :class:`Replica`."""
+
+    def __init__(self, replica, interval_sec, failover_after_sec, on_promote):
+        import threading
+
+        self.replica = replica
+        self.interval_sec = interval_sec
+        self.failover_after_sec = failover_after_sec
+        self.on_promote = on_promote
+        self.promoted_to: ReplicationPrimary | None = None
+        self.applies = 0
+        self.errors: list[str] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                out = self.replica.apply_pending()
+                if out["applied"]:
+                    self.applies += 1
+                if (
+                    self.failover_after_sec is not None
+                    and self.replica.lag_entries()["max_lag_entries"] == 0
+                ):
+                    new_primary = self.replica.maybe_promote(
+                        self.failover_after_sec
+                    )
+                    if new_primary is not None:
+                        self.promoted_to = new_primary
+                        if self.on_promote is not None:
+                            self.on_promote(new_primary)
+                        return
+            except Exception as exc:  # keep following through transient I/O
+                self.errors.append(f"{type(exc).__name__}: {exc}")
+            self._stop.wait(self.interval_sec)
+
+    def stop(self, timeout: float = 10.0) -> None:
+        self._stop.set()
+        self._thread.join(timeout)

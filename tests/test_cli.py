@@ -113,3 +113,20 @@ def test_cli_replicate_ship_apply_promote(spark, tmp_path, capsys):
     with pytest.raises(FencedPrimary):
         main(["--data", data, "replicate", "ship", "--to", stream], spark=spark)
     capsys.readouterr()
+
+
+def test_cli_replicate_follow_bounded(spark, tmp_path, capsys):
+    """replicate follow with --max-seconds: applies the backlog then exits."""
+    data = str(tmp_path / "p2")
+    stream = str(tmp_path / "s2")
+    standby = str(tmp_path / "r2")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "CREATE TABLE kv2 (k INT PRIMARY KEY, v STRING)")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "INSERT INTO kv2 VALUES (1, 'x')")
+    _run(capsys, spark, "--data", data, "replicate", "ship", "--to", stream)
+    out = _run(capsys, spark, "--data", standby, "replicate", "follow",
+               "--from", stream, "--interval", "0.2", "--max-seconds", "4")
+    assert out[0]["ok"] and out[0]["applies"] >= 1 and not out[0]["promoted"]
+    rows = _run(capsys, spark, "--data", standby, "select", "kv2")
+    assert [r["k"] for r in rows] == [1]

@@ -325,3 +325,49 @@ def test_ship_races_concurrent_appends_without_loss(rig):
     got = sorted(r["id"] for r in replica.session.sql("SELECT id FROM users").collect())
     assert got == want and len(want) == 22
     assert replica.lag()["max_lag"] == 0
+
+
+def test_follower_loop_applies_and_auto_promotes(rig):
+    """The standby daemon (reference sync_interval_ms background sync +
+    failover health check): continuous apply keeps the replica caught up;
+    once the heartbeat goes stale, it promotes itself — but only after
+    the shipped backlog is applied — and the loop exits (a primary does
+    not follow)."""
+    sess, primary, replica = rig
+    primary.ship()
+    promoted = []
+    loop = replica.follow(
+        interval_sec=0.2,
+        failover_after_sec=3600,  # fresh heartbeat: no failover yet
+        on_promote=promoted.append,
+    )
+    try:
+        deadline = time.time() + 30
+        while replica.lag_entries()["max_lag_entries"] != 0 and time.time() < deadline:
+            time.sleep(0.2)
+        assert replica.lag_entries()["max_lag_entries"] == 0
+        assert _names(replica.session) == ["a", "b"]
+
+        # new data flows through without manual applies
+        sess.sql("INSERT INTO users VALUES (5, 'e', 50)")
+        primary.ship()
+        deadline = time.time() + 30
+        while "e" not in _names(replica.session) and time.time() < deadline:
+            time.sleep(0.2)
+        assert "e" in _names(replica.session)
+        assert not promoted and loop.promoted_to is None
+
+        # age the heartbeat -> the loop promotes and stops
+        hb_path = os.path.join(primary.ship_dir, "_heartbeat.json")
+        hb = json.load(open(hb_path))
+        hb["ts_unix"] = time.time() - 7200
+        json.dump(hb, open(hb_path, "w"))
+        loop.failover_after_sec = 60
+        deadline = time.time() + 30
+        while not promoted and time.time() < deadline:
+            time.sleep(0.2)
+        assert promoted and promoted[0].epoch == 2
+        assert replica.status()["role"] == "primary"
+        assert not loop.errors
+    finally:
+        loop.stop()
