@@ -99,3 +99,43 @@ def test_client_cancel_request_is_accepted(server):
         c.cancel()
         time.sleep(1.0)  # let the cancel land while the backend is idle
         assert c.query("SELECT 5 AS v").scalar() == "5"
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    """Self-signed cert + key via the openssl CLI (skip if unavailable)."""
+    import shutil as _shutil
+    import subprocess
+
+    if _shutil.which("openssl") is None:
+        pytest.skip("openssl not available")
+    d = tmp_path_factory.mktemp("tls_client")
+    cert, key = d / "server.crt", d / "server.key"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", str(key), "-out", str(cert), "-days", "1",
+            "-subj", "/CN=localhost",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return str(cert), str(key)
+
+
+def test_client_tls_connection(spark, tmp_path, tls_cert):
+    from driftdb_spark.server import tls_context_from_files
+
+    cert, key = tls_cert
+    sess = DriftSession(spark, str(tmp_path))
+    srv = PgWireServer(
+        sess, ssl_context=tls_context_from_files(cert, key)
+    ).start()
+    try:
+        host, port = srv.address
+        with DriftClient(host, port, user="app", tls=True) as c:
+            c.query("CREATE TABLE enc (id INT PRIMARY KEY, v STRING)")
+            c.execute("INSERT INTO enc VALUES ($1, $2)", (1, "secret"))
+            assert c.query("SELECT v FROM enc").scalar() == "secret"
+    finally:
+        srv.stop()
