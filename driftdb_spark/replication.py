@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -163,6 +164,9 @@ class ReplicationPrimary:
         self.session = session
         self.ship_dir = os.path.abspath(ship_dir)
         self.node_id = node_id
+        # in-process guard: two ship() calls interleaving would lose
+        # manifest updates (cross-process single-writer is the epoch's job)
+        self._ship_lock = threading.Lock()
         os.makedirs(self.ship_dir, exist_ok=True)
         if _claim is not None:
             # promote() path: claim a specific epoch (exclusive-create)
@@ -225,6 +229,10 @@ class ReplicationPrimary:
         Returns ``{table: n_entries_shipped}``. Raises
         :class:`FencedPrimary` (and leaves the heartbeat untouched) if a
         replica promoted."""
+        with self._ship_lock:
+            return self._ship_locked()
+
+    def _ship_locked(self) -> dict:
         self._check_fence()
         manifest = _read_json(
             os.path.join(self.ship_dir, MANIFEST_FILE), {"tables": {}}
@@ -320,6 +328,9 @@ class Replica:
         self.ship_dir = os.path.abspath(ship_dir)
         self.node_id = node_id
         self.promoted = False
+        # in-process guard: the follower loop and manual apply_pending()
+        # must not interleave a reseed swap with an incremental copy
+        self._apply_lock = threading.Lock()
         os.makedirs(self.storage_dir, exist_ok=True)
         self.session = None
         self._rebuild_session()
@@ -347,6 +358,10 @@ class Replica:
         Pure metadata work — per-entry copy + rename, no row-level apply.
         Idempotent and crash-safe: a torn copy stays hidden in a
         ``_staging-*`` sibling and re-runs cleanly."""
+        with self._apply_lock:
+            return self._apply_locked()
+
+    def _apply_locked(self) -> dict:
         if self.promoted:
             raise RuntimeError("promoted replica no longer follows the stream")
         manifest = _read_json(os.path.join(self.ship_dir, MANIFEST_FILE))

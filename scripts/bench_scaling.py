@@ -58,6 +58,14 @@ OPS = [
     # round 7: the remaining iterative-family members get the sf1 decade
     ("text_bpe_learn_merges", "documents"),
     ("graph_pagerank_nations", "lineitem"),
+    # round 7 additions: skyline (bin-prune + candidate-only exact check —
+    # the curve shows the all-pairs stage NOT growing with the corpus),
+    # distributed top-k ranking, baseline-broadcast anomaly scoring, and
+    # the Q-fold batched retrieval scan
+    ("sample_pareto_frontier", "documents"),
+    ("text_zipf_fit", "documents"),
+    ("events_seasonal_anomaly", "events"),
+    ("sim_cosine_topk_batch", "embeddings"),
 ]
 
 # Every op gets the sf1 decade when the synthesized data exists — the
