@@ -250,11 +250,13 @@ def test_no_python_or_cartesian_in_any_registered_plan(spark):
         "FlatMapGroupsInPandas",
     )
     PY_ALLOWED = {
-        # the four sanctioned Arrow-batched decode boundaries
+        # the five sanctioned Arrow-batched decode boundaries (pixel/
+        # sample decode is the one place Python is the design — SCALE.md §4)
         "multimodal_audio_features",
         "multimodal_image_features",
         "multimodal_ppm_decode",
         "multimodal_wav_decode",
+        "multimodal_phash_dedup",  # dHash decode; banding/hamming stay JVM
     }
     offenders_py, offenders_cart = [], []
     for name, spec in sorted(QUERIES.items()):
