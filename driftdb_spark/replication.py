@@ -342,6 +342,9 @@ class Replica:
         from driftdb_spark.sql_frontend import DriftSession
 
         self.session = DriftSession(self.spark, self.storage_dir)
+        # SHOW REPLICATION STATUS answers from this (zero-job) snapshot —
+        # wire clients on a standby can introspect lag without JSON/HTTP
+        self.session._replica_status_fn = self._wire_status
         if not self.promoted:
             self.session._read_only = True
             for _name, (log, _cols) in self.session._tables.items():
@@ -513,6 +516,19 @@ class Replica:
         return {
             "replication_max_lag_entries": _max_lag,
             "replication_heartbeat_age_sec": _hb_age,
+        }
+
+    def _wire_status(self) -> dict:
+        """The SHOW REPLICATION STATUS payload: role + entry-lag, all from
+        manifest/state JSON (no Spark job — safe for wire scrapes)."""
+        le = self.lag_entries()
+        return {
+            "role": "primary" if self.promoted else "replica",
+            "read_only": not self.promoted,
+            "stream_epoch": _stream_epoch(self.ship_dir)["epoch"],
+            "heartbeat_age_sec": le["heartbeat_age_sec"],
+            "max_lag_entries": le["max_lag_entries"],
+            "tables": le["tables"],
         }
 
     def status(self) -> dict:

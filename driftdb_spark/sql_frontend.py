@@ -780,6 +780,9 @@ class DriftSession:
     )
     _SHOW_TABLES_RE = _re.compile(r"^SHOW\s+TABLES$", _re.IGNORECASE)
     _SHOW_STATUS_RE = _re.compile(r"^SHOW\s+STATUS$", _re.IGNORECASE)
+    _SHOW_REPL_STATUS_RE = _re.compile(
+        r"^SHOW\s+REPLICATION\s+STATUS$", _re.IGNORECASE
+    )
     _SHOW_CREATE_RE = _re.compile(
         r"^SHOW\s+CREATE\s+TABLE\s+(\w+)$", _re.IGNORECASE
     )
@@ -893,6 +896,32 @@ class DriftSession:
                 (f"statements_{v.lower()}", str(n))
                 for v, n in snap["statements_by_verb"].items()
             ]
+            return self.spark.createDataFrame(flat, "name string, value string")
+        m = self._SHOW_REPL_STATUS_RE.match(q)
+        if m:
+            # Wire-reachable standby introspection (reference
+            # get_replication_lag, replication.rs:612-620): works on any
+            # session — a non-replica answers role=primary with no lag
+            # rows, a replica session (replication.Replica binds itself
+            # via _replica_status_fn) reports role, heartbeat age, and
+            # per-table entry lag without a Spark job.
+            if getattr(self, "_replica_status_fn", None) is not None:
+                st = self._replica_status_fn()
+                flat = [
+                    ("role", str(st["role"])),
+                    ("read_only", str(st["read_only"]).lower()),
+                    ("stream_epoch", str(st["stream_epoch"])),
+                    ("heartbeat_age_sec", str(st["heartbeat_age_sec"])),
+                    ("max_lag_entries", str(st["max_lag_entries"])),
+                ] + [
+                    (f"lag_entries_{t}", str(n))
+                    for t, n in sorted(st["tables"].items())
+                ]
+            else:
+                flat = [
+                    ("role", "primary"),
+                    ("read_only", str(self._read_only).lower()),
+                ]
             return self.spark.createDataFrame(flat, "name string, value string")
         m = self._SHOW_TABLES_RE.match(q)
         if m:

@@ -371,3 +371,35 @@ def test_follower_loop_applies_and_auto_promotes(rig):
         assert not loop.errors
     finally:
         loop.stop()
+
+
+def test_show_replication_status_sql(rig):
+    """SHOW REPLICATION STATUS is wire-reachable standby introspection:
+    a replica session reports role/epoch/lag from manifest JSON (zero
+    Spark jobs on the lag path), a plain session answers role=primary."""
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    rows = {r["name"]: r["value"]
+            for r in replica.session.sql("SHOW REPLICATION STATUS").collect()}
+    assert rows["role"] == "replica" and rows["read_only"] == "true"
+    assert rows["stream_epoch"] == "1"
+    assert rows["max_lag_entries"] == "0" and rows["lag_entries_users"] == "0"
+
+    sess.sql("INSERT INTO users VALUES (8, 'h', 80)")
+    primary.ship()
+    rows = {r["name"]: r["value"]
+            for r in replica.session.sql("SHOW REPLICATION STATUS").collect()}
+    assert rows["max_lag_entries"] == "1"
+
+    # a plain (primary) session answers too
+    rows = {r["name"]: r["value"]
+            for r in sess.sql("SHOW REPLICATION STATUS").collect()}
+    assert rows["role"] == "primary" and rows["read_only"] == "false"
+
+    # promoted replica flips role
+    replica.apply_pending()
+    replica.promote()
+    rows = {r["name"]: r["value"]
+            for r in replica.session.sql("SHOW REPLICATION STATUS").collect()}
+    assert rows["role"] == "primary" and rows["read_only"] == "false"
