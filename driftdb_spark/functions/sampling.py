@@ -761,3 +761,55 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("min_n"))
         .select("lang", "doc_id")
     )
+
+
+@register(
+    "sample_epoch_order",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, e.epoch,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents, (SELECT UNNEST([0, 1]) AS epoch) e
+    )
+    SELECT epoch,
+           CAST(substr(h, 1, 1) AS VARCHAR) AS shard,
+           doc_id,
+           ROW_NUMBER() OVER (PARTITION BY epoch, substr(h, 1, 1)
+                              ORDER BY h, doc_id) AS pos
+    FROM keyed
+    """,
+    tags=("sampling",),
+)
+def sample_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: every epoch reshuffles the
+    whole corpus by md5(epoch:doc_id) — a full, independent permutation
+    per epoch with no rand(), so a resumed or re-run job replays the
+    exact same order (the data-loader reproducibility contract).
+
+    Scale: a true global position would serialize each epoch through one
+    reducer, so the order is factored as (shard, pos): the hash's first
+    hex digit shards each epoch 16 ways and positions are ranked within
+    (epoch, shard) — the global order IS (epoch, shard, pos) lexically,
+    every rank window is corpus/16 sized, and shard count widens freely
+    (more hash digits) as the corpus grows. Writers emit one file per
+    (epoch, shard); trainers consume shards in name order."""
+    d = load_tables(spark, sf_dir)["documents"]
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch", F.substring("h", 1, 1)).orderBy(
+        "h", "doc_id"
+    )
+    return keyed.select(
+        "epoch",
+        F.substring("h", 1, 1).alias("shard"),
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
