@@ -592,7 +592,10 @@ class EventLog:
         than the snapshot's labeled sequence into the snapshot, making
         ``AS OF`` through that snapshot serve future state."""
         self._check_writable("snapshot")
-        return self._snapshot_of(self._log_entries())
+        entries = self._log_entries()
+        if not entries and not self._snapshot_seqs():
+            return 0  # nothing has ever been published (fuzz-found)
+        return self._snapshot_of(entries)
 
     def _snapshot_of(self, entries: list[str]) -> int:
         ev = self._read_entries(entries)
@@ -624,6 +627,9 @@ class EventLog:
         # the rebuild plan against a directory we're about to move.
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(new_dir)
         old_dir = self._events_dir + f".old-{uuid.uuid4().hex[:8]}"
+        # an absent live dir is a valid (never-written or fully-purged)
+        # log: rewrite it as empty rather than crash (fuzz-found)
+        os.makedirs(self._events_dir, exist_ok=True)
         os.rename(self._events_dir, old_dir)
         os.rename(new_dir, self._events_dir)
         known = set(known_entries)
@@ -667,6 +673,10 @@ class EventLog:
         rescue-sweep swap (``_swap_events_dir``)."""
         self._check_writable("compact")
         entries = self._log_entries()
+        if not entries:
+            # empty log (CREATE TABLE, no writes yet — fuzz-found): there
+            # is nothing to rewrite and no events dir to swap
+            return
         seq = self._snapshot_of(entries)
         snap = self.spark.read.parquet(os.path.join(self._snap_dir, f"seq={seq}"))
         tail = self._read_entries(entries).filter(F.col("sequence") > seq)
@@ -710,6 +720,8 @@ class EventLog:
             F.col(keys.columns[0]).cast("string").alias("pk")
         ).distinct()
         entries = self._log_entries()
+        if not entries and not self._snapshot_seqs():
+            return 0  # empty log: nothing to purge, no dir to swap
         ev = self._read_entries(entries)
         before = ev.count()
         kept = ev.join(F.broadcast(pk_list), "pk", "anti")

@@ -278,11 +278,14 @@ class ReplicationPrimary:
             hb_tables[name] = {"last_sequence": log.last_sequence()}
             shipped[name] = n
             # keep current + previous generation only: in-flight applies of
-            # gen G-1 survive, older generations sweep (views.py pattern)
+            # gen G-1 survive, older generations sweep (views.py pattern).
+            # A table with no published entries yet (CREATE TABLE, no
+            # writes — fuzz-found) has no stream dir to sweep.
             tbl_dir = os.path.join(self.ship_dir, name)
-            for d in sorted(os.listdir(tbl_dir)):
-                if d.startswith("gen-") and int(d[4:]) < gen - 1:
-                    shutil.rmtree(os.path.join(tbl_dir, d), ignore_errors=True)
+            if os.path.isdir(tbl_dir):
+                for d in sorted(os.listdir(tbl_dir)):
+                    if d.startswith("gen-") and int(d[4:]) < gen - 1:
+                        shutil.rmtree(os.path.join(tbl_dir, d), ignore_errors=True)
         cat = self.session._catalog_path()
         if os.path.exists(cat):
             tmp = os.path.join(self.ship_dir, f"_cat-tmp-{uuid.uuid4().hex[:8]}")
@@ -386,6 +389,7 @@ class Replica:
                 # reader mid-scan of the old tree finishes against moved-
                 # aside files, same as the EventLog's swap protocol
                 fresh = tbl_dir + f".reseed-{uuid.uuid4().hex[:8]}"
+                os.makedirs(fresh, exist_ok=True)  # empty live set is valid
                 for e in t["entries"]:
                     _atomic_copy(
                         os.path.join(gen_dir, "events", e),

@@ -1,0 +1,96 @@
+"""Property fuzz: after ship+apply, replica state ≡ primary state.
+
+Hypothesis generates random programs mixing DML (insert/update/delete),
+log maintenance (snapshot/compact/purge — the operations that REWRITE
+storage and force generation reseeds), and replication steps
+(ship/apply, sometimes skipped so applies batch up). The invariant: once
+the program ends with a final ship+apply, the replica's visible state —
+and, for purge, its full event history — equals the primary's. This is
+the model-based discipline of test_constraint_fuzz/test_imv_fuzz applied
+to the log-shipping protocol (replication.py): the model is the primary
+itself, so any divergence is a shipping/generation bug by construction."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from driftdb_spark.replication import Replica, ReplicationPrimary
+from driftdb_spark.sql_frontend import DriftSession
+
+# ops over a small pk domain so update/delete/purge actually hit rows
+_op = st.one_of(
+    st.tuples(st.just("ins"), st.integers(1, 6), st.integers(0, 99)),
+    st.tuples(st.just("upd"), st.integers(1, 6), st.integers(0, 99)),
+    st.tuples(st.just("del"), st.integers(1, 6)),
+    st.tuples(st.just("snapshot")),
+    st.tuples(st.just("compact")),
+    st.tuples(st.just("purge"), st.integers(1, 6)),
+    st.tuples(st.just("ship_apply")),
+    st.tuples(st.just("ship_only")),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(program=st.lists(_op, min_size=3, max_size=9))
+def test_replica_converges_to_primary(spark, tmp_path_factory, program):
+    root = tmp_path_factory.mktemp("replfuzz")
+    sess = DriftSession(spark, str(root / "primary"))
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    primary = ReplicationPrimary(sess, str(root / "stream"))
+    replica = Replica(spark, str(root / "replica"), str(root / "stream"))
+    log, _cols = sess._tables["t"]
+    purged: set[int] = set()
+
+    def current_ids():
+        return {r["id"] for r in sess.sql("SELECT id FROM t").collect()}
+
+    for op in program:
+        kind = op[0]
+        if kind == "ins":
+            _k, pk, v = op
+            if pk in current_ids():
+                sess.sql(f"UPDATE t SET v = {v} WHERE id = {pk}")
+            else:
+                sess.sql(f"INSERT INTO t VALUES ({pk}, {v})")
+        elif kind == "upd":
+            _k, pk, v = op
+            sess.sql(f"UPDATE t SET v = {v} WHERE id = {pk}")
+        elif kind == "del":
+            sess.sql(f"DELETE FROM t WHERE id = {op[1]}")
+        elif kind == "snapshot":
+            log.snapshot()
+        elif kind == "compact":
+            log.compact()
+        elif kind == "purge":
+            log.purge(spark.createDataFrame([(op[1],)], "id int"))
+            purged.add(op[1])
+        elif kind == "ship_apply":
+            primary.ship()
+            replica.apply_pending()
+        elif kind == "ship_only":
+            primary.ship()
+
+    primary.ship()
+    replica.apply_pending()
+
+    want = sorted(
+        (r["id"], r["v"]) for r in sess.sql("SELECT id, v FROM t").collect()
+    )
+    got = sorted(
+        (r["id"], r["v"])
+        for r in replica.session.sql("SELECT id, v FROM t").collect()
+    )
+    assert got == want
+    # compliance: purged keys (still absent from current state) left no
+    # history on the replica either
+    rlog, _c = replica.session._tables["t"]
+    live = {int(pk) for pk, _v in want}
+    for pk in purged - live:
+        assert rlog.events().filter(f"pk = '{pk}'").count() == 0
