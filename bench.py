@@ -68,6 +68,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_chunk_overlap",
     "text_bpe_learn_merges",
+    # r7 breadth: batched retrieval (Q-fold scan + WindowGroupLimit) and
+    # the bin-pruned exact skyline — the two new scan shapes this round
+    "sim_cosine_topk_batch",
+    "sample_pareto_frontier",
 ]
 
 N_WARMUP = 2
@@ -83,6 +87,9 @@ ITERATIVE = {
     "dedup_cluster_components",
     "graph_pagerank_nations",
     "text_bpe_learn_merges",
+    # persists its doc-stats and candidate frames internally: build-once
+    # would time a cache read, so it pays the full build every pass
+    "sample_pareto_frontier",
 }
 
 
@@ -130,7 +137,7 @@ def main() -> None:
         # r3+: median-of-3 over a grown list). Longitudinal consumers must
         # key totals on (suite_rev, n_queries) or compare per-query entries,
         # never raw totals across revs (ADVICE r3).
-        "suite_rev": 5,
+        "suite_rev": 6,
         "n_queries": len(times),
         "aggregation": "median",
         "queries": times,
