@@ -403,3 +403,29 @@ def test_show_replication_status_sql(rig):
     rows = {r["name"]: r["value"]
             for r in replica.session.sql("SHOW REPLICATION STATUS").collect()}
     assert rows["role"] == "primary" and rows["read_only"] == "false"
+
+
+def test_views_and_rls_propagate_through_the_catalog(rig):
+    """The shipped catalog carries views and RLS policies: a replica
+    serves the view and enforces the policy for a restricted identity —
+    standbys answer exactly like the primary, including row security."""
+    sess, primary, replica = rig
+    sess.sql("CREATE VIEW big_users AS SELECT name, qty FROM users WHERE qty >= 20")
+    sess.sql("ALTER TABLE users ENABLE ROW LEVEL SECURITY")
+    sess.sql(
+        "CREATE POLICY own_rows ON users FOR SELECT TO PUBLIC USING (name = 'a')"
+    )
+    primary.ship()
+    replica.apply_pending()
+
+    got = replica.session.sql("SELECT name FROM big_users").collect()
+    assert [r["name"] for r in got] == ["b"]
+
+    # a restricted identity on the REPLICA sees only its policy rows
+    replica.session.set_security_context("alice", roles=["PUBLIC"])
+    try:
+        rows = replica.session.sql("SELECT name FROM users").collect()
+        assert [r["name"] for r in rows] == ["a"]
+    finally:
+        replica.session.set_security_context(None)
+    assert len(_names(replica.session)) == 2  # owner bypass intact
