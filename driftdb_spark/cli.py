@@ -21,6 +21,10 @@ Usage::
     python -m driftdb_spark --data /path compact t
     python -m driftdb_spark --data /path analyze t
     python -m driftdb_spark --data /path tables
+    python -m driftdb_spark --data /path replicate ship --to /stream
+    python -m driftdb_spark --data /standby replicate follow --from /stream \
+        --failover-after 30
+    python -m driftdb_spark --data /standby replicate promote --from /stream
 """
 
 from __future__ import annotations

@@ -429,3 +429,41 @@ def test_views_and_rls_propagate_through_the_catalog(rig):
     finally:
         replica.session.set_security_context(None)
     assert len(_names(replica.session)) == 2  # owner bypass intact
+
+
+def test_streaming_materializer_follows_replica_log(rig, tmp_path):
+    """Composition: the Structured Streaming state materializer folds the
+    REPLICA's applied log into a continuously-maintained state table —
+    a standby serving a hot materialized view of replicated data. The
+    streamed state equals the primary's reconstruction (shared
+    fold_events semantics), including across a second ship/apply round."""
+    from driftdb_spark.streaming.ingest import start_state_materializer
+
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    rlog, _cols = replica.session._tables["users"]
+    state = str(tmp_path / "replica_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_state_materializer(
+        replica.spark, rlog._events_dir, state, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["pk"],) for r in replica.spark.read.parquet(state).collect()
+    }
+    assert got == {("1",), ("2",)}
+
+    # second round: new writes flow primary -> ship -> apply -> stream
+    sess.sql("INSERT INTO users VALUES (6, 'f', 60)")
+    sess.sql("DELETE FROM users WHERE id = 2")
+    primary.ship()
+    replica.apply_pending()
+    q = start_state_materializer(
+        replica.spark, rlog._events_dir, state, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    pks = {r["pk"] for r in replica.spark.read.parquet(state).collect()}
+    want = {str(r["id"]) for r in sess.sql("SELECT id FROM users").collect()}
+    assert pks == want == {"1", "6"}
