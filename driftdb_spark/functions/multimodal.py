@@ -612,3 +612,60 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash over text."""
     sigs = extract_ppm_phash(synthetic_phash_media(spark))
     return phash_near_dup_pairs(sigs).orderBy("a_id", "b_id")
+
+
+def synthetic_phash_audit_media(spark, n_base: int = 40, n_dups: int = 20) -> DataFrame:
+    """A wider audit slice: ``n_base`` distinct textures, the first
+    ``n_dups`` of them each with a perturbed near-duplicate (id 1000+i)."""
+    rows = []
+    for i in range(n_base):
+        w, h = 32 + 2 * (i % 5), 24 + 2 * (i % 3)
+        rows.append((i, "image", noise_ppm_bytes(i, w, h),
+                     ("image/x-portable-pixmap", f"src{i % 3}", 0)))
+        if i < n_dups:
+            rows.append((1000 + i, "image", noise_ppm_bytes(i, w, h, perturb=1),
+                         ("image/x-portable-pixmap", f"src{i % 3}", 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+@register(
+    "multimodal_phash_recall_audit",
+    oracle=None,  # pixel decode is not SQL-expressible; recall is asserted
+    # in tests/test_multimodal.py::test_phash_recall_audit
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured banding quality for the image near-dup path — the phash
+    counterpart of dedup_lsh_recall_audit (an approximation you haven't
+    measured is a guess): every ground-truth pair within hamming ≤ 10
+    (brute force over the bounded audit slice, broadcast nested-loop —
+    never the production path) annotated with whether the 16-bit banded
+    candidate join CAUGHT it. A miss is only possible when the flipped
+    bits hit all four bands; the audit measures how often that actually
+    happens on the planted-dup fixture. At scale the audit stays a
+    sampled side-channel while production candidates remain
+    band-bounded."""
+    sigs = extract_ppm_phash(synthetic_phash_audit_media(spark)).persist()
+    a = sigs.select(F.col("media_id").alias("a_id"), F.col("phash").alias("a_hash"))
+    b = sigs.select(F.col("media_id").alias("b_id"), F.col("phash").alias("b_hash"))
+    truth = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= 10)
+    )
+    cand = phash_near_dup_pairs(sigs, max_hamming=10).select(
+        "a_id", "b_id", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(cand, ["a_id", "b_id"], "left")
+        .select(
+            "a_id", "b_id", "hamming", F.col("_hit").isNotNull().alias("caught")
+        )
+        .orderBy("a_id", "b_id")
+    )

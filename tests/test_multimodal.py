@@ -175,3 +175,19 @@ def test_phash_dedup_finds_planted_near_dups(spark):
     h0 = dhash_ppm(noise_ppm_bytes(0, 32, 24))
     h100 = dhash_ppm(noise_ppm_bytes(0, 32, 24, perturb=1))
     assert pairs[(0, 100)] == bin((h0 ^ h100) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_recall_audit(spark):
+    """Measured banding recall on the 60-image audit slice: every
+    ground-truth pair within hamming <= 10 is caught by the 16-bit
+    banding (a miss needs the flipped bits to hit all four bands; the
+    deterministic fixture measures that it does not happen here)."""
+    from driftdb_spark.functions.multimodal import (
+        multimodal_phash_recall_audit,
+    )
+
+    rows = multimodal_phash_recall_audit(spark, "unused").collect()
+    assert len(rows) == 20  # exactly the planted near-dup pairs
+    assert all(r.hamming <= 4 for r in rows)
+    recall = sum(r.caught for r in rows) / len(rows)
+    assert recall == 1.0
