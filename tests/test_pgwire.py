@@ -1107,3 +1107,46 @@ def test_max_connections_cap(spark, tmp_path):
         assert sess.security.counters()["connection_limit_exceeded"] >= 1
     finally:
         srv.stop()
+
+
+def test_wire_survives_malformed_frame_fuzz(server):
+    """Robustness fuzz: seeded-random garbage — junk startup packets,
+    unknown message types, truncated frames, abrupt disconnects — must
+    never take the server down or bleed into other connections. After
+    every abuse round, a fresh well-formed client still gets answers."""
+    import random as _random
+
+    host, port = server.address
+    rng = _random.Random(0xD81F7)
+
+    def abuse(round_no: int) -> None:
+        raw = socket.create_connection((host, port), timeout=10)
+        try:
+            mode = round_no % 4
+            if mode == 0:  # garbage startup packet (sane length, junk body)
+                body = bytes(rng.randrange(256) for _ in range(24))
+                raw.sendall(struct.pack("!I", len(body) + 4) + body)
+            elif mode == 1:  # valid startup, then unknown message types
+                c = Client(host, port)
+                c.sock.close()
+                raw.sendall(struct.pack("!II", 8 + 9, 196608) + b"user\x00f\x00\x00")
+                for _ in range(3):
+                    t = bytes([rng.randrange(65, 123)])
+                    body = bytes(rng.randrange(256) for _ in range(rng.randrange(20)))
+                    raw.sendall(t + struct.pack("!I", len(body) + 4) + body)
+            elif mode == 2:  # truncated frame then hang up mid-message
+                raw.sendall(struct.pack("!II", 8, 196608)[:6])
+            else:  # declared length lies (longer than sent), then disconnect
+                raw.sendall(struct.pack("!I", 64) + b"\x00" * 10)
+        except OSError:
+            pass  # server closing first is a legal outcome
+        finally:
+            raw.close()
+
+    for i in range(12):
+        abuse(i)
+        good = Client(host, port)
+        good.startup()
+        _c, rows, _t, err = good.query(f"SELECT {i} + 1 AS v")
+        assert err is None and rows == [[str(i + 1)]]
+        good.close()
