@@ -145,10 +145,12 @@ class DriftSession:
         self._active_txn = None  # SQL-level BEGIN...COMMIT (reference :453-568)
         self._stats: dict[str, DataFrame] = {}  # ANALYZE results per table
         from driftdb_spark.procedures import ProcedureRegistry
+        from driftdb_spark.rbac import RbacManager
         from driftdb_spark.rls import RlsManager
 
         self.procedures = ProcedureRegistry(self)
         self.rls = RlsManager()
+        self.rbac = RbacManager()
         self._security = None  # None = embedded-engine owner (RLS bypass)
         # Authenticated identity this session was ENTERED under (set by the
         # wire server): (username, superuser). While a restricted identity
@@ -229,7 +231,11 @@ class DriftSession:
         EXECUTE and procedure bodies, which re-enter ``sql`` below the
         wire server's own regex gate."""
         self._auth_identity = (username, bool(superuser))
-        self.set_security_context(username, roles=roles, superuser=superuser)
+        # authenticated identities automatically carry their RBAC-granted
+        # roles (rbac.rs get_user_roles at connection time) so RLS policy
+        # scoping and statement permissions see one consistent role set
+        merged = sorted(set(list(roles or [])) | set(self.rbac.roles_of(username)))
+        self.set_security_context(username, roles=merged, superuser=superuser)
 
     # -- catalog persistence ---------------------------------------------------
     # The reference persists each table's schema in its meta.json
@@ -266,6 +272,7 @@ class DriftSession:
         self._views = dict(cat.get("views", {}))
         self.procedures.load_catalog(cat.get("procedures", {}))
         self.rls.load_catalog(cat.get("rls", {}))
+        self.rbac.load_catalog(cat.get("rbac", {}))
         from driftdb_spark.constraints import TableConstraints
 
         for tname, meta in cat.get("constraints", {}).items():
@@ -313,6 +320,7 @@ class DriftSession:
             "views": self._views,
             "procedures": self.procedures.to_catalog(),
             "rls": self.rls.to_catalog(),
+            "rbac": self.rbac.to_catalog(),
             "constraints": {
                 n: c.to_catalog()
                 for n, c in self._constraints.items()
@@ -636,7 +644,34 @@ class DriftSession:
                 f"cannot execute {stripped.split(None, 1)[0].upper()} on a "
                 "read-only replica (promote it to accept writes)"
             )
+        # Statement-level RBAC (reference rbac.rs / rbac_enforcement.rs):
+        # once any grant exists, a restricted (non-superuser) identity may
+        # only run statement kinds its roles permit — default deny, 42501,
+        # recorded as a security event. Owner sessions and superusers
+        # bypass; RLS still scopes the rows afterwards.
+        if (
+            self._security is not None
+            and not self._security.is_superuser
+            and self.rbac.enabled()
+        ):
+            from driftdb_spark.rbac import PermissionDenied, statement_permission
+
+            perm = statement_permission(stripped)
+            if perm is not None and not self.rbac.has_permission(
+                self._security.username, perm
+            ):
+                self.security.record(
+                    "permission_denied", actor=self._security.username
+                )
+                raise PermissionDenied(
+                    f"permission denied: user {self._security.username!r} "
+                    f"lacks {perm!r} (roles: "
+                    f"{', '.join(self.rbac.roles_of(self._security.username)) or 'none'})"
+                )
         routed = self._dispatch_txn(stripped)
+        if routed is not None:
+            return routed
+        routed = self._dispatch_rbac(stripped)
         if routed is not None:
             return routed
         routed = self._dispatch_dml(stripped)
@@ -1167,6 +1202,66 @@ class DriftSession:
             )
             err.sqlstate = "42501"
             raise err
+
+    _GRANT_ROLE_RE = _re.compile(
+        r"^GRANT\s+ROLE\s+(\w+)\s+TO\s+(\w+)$", _re.IGNORECASE
+    )
+    _REVOKE_ROLE_RE = _re.compile(
+        r"^REVOKE\s+ROLE\s+(\w+)\s+FROM\s+(\w+)$", _re.IGNORECASE
+    )
+    _CREATE_ROLE_RE = _re.compile(
+        r"^CREATE\s+ROLE\s+(\w+)\s+WITH\s+PERMISSIONS\s*\(([^)]*)\)$",
+        _re.IGNORECASE,
+    )
+    _DROP_ROLE_RE = _re.compile(r"^DROP\s+ROLE\s+(\w+)$", _re.IGNORECASE)
+    _SHOW_ROLES_RE = _re.compile(r"^SHOW\s+ROLES$", _re.IGNORECASE)
+    _SHOW_GRANTS_RE = _re.compile(
+        r"^SHOW\s+GRANTS(?:\s+FOR\s+(\w+))?$", _re.IGNORECASE
+    )
+
+    def _dispatch_rbac(self, q: str):
+        """GRANT/REVOKE ROLE, CREATE/DROP ROLE, SHOW ROLES/GRANTS —
+        the reference RbacManager surface (rbac.rs:381-520) as SQL. The
+        permission gate in ``_sql_impl`` has already run: a restricted
+        identity needs grant_role/revoke_role/view_roles to get here."""
+        m = self._GRANT_ROLE_RE.match(q)
+        if m:
+            self.rbac.grant_role(m.group(2), m.group(1).lower())
+            self._save_catalog()
+            return 0
+        m = self._REVOKE_ROLE_RE.match(q)
+        if m:
+            self.rbac.revoke_role(m.group(2), m.group(1).lower())
+            self._save_catalog()
+            return 0
+        m = self._CREATE_ROLE_RE.match(q)
+        if m:
+            perms = [p.strip().lower() for p in m.group(2).split(",") if p.strip()]
+            self.rbac.create_custom_role(m.group(1).lower(), perms)
+            self._save_catalog()
+            return 0
+        m = self._DROP_ROLE_RE.match(q)
+        if m:
+            self.rbac.delete_custom_role(m.group(1).lower())
+            self._save_catalog()
+            return 0
+        if self._SHOW_ROLES_RE.match(q):
+            rows = [
+                (name, system, ",".join(sorted(perms)))
+                for name, system, perms in self.rbac.all_roles()
+            ]
+            return self.spark.createDataFrame(
+                rows, "role string, system boolean, permissions string"
+            )
+        m = self._SHOW_GRANTS_RE.match(q)
+        if m:
+            grants = self.rbac.to_catalog()["grants"]
+            users = [m.group(1)] if m.group(1) else sorted(grants)
+            rows = [
+                (u, r) for u in users for r in grants.get(u, [])
+            ]
+            return self.spark.createDataFrame(rows or [], "username string, role string")
+        return None
 
     def _dispatch_rls(self, q: str):
         """Row-level-security DDL (PostgreSQL statement shapes; reference
