@@ -257,6 +257,7 @@ def test_no_python_or_cartesian_in_any_registered_plan(spark):
         "multimodal_ppm_decode",
         "multimodal_wav_decode",
         "multimodal_phash_dedup",  # dHash decode; banding/hamming stay JVM
+        "multimodal_phash_recall_audit",  # same decode boundary, audit slice
     }
     offenders_py, offenders_cart = [], []
     for name, spec in sorted(QUERIES.items()):
