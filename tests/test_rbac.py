@@ -207,3 +207,32 @@ def test_manager_unit_surface():
     m2 = RbacManager()
     m2.load_catalog(m.to_catalog())
     assert m2.roles_of("a") == ["admin"]
+
+
+def test_rbac_enforced_over_the_wire(spark, tmp_path):
+    """A wire-authenticated user carries RBAC roles: readonly rita can
+    SELECT but her INSERT answers 42501 on the wire, and the connection
+    stays usable (rbac_enforcement.rs wired through the server)."""
+    from driftdb_spark.client import DriftClient, WireError
+    from driftdb_spark.server import PgWireServer
+
+    sess = DriftSession(spark, str(tmp_path))
+    sess.sql("CREATE TABLE w (id INT PRIMARY KEY, v STRING)")
+    sess.sql("INSERT INTO w VALUES (1, 'x')")
+    sess.sql("GRANT ROLE readonly TO rita")
+    srv = PgWireServer(sess, users={"rita": "pw", "root": "pw"},
+                       superusers={"root"}).start()
+    try:
+        host, port = srv.address
+        with DriftClient(host, port, user="rita", password="pw") as c:
+            assert c.query("SELECT COUNT(*) AS n FROM w").scalar() == "1"
+            with pytest.raises(WireError) as ei:
+                c.query("INSERT INTO w VALUES (2, 'y')")
+            assert ei.value.sqlstate == "42501"
+            assert c.query("SELECT 1 AS ok").scalar() == "1"
+        # the superuser is not gated
+        with DriftClient(host, port, user="root", password="pw") as c:
+            c.query("INSERT INTO w VALUES (3, 'z')")
+            assert c.query("SELECT COUNT(*) AS n FROM w").scalar() == "2"
+    finally:
+        srv.stop()
