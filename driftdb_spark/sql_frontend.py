@@ -162,6 +162,8 @@ class DriftSession:
         # True while this session fronts a read-only replica
         # (replication.Replica); promote() clears it.
         self._read_only = False
+        self._sql_guard = False  # opt-in injection-pattern monitor
+        self._sql_guard_block = False
         self._query_log: list[dict] = []
         self._sql_depth = 0  # only top-level statements are logged
         self._rate_limiter: TokenBucket | None = None
@@ -197,6 +199,20 @@ class DriftSession:
         if self._result_cache is not None:
             self._result_cache.close()
             self._result_cache = None
+
+    def enable_sql_validation(self, block: bool = False) -> None:
+        """Opt into the injection-pattern guard (reference SqlValidator,
+        driftdb-server security/sql_validator.rs) for RESTRICTED
+        identities: detections record `sql_injection_pattern` security
+        events; with ``block=True`` the statement is also refused with
+        SQLSTATE 42000. Owner sessions and superusers are never
+        second-guessed — parameterized statements remain the structural
+        defense (see sqlguard.py)."""
+        self._sql_guard_block = block
+        self._sql_guard = True
+
+    def disable_sql_validation(self) -> None:
+        self._sql_guard = False
 
     def set_rate_limit(self, statements_per_sec: float, burst: int = 10, clock=None):
         """Throttle top-level statements with a token bucket (reference
@@ -644,6 +660,25 @@ class DriftSession:
                 f"cannot execute {stripped.split(None, 1)[0].upper()} on a "
                 "read-only replica (promote it to accept writes)"
             )
+        # Injection-pattern guard (reference sql_validator.rs) — opt-in,
+        # restricted identities only; see sqlguard.py for positioning
+        if (
+            self._sql_guard
+            and self._security is not None
+            and not self._security.is_superuser
+        ):
+            from driftdb_spark import sqlguard
+
+            hits = sqlguard.inspect(stripped)
+            if hits:
+                self.security.record(
+                    "sql_injection_pattern", actor=self._security.username
+                )
+                if self._sql_guard_block:
+                    raise sqlguard.SqlRejected(
+                        "statement refused by the SQL injection guard: "
+                        + ", ".join(hits)
+                    )
         # Statement-level RBAC (reference rbac.rs / rbac_enforcement.rs):
         # once any grant exists, a restricted (non-superuser) identity may
         # only run statement kinds its roles permit — default deny, 42501,
