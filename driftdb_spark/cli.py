@@ -233,6 +233,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "sessions (reference cache.rs; stats appear in SHOW STATUS and "
         "/metrics)",
     )
+    sp.add_argument(
+        "--sql-guard",
+        choices=("monitor", "block"),
+        default=None,
+        help="injection-pattern guard for restricted wire identities "
+        "(reference sql_validator.rs): monitor records security events, "
+        "block also refuses with 42000",
+    )
 
     args = p.parse_args(argv)
 
@@ -410,6 +418,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ssl_context = tls_context_from_files(args.tls_cert, args.tls_key)
         if args.result_cache:
             sess.enable_result_cache()
+        if args.sql_guard:
+            sess.enable_sql_validation(block=args.sql_guard == "block")
         srv = PgWireServer(
             sess,
             host=args.host,

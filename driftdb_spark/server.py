@@ -944,6 +944,12 @@ class _Handler(socketserver.BaseRequestHandler):
                     max_entries=base._result_cache.max_entries,
                     max_bytes=base._result_cache.max_bytes,
                 )
+            # injection guard enabled on the base session propagates to
+            # every connection (restricted identities only — sqlguard.py)
+            if base._sql_guard:
+                self.session.enable_sql_validation(
+                    block=base._sql_guard_block
+                )
         except Exception:
             self.session = base
         self.username = ""

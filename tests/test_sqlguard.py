@@ -71,3 +71,30 @@ def test_guard_records_and_blocks_for_restricted_identities(spark, tmp_path):
         assert sess.sql("SELECT COUNT(*) AS n FROM g").collect()[0]["n"] == 1
     finally:
         sess.set_security_context(None)
+
+
+def test_guard_propagates_to_wire_connections(spark, tmp_path):
+    """serve --sql-guard block: a restricted wire identity's injection
+    probe answers 42000 and the event lands on the server-wide monitor;
+    clean statements and superusers are untouched."""
+    from driftdb_spark.client import DriftClient, WireError
+    from driftdb_spark.server import PgWireServer
+
+    sess = DriftSession(spark, str(tmp_path))
+    sess.sql("CREATE TABLE gw (id INT PRIMARY KEY, v STRING)")
+    sess.sql("INSERT INTO gw VALUES (1, 'x')")
+    sess.enable_sql_validation(block=True)
+    srv = PgWireServer(sess, users={"app": "pw", "root": "pw"},
+                       superusers={"root"}).start()
+    try:
+        host, port = srv.address
+        with DriftClient(host, port, user="app", password="pw") as c:
+            with pytest.raises(WireError) as ei:
+                c.query("SELECT * FROM gw WHERE v = '' OR 1=1--'")
+            assert ei.value.sqlstate == "42000"
+            assert c.query("SELECT COUNT(*) AS n FROM gw").scalar() == "1"
+        with DriftClient(host, port, user="root", password="pw") as c:
+            assert c.query("SELECT * FROM gw WHERE v = '' OR 1=1--'").tag.startswith("SELECT")
+        assert sess.security.counters().get("sql_injection_pattern", 0) == 1
+    finally:
+        srv.stop()
