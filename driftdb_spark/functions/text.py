@@ -1608,3 +1608,47 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+from driftdb_spark.registry import QUERIES as _REG  # noqa: E402
+
+
+@register(
+    "text_langid_confusion",
+    oracle=None,  # assembled below from the text_lang_id oracle CTE
+    tags=("text",),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    language-ID heuristic against the labeled ``lang`` column, with
+    per-cell share of the true-label row — the standard
+    eval-your-filter step a pipeline runs before trusting a heuristic
+    at corpus scale (precision/recall fall straight out of these cells).
+    One keyed aggregate over the scored scan; the matrix is
+    |langs|²-sized. (The synthetic corpus makes the heuristic mostly
+    wrong — the measurement, not the accuracy, is the operator.)"""
+    scored = _REG["text_lang_id"].fn(spark, sf_dir)
+    cells = scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "row_share"
+        ),
+    )
+
+
+# the oracle wraps text_lang_id's oracle as a CTE so both engines score
+# identically before aggregating
+_REG["text_langid_confusion"].oracle = f"""
+    WITH scored AS ({_REG["text_lang_id"].oracle})
+    SELECT lang, predicted_lang, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS row_share
+    FROM scored
+    GROUP BY lang, predicted_lang
+"""
