@@ -918,3 +918,72 @@ def dedup_paragraph_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_frac"),
     )
+
+
+@register(
+    "dedup_jaccard_histogram",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 60
+        ) d
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+    )
+    SELECT CAST(LEAST(FLOOR(jaccard * 20), 19) AS BIGINT) AS bin,
+           ROUND(CAST(LEAST(FLOOR(jaccard * 20), 19) AS BIGINT) * 0.05, 2) AS bin_lo,
+           COUNT(*) AS n_pairs
+    FROM pairs
+    GROUP BY 1, 2
+    """,
+    tags=("dedup",),
+)
+def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning aid: the distribution of pairwise Jaccard over
+    EVERY candidate pair (any shared shingle, no floor), bucketed to
+    0.05-wide bins — how a pipeline picks the dedup cutoff (the valley
+    between the noise mass in the low bins and the near-dup mass near
+    1.0) instead of guessing 0.5. Same inverted-index join as
+    dedup_ngram_jaccard on the bounded doc_id<60 audit slice; the bin is
+    integer floor arithmetic (jaccard==1.0 clamps into the top bin) so
+    both engines bucket identically. At scale the histogram runs over a
+    sampled pair stream while production stays banded."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    bin_col = F.least(F.floor(jac * 20), F.lit(19)).cast("long")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("bin", F.round(F.col("bin") * 0.05, 2).alias("bin_lo"), "n_pairs")
+    )
