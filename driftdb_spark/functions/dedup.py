@@ -945,7 +945,7 @@ def dedup_paragraph_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sb ON sb.doc_id = i.id_b
     )
     SELECT CAST(LEAST(FLOOR(jaccard * 20), 19) AS BIGINT) AS bin,
-           ROUND(CAST(LEAST(FLOOR(jaccard * 20), 19) AS BIGINT) * 0.05, 2) AS bin_lo,
+           ROUND(CAST(LEAST(FLOOR(jaccard * 20), 19) AS DOUBLE) * 0.05, 2) AS bin_lo,
            COUNT(*) AS n_pairs
     FROM pairs
     GROUP BY 1, 2
