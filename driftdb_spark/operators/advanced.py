@@ -222,18 +222,38 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,
-    tags=("agg", "approx", "no-oracle"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) next to the exact count — the sketch
-    path for 100 TB cardinality estimation. Approximate ⇒ rows-only check
-    (DuckDB's approx sketch differs by construction)."""
+    """approx_count_distinct (HLL++) — the sketch path for 100 TB
+    cardinality estimation — made oracle-checkable: the projection carries
+    the exact distinct count, the group size, and a boolean asserting the
+    default-rsd (0.05) HLL++ estimate lands within 3×rsd of exact. The
+    engine-specific estimate stays OUT of the projection (DuckDB's sketch
+    differs by construction); the cross-engine contract is the BOUND.
+    The deeper-precision audit twin below (rsd=0.02) keeps its own row."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.count(F.lit(1)).alias("n"),
+    )
+    rel_err = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "n",
+        (rel_err <= F.lit(3 * 0.05)).alias("approx_ok"),
     )
 
 
