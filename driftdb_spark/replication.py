@@ -172,6 +172,7 @@ class ReplicationPrimary:
             # promote() path: claim a specific epoch (exclusive-create)
             self._claim_epoch(_claim)
             self.epoch = _claim
+            self.heartbeat()
             return
         cur = _stream_epoch(self.ship_dir)
         if cur["epoch"] == 0:
@@ -185,6 +186,12 @@ class ReplicationPrimary:
                 f"stream {self.ship_dir} is held by {cur['holder']!r} at "
                 f"epoch {cur['epoch']}; this node ({node_id!r}) must not ship"
             )
+        # Announce liveness immediately: a standby with auto-failover
+        # enabled that starts between our epoch claim and our first ship()
+        # would otherwise see NO heartbeat, treat the primary as dead, and
+        # instantly claim the next epoch — permanently fencing a healthy
+        # primary that never got to write anything.
+        self.heartbeat()
 
     # -- fencing --------------------------------------------------------------
 
@@ -296,6 +303,12 @@ class ReplicationPrimary:
         # manifest never advance, and replicas ignore stale-epoch
         # heartbeats regardless)
         self._check_fence()
+        # The manifest carries the shipping epoch: a promote landing in the
+        # window between the re-check above and this write would let a
+        # fenced zombie publish the manifest anyway — replicas compare this
+        # stamp against the stream epoch and ignore older-epoch manifests,
+        # exactly as they already do for heartbeats.
+        manifest["epoch"] = self.epoch
         _write_json_atomic(os.path.join(self.ship_dir, MANIFEST_FILE), manifest)
         self.heartbeat(hb_tables)
         return shipped
@@ -331,6 +344,7 @@ class Replica:
         self.ship_dir = os.path.abspath(ship_dir)
         self.node_id = node_id
         self.promoted = False
+        self._started_unix = time.time()  # maybe_promote no-heartbeat grace
         # in-process guard: the follower loop and manual apply_pending()
         # must not interleave a reseed swap with an incremental copy
         self._apply_lock = threading.Lock()
@@ -373,6 +387,13 @@ class Replica:
         manifest = _read_json(os.path.join(self.ship_dir, MANIFEST_FILE))
         if manifest is None:
             return {"applied": 0, "tables": {}}
+        # a manifest stamped with a pre-promote epoch is a fenced zombie's
+        # last write — inert, same as its heartbeat; the new primary's
+        # first ship() replaces it (manifests predating the epoch stamp
+        # carry no "epoch" key and default to the current stream epoch)
+        stream_epoch = _stream_epoch(self.ship_dir)["epoch"]
+        if int(manifest.get("epoch", stream_epoch)) < stream_epoch:
+            return {"applied": 0, "tables": {}, "stale_epoch": True}
         state = _read_json(self._state_path(), {"tables": {}})
         applied: dict[str, int] = {}
         total = 0
@@ -551,7 +572,14 @@ class Replica:
         claimant wins — failover.rs FencingToken::next), flip this node
         writable, and return a :class:`ReplicationPrimary` bound to the
         SAME stream so the old primary's ship() is refused and downstream
-        replicas keep following without re-pointing."""
+        replicas keep following without re-pointing.
+
+        Applies the shipped backlog FIRST: promoting behind entries the
+        stream already holds would silently discard acknowledged writes
+        (the follower loop guards this; the manual path — including
+        ``cli replicate promote`` — must too; the reference likewise
+        elects the most-caught-up node, failover.rs:178+)."""
+        self.apply_pending()
         cur = _stream_epoch(self.ship_dir)
         new_epoch = int(cur["epoch"]) + 1
         primary = ReplicationPrimary(
@@ -570,6 +598,13 @@ class Replica:
         the new primary handle, or None while the primary looks alive."""
         hb = self._heartbeat()
         if hb is not None and (time.time() - hb["ts_unix"]) < stale_after_sec:
+            return None
+        if hb is None and (time.time() - self._started_unix) < stale_after_sec:
+            # No heartbeat has EVER been seen: a primary writes one at
+            # construction, so this is either a stream with no primary yet
+            # or a replica that just started — wait out one full staleness
+            # window from OUR start before concluding the primary is dead,
+            # instead of instantly fencing a primary that is still booting.
             return None
         return self.promote()
 

@@ -684,24 +684,35 @@ class DriftSession:
         # only run statement kinds its roles permit — default deny, 42501,
         # recorded as a security event. Owner sessions and superusers
         # bypass; RLS still scopes the rows afterwards.
-        if (
-            self._security is not None
-            and not self._security.is_superuser
-            and self.rbac.enabled()
-        ):
+        if self._security is not None and not self._security.is_superuser:
             from driftdb_spark.rbac import PermissionDenied, statement_permission
 
             perm = statement_permission(stripped)
-            if perm is not None and not self.rbac.has_permission(
-                self._security.username, perm
-            ):
+            if self.rbac.enabled():
+                if perm is not None and not self.rbac.has_permission(
+                    self._security.username, perm
+                ):
+                    self.security.record(
+                        "permission_denied", actor=self._security.username
+                    )
+                    raise PermissionDenied(
+                        f"permission denied: user {self._security.username!r} "
+                        f"lacks {perm!r} (roles: "
+                        f"{', '.join(self.rbac.roles_of(self._security.username)) or 'none'})"
+                    )
+            elif perm in ("grant_role", "revoke_role"):
+                # Bootstrap gate: before the first grant exists, role
+                # management is superuser/owner-only — otherwise any
+                # restricted identity could issue the inaugural
+                # `GRANT ROLE superuser TO <self>` and seize RBAC control.
+                # The reference gates GrantRole unconditionally (rbac.rs).
                 self.security.record(
                     "permission_denied", actor=self._security.username
                 )
                 raise PermissionDenied(
                     f"permission denied: user {self._security.username!r} "
-                    f"lacks {perm!r} (roles: "
-                    f"{', '.join(self.rbac.roles_of(self._security.username)) or 'none'})"
+                    "cannot bootstrap RBAC (role management before the "
+                    "first grant is superuser-only)"
                 )
         routed = self._dispatch_txn(stripped)
         if routed is not None:
@@ -773,7 +784,7 @@ class DriftSession:
 
     _WRITE_VERB_RE = _re.compile(
         r"^(INSERT|UPDATE|DELETE|TRUNCATE|MERGE|CREATE|DROP|ALTER|SNAPSHOT"
-        r"|COMPACT|VACUUM|CHECKPOINT|REFRESH)\b",
+        r"|COMPACT|VACUUM|CHECKPOINT|REFRESH|GRANT|REVOKE)\b",
         _re.IGNORECASE,
     )
     _EXPLAIN_RE = _re.compile(r"^EXPLAIN\s+(.*)$", _re.IGNORECASE | _re.DOTALL)

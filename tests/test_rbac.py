@@ -236,3 +236,33 @@ def test_rbac_enforced_over_the_wire(spark, tmp_path):
             assert c.query("SELECT COUNT(*) AS n FROM w").scalar() == "2"
     finally:
         srv.stop()
+
+
+def test_bootstrap_role_management_is_superuser_only(sess):
+    """Before the first grant exists RBAC is inert for ordinary statements
+    — but role management must NOT be: otherwise any restricted identity
+    could issue the inaugural `GRANT ROLE superuser TO <self>` and seize
+    RBAC control (reference rbac.rs gates GrantRole unconditionally)."""
+    assert not sess.rbac.enabled()
+    _as(sess, "mallory")
+    try:
+        for stmt in (
+            "GRANT ROLE superuser TO mallory",
+            "CREATE ROLE sneaky WITH PERMISSIONS (select)",
+            "REVOKE ROLE superuser FROM mallory",
+            "DROP ROLE sneaky",
+        ):
+            with pytest.raises(PermissionDenied):
+                sess.sql(stmt)
+        # ordinary statements remain governed by RLS alone (inert RBAC)
+        assert sess.sql("SELECT COUNT(*) AS n FROM acct").collect()[0]["n"] == 2
+    finally:
+        sess.set_security_context(None)
+    assert not sess.rbac.enabled()  # nothing was seized
+    # the owner (and a superuser identity) can still bootstrap
+    sess.set_security_context("root", superuser=True)
+    try:
+        sess.sql("GRANT ROLE readonly TO mallory")
+    finally:
+        sess.set_security_context(None)
+    assert sess.rbac.enabled()

