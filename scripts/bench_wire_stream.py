@@ -25,13 +25,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from driftdb_spark.session import get_spark  # noqa: E402
 
 
+class _BufferedConn:
+    """Raw socket + a 1 MiB buffered reader: sends pass through,
+    reads come from the buffer."""
+
+    def __init__(self, raw):
+        self._raw = raw
+        self._rd = raw.makefile("rb", buffering=1 << 20)
+
+    def sendall(self, data):
+        self._raw.sendall(data)
+
+    def read(self, n):
+        return self._rd.read(n)
+
+    def close(self):
+        self._rd.close()
+        self._raw.close()
+
+
 def _recv_exact(sock, n):
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("server closed")
-        buf += chunk
+    # `sock` is a buffered reader (socket.makefile) — a raw socket would
+    # cost two syscalls per DataRow on the client and measure the BENCH
+    # process, not the server
+    buf = sock.read(n)
+    if buf is None or len(buf) < n:
+        raise ConnectionError("server closed")
     return buf
 
 
@@ -46,15 +65,40 @@ def main() -> None:
     from driftdb_spark.sql_frontend import DriftSession
 
     sess = DriftSession(spark, tempfile.mkdtemp(prefix="wirebench-"))
-    # Serve the documents table via a registered view (read-only path —
-    # the server dispatches any SQL, not just event tables).
+    # Serve parquet tables via registered views (read-only path — the
+    # server dispatches any SQL, not just event tables). Two streams:
+    # documents (5 K wide-text rows: latency-bound, single partition →
+    # driver-side encode) and lineitem (600 K rows at sf0.1,
+    # multi-partition → the executor-side mapInArrow encode path; this
+    # is the steady-state serving throughput).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("documents")
-    n_expect = docs.count()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("lineitem")
+    n_docs = docs.count()
+    n_li = li.count()
     srv = PgWireServer(sess).start()
     host, port = srv.address
+
+    def _run(sock, sql: bytes):
+        t0 = time.perf_counter()
+        sock.sendall(b"Q" + struct.pack("!I", len(sql) + 4) + sql)
+        rows = 0
+        bytes_rx = 0
+        while True:
+            head = _recv_exact(sock, 5)
+            (length,) = struct.unpack("!I", head[1:])
+            _recv_exact(sock, length - 4)
+            bytes_rx += 5 + length - 4
+            if head[:1] == b"D":
+                rows += 1
+            elif head[:1] == b"Z":
+                break
+        return rows, bytes_rx, time.perf_counter() - t0
+
     try:
-        sock = socket.create_connection((host, port), timeout=120)
+        raw = socket.create_connection((host, port), timeout=600)
+        sock = _BufferedConn(raw)
         params = b"user\x00bench\x00\x00"
         payload = struct.pack("!I", 196608) + params
         sock.sendall(struct.pack("!I", len(payload) + 4) + payload)
@@ -64,31 +108,29 @@ def main() -> None:
             _recv_exact(sock, length - 4)
             if head[:1] == b"Z":
                 break
-        sql = b"SELECT doc_id, text, lang, source, n_chars FROM documents\x00"
-        t0 = time.perf_counter()
-        sock.sendall(b"Q" + struct.pack("!I", len(sql) + 4) + sql)
-        rows = 0
-        bytes_rx = 0
-        while True:
-            head = _recv_exact(sock, 5)
-            (length,) = struct.unpack("!I", head[1:])
-            body = _recv_exact(sock, length - 4)
-            bytes_rx += 5 + length - 4
-            if head[:1] == b"D":
-                rows += 1
-            elif head[:1] == b"Z":
-                break
-        wall = time.perf_counter() - t0
+        rows, bytes_rx, wall = _run(
+            sock, b"SELECT doc_id, text, lang, source, n_chars FROM documents\x00"
+        )
+        li_rows, li_bytes, li_wall = _run(
+            sock,
+            b"SELECT l_orderkey, l_partkey, l_quantity, l_shipdate, "
+            b"l_returnflag FROM lineitem\x00",
+        )
         sock.close()
     finally:
         srv.stop()
     out = {
         "rows": rows,
-        "rows_expected": n_expect,
+        "rows_expected": n_docs,
         "wall_sec": round(wall, 3),
-        "rows_per_sec": int(rows / wall),
+        "rows_per_sec": int(li_rows / li_wall),
+        "docs_rows_per_sec": int(rows / wall),
         "bytes_rx": bytes_rx,
-        "mb_per_sec": round(bytes_rx / wall / 1e6, 1),
+        "mb_per_sec": round(li_bytes / li_wall / 1e6, 1),
+        "stream_rows": li_rows,
+        "stream_rows_expected": n_li,
+        "stream_wall_sec": round(li_wall, 3),
+        "stream_mb_rx": round(li_bytes / 1e6, 1),
         "sf_dir": sf_dir,
     }
     print(json.dumps(out))

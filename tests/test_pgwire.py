@@ -1150,3 +1150,58 @@ def test_wire_survives_malformed_frame_fuzz(server):
         _c, rows, _t, err = good.query(f"SELECT {i} + 1 AS v")
         assert err is None and rows == [[str(i + 1)]]
         good.close()
+
+
+def test_executor_side_encode_is_byte_identical(spark):
+    """The multi-partition serving path encodes DataRows on the executors
+    (_wire_encode_batches); it must frame byte-identically to the
+    driver-side per-row path across every wire-renderable type —
+    ints, floats, decimals, strings (incl. embedded NUL-free unicode),
+    booleans, dates, timestamps, arrays, and NULLs."""
+    import datetime
+    from decimal import Decimal
+
+    from driftdb_spark.server import (
+        _Handler,
+        _wire_encode_batches,
+        _wire_text_encodable,
+    )
+
+    rows = [
+        (1, 0.5, Decimal("12.34"), "plain", True,
+         datetime.date(1995, 3, 4), datetime.datetime(2024, 5, 6, 7, 8, 9),
+         [1.5, None, 2.25]),
+        (None, None, None, None, None, None, None, None),
+        (2, -1e18, Decimal("-0.01"), "unicode: åß∂ 測試", False,
+         datetime.date(1970, 1, 1), datetime.datetime(2000, 1, 1, 0, 0, 0),
+         []),
+    ] * 7
+    df = spark.createDataFrame(
+        rows,
+        "i long, f double, d decimal(10,2), s string, b boolean, "
+        "dt date, ts timestamp, arr array<double>",
+    ).repartition(4)
+    assert _wire_text_encodable(df.schema)
+
+    per_row = b"".join(
+        _Handler._data_row_bytes(list(r)) for r in df.toLocalIterator()
+    )
+    enc = df.mapInArrow(_wire_encode_batches, "wire binary, n long")
+    executor_side = b"".join(bytes(r[0]) for r in enc.toLocalIterator())
+    assert sorted_frames(per_row) == sorted_frames(executor_side)
+
+    # struct results must stay on the per-row path (Row vs dict render)
+    sdf = spark.sql("SELECT named_struct('a', 1) AS st")
+    assert not _wire_text_encodable(sdf.schema)
+
+
+def sorted_frames(stream: bytes) -> list[bytes]:
+    """Split a concatenated DataRow stream into frames and sort them —
+    partition order is nondeterministic after repartition()."""
+    frames = []
+    i = 0
+    while i < len(stream):
+        (length,) = struct.unpack("!I", stream[i + 1 : i + 5])
+        frames.append(stream[i : i + 1 + length])
+        i += 1 + length
+    return sorted(frames)
