@@ -998,22 +998,65 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent sums, a fixed handful of double ops at the end,
     ROUND to absorb sqrt/divide ulp), so the anomaly SET is value-exact
     cross-engine — which a built-in streaming stddev over doubles cannot
-    promise. One exchange on event_type; the frame is O(20) per row."""
+    promise.
+
+    Design for scale — CHUNKED trailing window. A window partitioned on
+    ``event_type`` alone serializes: with K types, parallelism is K
+    regardless of cluster size (measured: the op was the decade's worst
+    scaler at 2.89× time per 100× rows before chunking). Because the
+    frame is a bounded 20 rows, the window decomposes exactly:
+
+    * rows are bucketed by day; the trailing frame of any row with ≥20
+      same-type predecessors *inside its bucket* ("interior" rows, the
+      overwhelming majority) is computed entirely within the
+      (type, day) partition — parallelism becomes types × days;
+    * the ≤20 bucket-head rows are re-scored over a per-type window on
+      a tiny SUBSET: bucket heads (asc row_number ≤ 20) plus bucket
+      tails (last 20 of each bucket). Any row outside the subset has
+      >20 same-bucket rows after it, so it cannot fall within 20
+      preceding of any later bucket's head — the subset provably
+      contains every true predecessor, even across runs of near-empty
+      buckets, making subset frames identical to global frames.
+
+    Both passes shuffle on keys that are prefixes of the same layout,
+    and the pass-B input is ~40 rows per (type, day) — at 100 TB the
+    bucket granule just narrows (hour instead of day); the same
+    head/tail argument applies unchanged."""
     ev = load_tables(spark, sf_dir)["events"]
     x = F.col("value").cast("decimal(12,4)")
-    fr = (
-        W.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-20, -1)
+    base = ev.select(
+        "event_id", "event_type", "ts", x.alias("x"), F.to_date("ts").alias("day")
     )
-    w = ev.select(
-        "event_id",
-        "event_type",
-        x.alias("x"),
-        F.count(F.lit(1)).over(fr).alias("n"),
-        F.sum(x).over(fr).alias("sx"),
-        F.sum(x * x).over(fr).alias("sxx"),
+    wday = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    frday = wday.rowsBetween(-20, -1)
+    xx = F.col("x") * F.col("x")
+    a = base.select(
+        "*",
+        F.count(F.lit(1)).over(frday).alias("n"),
+        F.sum("x").over(frday).alias("sx"),
+        F.sum(xx).over(frday).alias("sxx"),
+        F.row_number().over(wday).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type", "day")).alias("bn"),
     )
+    interior = a.filter(F.col("rn") > 20).select(
+        "event_id", "event_type", "x", "n", "sx", "sxx"
+    )
+    subset = a.filter((F.col("rn") <= 20) | (F.col("bn") - F.col("rn") < 20))
+    frg = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    heads = (
+        subset.select(
+            "event_id",
+            "event_type",
+            "x",
+            "rn",
+            F.count(F.lit(1)).over(frg).alias("n"),
+            F.sum("x").over(frg).alias("sx"),
+            F.sum(xx).over(frg).alias("sxx"),
+        )
+        .filter(F.col("rn") <= 20)  # tail-only rows were frame feeders
+        .drop("rn")
+    )
+    scored = interior.unionByName(heads)
     n = F.col("n")
     xd, sx, sxx = (
         F.col("x").cast("double"),
@@ -1023,7 +1066,7 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_num = n * sxx - sx * sx
     z = (xd - sx / n) / F.sqrt(var_num / (n.cast("double") * (n - 1)))
     return (
-        w.filter((n >= 10) & (var_num > 0) & (F.abs(z) >= 2.5))
+        scored.filter((n >= 10) & (var_num > 0) & (F.abs(z) >= 2.5))
         .select(
             "event_id",
             "event_type",

@@ -17,7 +17,7 @@ The iterative ops are the reason the decade exists -- their claim is
 from the local[32] per-job floor -- but every op rides along. If
 `_scaledata/sf1` is absent the sf1 column is skipped and a note recorded.
 
-Usage: python scripts/bench_scaling.py  (writes BENCH_scaling_r07.json)
+Usage: python scripts/bench_scaling.py [tag]  (writes BENCH_scaling_<tag>.json, default r08)
 """
 
 from __future__ import annotations
@@ -66,6 +66,11 @@ OPS = [
     ("text_zipf_fit", "documents"),
     ("events_seasonal_anomaly", "events"),
     ("sim_cosine_topk_batch", "embeddings"),
+    # round 8: the flagship pruned pipelines get the decade — their 100 TB
+    # story rests on bucket-cap / nprobe pruning, measured below (the LSH
+    # one additionally gets a candidate-pair/bucket-size audit per sf)
+    ("dedup_minhash_lsh", "documents"),
+    ("sim_ann_ivf", "embeddings"),
 ]
 
 # Every op gets the sf1 decade when the synthesized data exists — the
@@ -121,9 +126,76 @@ def main() -> None:
             )
         out["ops"][name] = entry
         print(f"{name}: {entry['times_sec']}", flush=True)
+
+    # LSH candidate-growth audit: the MAX_BUCKET_SIZE cap is the guard
+    # against the N² degenerate-bucket blow-up; this measures, per sf,
+    # the candidate-pair count and the bucket-size distribution, proving
+    # candidates grow ~linearly in corpus size (constant candidates/doc)
+    # instead of quadratically. The uncapped pair bound shows what the
+    # cap is saving.
+    out["lsh_candidate_audit"] = {}
+    for sf in SFS + (["1"] if have_sf1 else []):
+        audit = lsh_audit(spark, SF_DIRS[sf])
+        out["lsh_candidate_audit"][sf] = audit
+        print(f"lsh_audit sf{sf}: {audit}", flush=True)
+
     print(json.dumps(out, indent=1))
-    with open(os.path.join(REPO, "BENCH_scaling_r07.json"), "w") as fh:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r08"
+    with open(os.path.join(REPO, f"BENCH_scaling_{tag}.json"), "w") as fh:
         json.dump(out, fh, indent=1)
+
+
+def lsh_audit(spark, sf_dir: str) -> dict:
+    """Candidate-pair count + band-bucket size distribution for the
+    MinHash-LSH pipeline at one scale factor."""
+    from pyspark.sql import functions as F
+
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.functions.dedup import (
+        MAX_BUCKET_SIZE,
+        _band_buckets,
+        hashed_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = hashed_shingles(d).select("doc_id", "hshingles").persist()
+    n_docs = sh.count()
+    sigs = minhash_signatures(sh, shingle_col="hshingles")
+    t0 = time.perf_counter()
+    n_pairs = lsh_candidate_pairs(sigs).count()
+    pair_wall = time.perf_counter() - t0
+    dist = (
+        _band_buckets(sigs, "doc_id")
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_sz"),
+            F.round(F.mean("sz"), 3).alias("mean_sz"),
+            F.expr("percentile(sz, 0.99)").alias("p99_sz"),
+            F.sum(F.expr("CAST(sz AS BIGINT) * (sz - 1) / 2")).alias(
+                "pairs_uncapped_bound"
+            ),
+            F.count(F.when(F.col("sz") > MAX_BUCKET_SIZE, 1)).alias(
+                "buckets_over_cap"
+            ),
+            F.sum(
+                F.when(F.col("sz") > MAX_BUCKET_SIZE, F.col("sz")).otherwise(0)
+            ).alias("memberships_dropped"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    sh.unpersist()
+    return {
+        "n_docs": n_docs,
+        "candidate_pairs": n_pairs,
+        "candidates_per_doc": round(n_pairs / max(n_docs, 1), 3),
+        "candidate_count_wall_sec": round(pair_wall, 3),
+        **{k: (float(v) if v is not None else None) for k, v in dist.items()},
+    }
 
 
 if __name__ == "__main__":

@@ -84,6 +84,24 @@ def main() -> None:
             df = src[t]
             for c, s in col_shifts[t]:
                 df = df.withColumn(c, F.col(c) + F.lit(r * s))
+            if t == "documents" and r > 0:
+                # Replica texts must not be verbatim copies: 10 identical
+                # twins per doc would make LSH candidate pairs grow
+                # QUADRATICALLY as a replication artifact (every cross-
+                # replica pair is a perfect dup), drowning the operator's
+                # real scaling. A token-level remap (suffix every word with
+                # the replica id) keeps the intra-replica near-dup structure
+                # bit-identical — the same planted dups exist within each
+                # replica — while making shingle spaces across replicas
+                # disjoint, i.e. a 10x corpus with the SAME dup rate, which
+                # is what a real decade looks like.
+                df = df.withColumn(
+                    "text",
+                    F.expr(
+                        "array_join(transform(split(text, ' '), "
+                        f"w -> concat(w, '~r{r}')), ' ')"
+                    ),
+                )
             replicas.append(df)
         big = replicas[0]
         for df in replicas[1:]:

@@ -282,3 +282,41 @@ def test_wire_connections_get_isolated_caches(spark, tmp_path):
     finally:
         srv.stop()
         sess.disable_result_cache()
+
+
+def test_warm_rerun_is_5x_faster_on_cacheable_queries(spark, tmp_path):
+    """Effectiveness, not just correctness (round-8 ask): a warm rerun of
+    a cacheable aggregate must be >=5x faster than the cold run — the hit
+    path is a scan of the materialized parquet, never a re-execution of
+    the join/shuffle. Companion artifact: BENCH_cache_r08.json
+    (scripts/bench_cache.py) measures the full suite + invalidation cost."""
+    import statistics
+    import time
+
+    from pyspark.sql import functions as F
+
+    sess = DriftSession(spark, str(tmp_path / "cacheperf"))
+    sess.sql("CREATE TABLE big (id INT PRIMARY KEY, grp INT, v DOUBLE)")
+    log, _cols = sess._tables["big"]
+    log.insert(
+        spark.range(300_000).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 1000).cast("int").alias("grp"),
+            (F.col("id") % 97 * 1.5).alias("v"),
+        )
+    )
+    sess.enable_result_cache()
+    q = (
+        "SELECT a.grp, COUNT(*) AS n, SUM(a.v + b.v) AS s "
+        "FROM big a JOIN big b ON a.id = b.id GROUP BY a.grp"
+    )
+    t0 = time.perf_counter()
+    n_cold = sess.sql(q).count()
+    cold = time.perf_counter() - t0
+    warms = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        assert sess.sql(q).count() == n_cold
+        warms.append(time.perf_counter() - t0)
+    warm = statistics.median(warms)
+    assert cold / warm >= 5, f"cold={cold:.3f}s warm={warm:.3f}s"
