@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from driftdb_spark.registry import QUERIES, query_map  # noqa: E402
 from driftdb_spark.session import get_spark  # noqa: E402
 
-SUSPECTS = ["fulltext_tfidf_search", "events_asof_sequence", "dedup_cluster_components"]
+SUSPECTS = ["sim_cosine_topk_batch", "text_token_df", "join_left_agg"]
 
 
 def main() -> None:
