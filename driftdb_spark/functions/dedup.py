@@ -987,3 +987,42 @@ def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select("bin", F.round(F.col("bin") * 0.05, 2).alias("bin_lo"), "n_pairs")
     )
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    oracle="""
+    WITH d AS (
+      SELECT source, text, COUNT(*) AS c FROM documents GROUP BY source, text
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs,
+           ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS dup_rate
+    FROM d GROUP BY source
+    """,
+    tags=("dedup", "corpus"),
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate health: for each source/domain, how many
+    documents and what share of them are verbatim copies of another doc
+    in the SAME source — the standard first look at where a crawl's
+    duplication lives before choosing per-domain dedup aggressiveness
+    (a boilerplate-heavy domain wants harder near-dedup; a clean one
+    doesn't). Spark groups on (source, xxhash64(text)) so the wide text
+    column never rides the shuffle — only an 8-byte key does (the
+    dedup_exact discipline); the oracle groups the text itself, which is
+    value-identical short of a 2^-64 hash collision. Two keyed
+    aggregations with map-side partials; no row ever leaves its
+    (source)-keyed partition twice."""
+    d = load_tables(spark, sf_dir)["documents"]
+    groups = d.groupBy("source", F.xxhash64("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dup_c = F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+    return groups.groupBy("source").agg(
+        F.sum("c").alias("docs"),
+        F.sum(dup_c).alias("dup_docs"),
+        F.round(F.sum(dup_c).cast("double") / F.sum("c"), 6).alias("dup_rate"),
+    )

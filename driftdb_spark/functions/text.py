@@ -1652,3 +1652,70 @@ _REG["text_langid_confusion"].oracle = f"""
     FROM scored
     GROUP BY lang, predicted_lang
 """
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             ROUND(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                   / len(ws), 6) AS mean_word_len,
+             ROUND(CAST(len(list_filter(ws, x -> regexp_matches(x, '^[a-z]')))
+                        AS DOUBLE) / len(ws), 6) AS alpha_frac,
+             CAST(len(list_filter(ws,
+                  x -> x IN ('the', 'a', 'and', 'of', 'to', 'in')))
+                  AS BIGINT) AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+           (n_words BETWEEN 10 AND 100000)
+           AND (mean_word_len BETWEEN 2 AND 12)
+           AND alpha_frac >= 0.7 AND stop_hits >= 2 AS keep
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style HARD quality rules (pass/fail, not a score — the
+    complement to ``text_quality_score``'s soft ranking; the Gopher/
+    MassiveText filtering recipe is the public standard for pretraining
+    corpora): word-count bounds, mean-word-length bounds, minimum
+    alphabetic-word fraction, minimum stop-word presence, and the AND of
+    all four as the keep decision. Line-shape rules (bullet/ellipsis
+    starts) are omitted honestly — the synthetic corpus is single-line.
+
+    All four signals are integer counts or ROUND'd divisions of integer
+    counts over the SAME word split on both engines, so the keep SET is
+    value-exact cross-engine. Plan: one narrow map stage (split once,
+    array folds for the counts) — no shuffle at all, the ideal 100 TB
+    shape for a per-document filter; at corpus scale this fuses into the
+    same scan as the other per-doc signals (pipeline_training_corpus)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws).cast("bigint")
+    sum_len = F.expr(
+        "aggregate(transform(split(text, ' '), x -> length(x)), 0L, (a, x) -> a + x)"
+    )
+    alpha_n = F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]'))")
+    stop_hits = F.expr(
+        "size(filter(split(text, ' '), "
+        "x -> x IN ('the', 'a', 'and', 'of', 'to', 'in')))"
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(sum_len.cast("double") / n_words, 6).alias("mean_word_len"),
+        F.round(alpha_n.cast("double") / n_words, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(10, 100000)
+        & F.col("mean_word_len").between(2, 12)
+        & (F.col("alpha_frac") >= 0.7)
+        & (F.col("stop_hits") >= 2)
+    )
+    return m.select("*", keep.alias("keep"))
