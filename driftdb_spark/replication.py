@@ -387,14 +387,27 @@ class Replica:
         manifest = _read_json(os.path.join(self.ship_dir, MANIFEST_FILE))
         if manifest is None:
             return {"applied": 0, "tables": {}}
-        # a manifest stamped with a pre-promote epoch is a fenced zombie's
-        # last write — inert, same as its heartbeat; the new primary's
-        # first ship() replaces it (manifests predating the epoch stamp
-        # carry no "epoch" key and default to the current stream epoch)
-        stream_epoch = _stream_epoch(self.ship_dir)["epoch"]
-        if int(manifest.get("epoch", stream_epoch)) < stream_epoch:
-            return {"applied": 0, "tables": {}, "stale_epoch": True}
         state = _read_json(self._state_path(), {"tables": {}})
+        # Epoch MONOTONICITY, not equality-with-the-stream: a manifest may
+        # never take this replica BACKWARDS past one it already applied —
+        # that is the fenced-zombie regression (zombie overwrites the new
+        # primary's manifest in the ship()-race window; same rule as
+        # stale-epoch heartbeats). Comparing against the STREAM epoch
+        # instead would deadlock liveness: after a promote, the previous
+        # primary's last manifest (perfectly good acknowledged data) would
+        # be unappliable until the new primary's first ship() — and if the
+        # new primary dies first, lag never drains, auto-failover's
+        # backlog-first guard never fires, and a forced promote would
+        # reseed the stream from stale state. A zombie manifest that lands
+        # BEFORE the new primary ships is pre-promote data and self-heals:
+        # the new primary's first ship() detects the entry mismatch and
+        # bumps the generation, reseeding every replica.
+        applied_epoch = int(state.get("manifest_epoch", 0))
+        manifest_epoch = manifest.get("epoch")
+        if manifest_epoch is not None and int(manifest_epoch) < applied_epoch:
+            return {"applied": 0, "tables": {}, "stale_epoch": True}
+        if manifest_epoch is not None:
+            state["manifest_epoch"] = int(manifest_epoch)
         applied: dict[str, int] = {}
         total = 0
         for name, t in sorted(manifest["tables"].items()):
@@ -599,13 +612,24 @@ class Replica:
         hb = self._heartbeat()
         if hb is not None and (time.time() - hb["ts_unix"]) < stale_after_sec:
             return None
-        if hb is None and (time.time() - self._started_unix) < stale_after_sec:
-            # No heartbeat has EVER been seen: a primary writes one at
-            # construction, so this is either a stream with no primary yet
-            # or a replica that just started — wait out one full staleness
-            # window from OUR start before concluding the primary is dead,
-            # instead of instantly fencing a primary that is still booting.
-            return None
+        if hb is None:
+            # No heartbeat at all. A primary writes one at construction,
+            # so either no primary ever claimed this stream, or one
+            # claimed the epoch and died/stalled inside the sub-second
+            # claim→heartbeat window (or the file was deleted). The grace
+            # is measured from STREAM facts — the epoch claim time for a
+            # claimed stream, this replica's start for a virgin one — so
+            # a one-shot caller (cli replicate promote --if-stale) gets
+            # the same answer as a long-lived follower loop instead of
+            # resetting the clock on every invocation.
+            cur = _stream_epoch(self.ship_dir)
+            anchor = (
+                float(cur.get("changed_unix", 0))
+                if cur["epoch"] > 0
+                else self._started_unix
+            )
+            if (time.time() - anchor) < stale_after_sec:
+                return None
         return self.promote()
 
     def follow(

@@ -205,14 +205,22 @@ _WIRE_BATCH_ROWS = 4096
 def _wire_text_encodable(schema) -> bool:
     """True when every result column renders identically from an Arrow
     ``to_pylist`` value and a Row value under ``str()`` — atomics and
-    (nested) arrays of atomics. Structs/maps differ (``Row(a=1)`` vs
-    ``{'a': 1}``), so results containing them keep the per-row path."""
+    (nested) arrays of atomics. Excluded, keeping the per-row path:
+    structs/maps (``Row(a=1)`` vs ``{'a': 1}``), binary anywhere
+    (Rows carry ``bytearray``, Arrow yields ``bytes`` — different
+    ``str()``), and timestamps NESTED inside arrays (the top-level
+    tz normalization in :func:`_wire_encode_batches` cannot reach
+    element types, so nested elements would render tz-aware)."""
     from pyspark.sql import types as T
 
-    def ok(dt) -> bool:
+    def ok(dt, nested: bool = False) -> bool:
         if isinstance(dt, T.ArrayType):
-            return ok(dt.elementType)
-        return not isinstance(dt, (T.StructType, T.MapType))
+            return ok(dt.elementType, nested=True)
+        if isinstance(dt, (T.StructType, T.MapType, T.BinaryType)):
+            return False
+        if nested and isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return False
+        return True
 
     return all(ok(f.dataType) for f in schema.fields)
 

@@ -154,7 +154,7 @@ def main() -> None:
         "ingest_sec": round(t_ingest, 2),
         "queries": len(QUERIES),
         "warm_runs_per_query": WARM_RUNS,
-        "hit_rate": cache.statistics()["hit_rate"],
+        "hit_rate": stats_before["hit_rate"],
         "hits": stats_before["hits"],
         "misses": stats_before["misses"],
         "p50_uncached_sec": round(statistics.median(uncached), 4),

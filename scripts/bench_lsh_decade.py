@@ -38,18 +38,13 @@ def main() -> None:
     if not os.path.exists(out):
         src = spark.read.parquet(f"{SRC}/documents.parquet")
         shift = src.agg(F.max("doc_id")).collect()[0][0] + 1
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from gen_sf_scale import perturb_replica_text
+
         replicas = []
         for r in range(factor):
             df = src.withColumn("doc_id", F.col("doc_id") + F.lit(r * shift))
-            if r > 0:
-                df = df.withColumn(
-                    "text",
-                    F.expr(
-                        "array_join(transform(split(text, ' '), "
-                        f"w -> concat(w, '~r{r}')), ' ')"
-                    ),
-                )
-            replicas.append(df)
+            replicas.append(perturb_replica_text(df, r))
         big = replicas[0]
         for df in replicas[1:]:
             big = big.unionByName(df)

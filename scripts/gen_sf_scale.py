@@ -54,6 +54,32 @@ ALL_TABLES = [
 ]
 
 
+def perturb_replica_text(df, r: int):
+    """Perturb a documents replica's text for synthetic scale decades.
+
+    Replica texts must not be verbatim copies: N identical twins per doc
+    would make LSH candidate pairs grow QUADRATICALLY as a replication
+    artifact (every cross-replica pair is a perfect dup), drowning the
+    operator's real scaling. A token-level remap (suffix every word with
+    the replica id) keeps the intra-replica near-dup structure
+    bit-identical — the same planted dups exist within each replica —
+    while making shingle spaces across replicas disjoint, i.e. an Nx
+    corpus with the SAME dup rate, which is what a real decade looks
+    like. Replica 0 passes through untouched. (Shared with
+    bench_lsh_decade.py so the two decades use one construction;
+    n_chars metadata is intentionally left at the original value —
+    the benches measure plan scaling, not metadata consistency.)"""
+    if r == 0:
+        return df
+    return df.withColumn(
+        "text",
+        F.expr(
+            "array_join(transform(split(text, ' '), "
+            f"w -> concat(w, '~r{r}')), ' ')"
+        ),
+    )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="gen_sf_scale")
@@ -84,24 +110,8 @@ def main() -> None:
             df = src[t]
             for c, s in col_shifts[t]:
                 df = df.withColumn(c, F.col(c) + F.lit(r * s))
-            if t == "documents" and r > 0:
-                # Replica texts must not be verbatim copies: 10 identical
-                # twins per doc would make LSH candidate pairs grow
-                # QUADRATICALLY as a replication artifact (every cross-
-                # replica pair is a perfect dup), drowning the operator's
-                # real scaling. A token-level remap (suffix every word with
-                # the replica id) keeps the intra-replica near-dup structure
-                # bit-identical — the same planted dups exist within each
-                # replica — while making shingle spaces across replicas
-                # disjoint, i.e. a 10x corpus with the SAME dup rate, which
-                # is what a real decade looks like.
-                df = df.withColumn(
-                    "text",
-                    F.expr(
-                        "array_join(transform(split(text, ' '), "
-                        f"w -> concat(w, '~r{r}')), ' ')"
-                    ),
-                )
+            if t == "documents":
+                df = perturb_replica_text(df, r)
             replicas.append(df)
         big = replicas[0]
         for df in replicas[1:]:

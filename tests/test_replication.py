@@ -497,12 +497,50 @@ def test_maybe_promote_grace_period_without_any_heartbeat(spark, tmp_path):
     assert new_primary is not None and new_primary.epoch == 1
 
 
-def test_zombie_manifest_is_ignored_by_epoch_stamp(rig):
+def test_maybe_promote_grace_anchors_on_epoch_claim_for_one_shot_callers(
+    rig, tmp_path
+):
+    """On a CLAIMED stream whose heartbeat vanished, the no-heartbeat
+    grace is measured from the epoch claim time — a stream fact — so a
+    one-shot caller (cli replicate promote --if-stale builds a FRESH
+    Replica per invocation) can still promote once the claim is old,
+    instead of resetting the clock on every run and never firing."""
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    os.remove(os.path.join(primary.ship_dir, "_heartbeat.json"))
+    # fresh claim: a brand-new replica object holds off
+    oneshot = Replica(
+        replica.spark,
+        os.path.join(os.path.dirname(replica.storage_dir), "oneshot"),
+        primary.ship_dir,
+        node_id="os1",
+    )
+    assert oneshot.maybe_promote(stale_after_sec=3600) is None
+    # age the claim past the window: a SECOND fresh object now promotes
+    ep_path = os.path.join(primary.ship_dir, "_epoch.json")
+    ep = json.load(open(ep_path))
+    ep["changed_unix"] = time.time() - 999
+    json.dump(ep, open(ep_path, "w"))
+    oneshot2 = Replica(
+        replica.spark,
+        os.path.join(os.path.dirname(replica.storage_dir), "oneshot2"),
+        primary.ship_dir,
+        node_id="os2",
+    )
+    new_primary = oneshot2.maybe_promote(stale_after_sec=30)
+    assert new_primary is not None and new_primary.epoch == 2
+    assert _names(oneshot2.session) == ["a", "b"]  # backlog applied first
+
+
+def test_zombie_manifest_cannot_regress_an_applied_epoch(rig):
     """A fenced zombie that wins the race window between ship()'s fence
-    re-check and the manifest write still cannot feed replicas: the
-    manifest carries the shipping epoch and replicas ignore manifests
-    older than the stream epoch (the heartbeat rule, applied to the
-    manifest)."""
+    re-check and the manifest write cannot take a replica BACKWARDS: the
+    manifest carries the shipping epoch and a replica refuses any
+    manifest older than the one it last applied (the heartbeat rule,
+    applied monotonically — NOT against the stream epoch, which would
+    deadlock followers between a promote and the new primary's first
+    ship; see the liveness test below)."""
     sess, primary, replica = rig
     primary.ship()
     replica.apply_pending()
@@ -512,16 +550,41 @@ def test_zombie_manifest_is_ignored_by_epoch_stamp(rig):
         primary.ship_dir,
         node_id="r2b",
     )
-    replica.promote()
-    # zombie force-writes the manifest bypassing the fence re-check,
-    # advertising an entry shipped under its stale epoch
+    new_primary = replica.promote()
+    replica.session.sql("INSERT INTO users VALUES (8, 'h', 80)")
+    new_primary.ship()  # manifest now carries epoch 2
+    replica2.apply_pending()
+    assert _names(replica2.session) == ["a", "b", "h"]
+    # zombie force-writes its stale epoch-1 manifest (race-window write,
+    # bypassing the fence re-check) WITHOUT the new primary's entries
     mf_path = os.path.join(primary.ship_dir, "_manifest.json")
     mf = json.load(open(mf_path))
-    assert mf["epoch"] == 1  # written while the zombie was legitimate
+    mf["epoch"] = 1
     json.dump(mf, open(mf_path, "w"))
     out = replica2.apply_pending()
     assert out["applied"] == 0 and out.get("stale_epoch") is True
-    assert "users" not in replica2.session._tables or True  # nothing applied
+    assert _names(replica2.session) == ["a", "b", "h"]  # no regression
+
+
+def test_backlog_applies_between_promote_and_first_ship(rig):
+    """Liveness counterpart of the zombie gate: after a promote, the OLD
+    primary's last manifest (acknowledged shipped data) must remain
+    appliable by lagging followers even though its epoch is behind the
+    stream epoch — otherwise a new primary dying before its first ship()
+    would leave the backlog stranded and lag never drains."""
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    lagger = Replica(
+        replica.spark,
+        os.path.join(os.path.dirname(replica.storage_dir), "lagger"),
+        primary.ship_dir,
+        node_id="lag1",
+    )
+    replica.promote()  # stream epoch is now 2; manifest still epoch 1
+    out = lagger.apply_pending()
+    assert out["applied"] >= 1 and not out.get("stale_epoch")
+    assert _names(lagger.session) == ["a", "b"]
 
 
 def test_manual_promote_applies_backlog_first(rig):
