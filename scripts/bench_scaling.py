@@ -200,3 +200,68 @@ def lsh_audit(spark, sf_dir: str) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def ivf_audit(spark, sf_dir: str) -> dict:
+    """Measured IVF probe pruning at one scale factor: how much of the
+    corpus the nprobe'd query actually scans. The 100 TB claim is that a
+    probe reads ~nprobe/K of the data (partition pruning once lists are
+    the partition key); this turns that from construction into evidence."""
+    from pyspark.sql import functions as F
+
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.functions.similarity import (
+        _SIM,
+        _dots,
+        K_LISTS,
+        N_PROBE,
+        ivf_assign,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_vecs = emb.count()
+    cent_row = (
+        emb.filter(F.col("vec_id") < K_LISTS)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"),
+            ).alias("c")
+        )
+        .withColumn(
+            "c",
+            F.struct("c.cid", "c.ce", F.sqrt(_dots("c.ce", "c.ce")).alias("cnrm")),
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    assigned = ivf_assign(emb, cent_row).persist()
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+    qrow = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        F.col("enrm").alias("qnrm"),
+        F.col("cents").alias("qcents"),
+    )
+    probe_sim = _SIM.format(v="qe", c="c.ce", nv="qnrm", nc="c.cnrm")
+    probes = qrow.select(
+        F.explode(
+            F.expr(
+                "transform(slice(reverse(array_sort(transform(qcents, c -> "
+                f"struct({probe_sim} AS s, c.cid AS cid)))), 1, {N_PROBE}), "
+                "p -> p.cid)"
+            )
+        ).alias("pcid")
+    )
+    scanned = (
+        sizes.join(probes, sizes.list_id == probes.pcid)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assigned.unpersist()
+    return {
+        "n_vecs": n_vecs,
+        "k_lists": K_LISTS,
+        "n_probe": N_PROBE,
+        "rows_scanned": int(scanned),
+        "scan_fraction": round(scanned / n_vecs, 4),
+        "nprobe_over_k": round(N_PROBE / K_LISTS, 4),
+    }
