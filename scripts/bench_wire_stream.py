@@ -117,6 +117,45 @@ def main() -> None:
             b"l_returnflag FROM lineitem\x00",
         )
         sock.close()
+
+        # concurrent serving: 4 clients streaming the same 600 K-row
+        # result at once — does aggregate throughput hold when the
+        # driver multiplexes several executor-encoded streams?
+        import threading
+
+        conc_rows = [0] * 4
+        errs = []
+
+        def _client(i: int) -> None:
+            try:
+                raw_i = socket.create_connection((host, port), timeout=600)
+                s = _BufferedConn(raw_i)
+                pay = struct.pack("!I", 196608) + b"user\x00bench\x00\x00"
+                s.sendall(struct.pack("!I", len(pay) + 4) + pay)
+                while True:
+                    h = _recv_exact(s, 5)
+                    (ln,) = struct.unpack("!I", h[1:])
+                    _recv_exact(s, ln - 4)
+                    if h[:1] == b"Z":
+                        break
+                r, _b, _w = _run(
+                    s,
+                    b"SELECT l_orderkey, l_partkey, l_quantity, l_shipdate, "
+                    b"l_returnflag FROM lineitem\x00",
+                )
+                conc_rows[i] = r
+                s.close()
+            except Exception as exc:  # surfaced in the artifact
+                errs.append(repr(exc))
+
+        threads = [threading.Thread(target=_client, args=(i,)) for i in range(4)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        conc_wall = time.perf_counter() - t0
+        assert not errs, errs
     finally:
         srv.stop()
     out = {
@@ -131,6 +170,10 @@ def main() -> None:
         "stream_rows_expected": n_li,
         "stream_wall_sec": round(li_wall, 3),
         "stream_mb_rx": round(li_bytes / 1e6, 1),
+        "concurrent_clients": 4,
+        "concurrent_rows_total": sum(conc_rows),
+        "concurrent_wall_sec": round(conc_wall, 3),
+        "concurrent_agg_rows_per_sec": int(sum(conc_rows) / conc_wall),
         "sf_dir": sf_dir,
     }
     print(json.dumps(out))
