@@ -1026,3 +1026,126 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dup_c).alias("dup_docs"),
         F.round(F.sum(dup_c).cast("double") / F.sum("c"), 6).alias("dup_rate"),
     )
+
+
+@register(
+    "dedup_incremental_vs_corpus",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    hashed AS (
+        SELECT doc_id, {_H32_DUCK.format(col="shingle")} AS h32 FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, j.j,
+               MIN((h32 * (1000003 * j.j + 12345) + (999983 * j.j + 7919))
+                   % {_PORTABLE_P}) AS mh
+        FROM hashed, (SELECT UNNEST(range(0, {N_PERMS})) AS j) j
+        GROUP BY doc_id, j.j
+    ),
+    bands AS (
+        SELECT doc_id, j / {BAND_SIZE} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bkey
+        FROM sig GROUP BY doc_id, j / {BAND_SIZE}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS shared
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.id_a
+        JOIN sh b ON b.doc_id = p.id_b AND a.shingle = b.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.5
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup: dedup a NEW batch against an EXISTING
+    corpus plus within itself — the nightly-crawl production shape the
+    one-shot pipelines don't cover. New batch = ``doc_id % 10 >= 8``
+    (a deterministic 20% slice); output = every candidate-verified pair
+    with at least one NEW side, canonical ``id_a < id_b``.
+
+    The scale property is the JOIN ASYMMETRY: band rows are built for
+    both sides, but the candidate join probes NEW bands into the
+    bucket-keyed corpus — corpus×corpus pairs are never formed, so daily
+    cost is O(batch·bands + matched buckets), not O(corpus²). At 100 TB
+    the corpus band table is precomputed and stored bucketed by
+    (band, bkey); the nightly batch shuffles only itself and the
+    matched buckets (the portable md5 keying makes this instance
+    value-for-value oracle-checked; the xxhash64 performance path is
+    the same plan with the cheaper keying, dedup_minhash_lsh)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).persist()
+    hashed = sh.select(
+        "doc_id", F.expr(_H32_SPARK.format(col="shingle")).alias("h32")
+    )
+    grid = hashed.select(
+        "doc_id", "h32", F.explode(F.expr(f"sequence(0, {N_PERMS - 1})")).alias("j")
+    )
+    sig = grid.groupBy("doc_id", "j").agg(
+        F.min(
+            F.expr(
+                f"(h32 * (1000003 * j + 12345) + (999983 * j + 7919)) % {_PORTABLE_P}"
+            )
+        ).alias("mh")
+    )
+    bands = sig.groupBy(
+        "doc_id", (F.col("j") / BAND_SIZE).cast("long").alias("band")
+    ).agg(
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(j, mh))), "
+                "s -> cast(s.mh as string)), ',')"
+            )
+        ).alias("bkey")
+    )
+    is_new = (F.col("doc_id") % 10) >= 8
+    new_bands = bands.filter(is_new).alias("a")
+    all_bands = bands.alias("b")
+    pairs = (
+        new_bands.join(
+            all_bands,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
