@@ -1190,9 +1190,23 @@ def test_executor_side_encode_is_byte_identical(spark):
     executor_side = b"".join(bytes(r[0]) for r in enc.toLocalIterator())
     assert sorted_frames(per_row) == sorted_frames(executor_side)
 
-    # struct results must stay on the per-row path (Row vs dict render)
-    sdf = spark.sql("SELECT named_struct('a', 1) AS st")
-    assert not _wire_text_encodable(sdf.schema)
+    # render-divergent types must stay on the per-row path: structs
+    # (Row vs dict), binary (bytearray vs bytes), and timestamps nested
+    # in arrays (top-level tz normalization can't reach element types)
+    for q in (
+        "SELECT named_struct('a', 1) AS st",
+        "SELECT CAST('ab' AS BINARY) AS b",
+        "SELECT array(CAST('2024-01-01' AS TIMESTAMP)) AS ts_arr",
+        "SELECT array(array(CAST('ab' AS BINARY))) AS nested_b",
+        "SELECT map('k', 1) AS m",
+    ):
+        assert not _wire_text_encodable(spark.sql(q).schema), q
+    # ...while top-level timestamps and nested atomics stay eligible
+    for q in (
+        "SELECT CAST('2024-01-01' AS TIMESTAMP) AS ts",
+        "SELECT array(array(1.5)) AS aa",
+    ):
+        assert _wire_text_encodable(spark.sql(q).schema), q
 
 
 def sorted_frames(stream: bytes) -> list[bytes]:
