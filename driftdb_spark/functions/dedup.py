@@ -441,12 +441,11 @@ _DUCK_SHINGLES = """
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
 """
 
-
-@register(
-    "dedup_minhash_lsh_portable",
-    oracle=f"""
-    WITH sh AS ({_DUCK_SHINGLES}),
-    hashed AS (
+# The portable MinHash -> banding construction, shared by every md5-keyed
+# pipeline (full dedup, recall audit, incremental): ONE definition keeps
+# the oracle-verified twins value-for-value identical — a constant or
+# hash tweak applied to one copy would silently break parity in the rest.
+_PORTABLE_BANDS_SQL = f"""hashed AS (
         SELECT doc_id, {_H32_DUCK.format(col="shingle")} AS h32 FROM sh
     ),
     sig AS (
@@ -460,7 +459,42 @@ _DUCK_SHINGLES = """
         SELECT doc_id, j / {BAND_SIZE} AS band,
                md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bkey
         FROM sig GROUP BY doc_id, j / {BAND_SIZE}
-    ),
+    )"""
+
+
+def _portable_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) from an exploded (doc_id, shingle) frame —
+    the Spark twin of :data:`_PORTABLE_BANDS_SQL`."""
+    hashed = sh.select(
+        "doc_id", F.expr(_H32_SPARK.format(col="shingle")).alias("h32")
+    )
+    grid = hashed.select(
+        "doc_id", "h32", F.explode(F.expr(f"sequence(0, {N_PERMS - 1})")).alias("j")
+    )
+    sig = grid.groupBy("doc_id", "j").agg(
+        F.min(
+            F.expr(
+                f"(h32 * (1000003 * j + 12345) + (999983 * j + 7919)) % {_PORTABLE_P}"
+            )
+        ).alias("mh")
+    )
+    return sig.groupBy(
+        "doc_id", (F.col("j") / BAND_SIZE).cast("long").alias("band")
+    ).agg(
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(j, mh))), "
+                "s -> cast(s.mh as string)), ',')"
+            )
+        ).alias("bkey")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    {_PORTABLE_BANDS_SQL},
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -497,29 +531,7 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     ).persist()
-    hashed = sh.select(
-        "doc_id", F.expr(_H32_SPARK.format(col="shingle")).alias("h32")
-    )
-    grid = hashed.select(
-        "doc_id", "h32", F.explode(F.expr(f"sequence(0, {N_PERMS - 1})")).alias("j")
-    )
-    sig = grid.groupBy("doc_id", "j").agg(
-        F.min(
-            F.expr(
-                f"(h32 * (1000003 * j + 12345) + (999983 * j + 7919)) % {_PORTABLE_P}"
-            )
-        ).alias("mh")
-    )
-    bands = sig.groupBy(
-        "doc_id", (F.col("j") / BAND_SIZE).cast("long").alias("band")
-    ).agg(
-        F.md5(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(j, mh))), "
-                "s -> cast(s.mh as string)), ',')"
-            )
-        ).alias("bkey")
-    )
+    bands = _portable_bands(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -693,21 +705,7 @@ _DUCK_SHINGLES_SLICE = _DUCK_SHINGLES.replace(
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.5
     ),
-    hashed AS (
-        SELECT doc_id, {_H32_DUCK.format(col="shingle")} AS h32 FROM sh
-    ),
-    sig AS (
-        SELECT doc_id, j.j,
-               MIN((h32 * (1000003 * j.j + 12345) + (999983 * j.j + 7919))
-                   % {_PORTABLE_P}) AS mh
-        FROM hashed, (SELECT UNNEST(range(0, {N_PERMS})) AS j) j
-        GROUP BY doc_id, j.j
-    ),
-    bands AS (
-        SELECT doc_id, j / {BAND_SIZE} AS band,
-               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bkey
-        FROM sig GROUP BY doc_id, j / {BAND_SIZE}
-    ),
+    {_PORTABLE_BANDS_SQL},
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -756,29 +754,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
-    hashed = sh.select(
-        "doc_id", F.expr(_H32_SPARK.format(col="shingle")).alias("h32")
-    )
-    grid = hashed.select(
-        "doc_id", "h32", F.explode(F.expr(f"sequence(0, {N_PERMS - 1})")).alias("j")
-    )
-    sig = grid.groupBy("doc_id", "j").agg(
-        F.min(
-            F.expr(
-                f"(h32 * (1000003 * j + 12345) + (999983 * j + 7919)) % {_PORTABLE_P}"
-            )
-        ).alias("mh")
-    )
-    bands = sig.groupBy(
-        "doc_id", (F.col("j") / BAND_SIZE).cast("long").alias("band")
-    ).agg(
-        F.md5(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(j, mh))), "
-                "s -> cast(s.mh as string)), ',')"
-            )
-        ).alias("bkey")
-    )
+    bands = _portable_bands(sh)
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(
@@ -1032,21 +1008,7 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_vs_corpus",
     oracle=f"""
     WITH sh AS ({_DUCK_SHINGLES}),
-    hashed AS (
-        SELECT doc_id, {_H32_DUCK.format(col="shingle")} AS h32 FROM sh
-    ),
-    sig AS (
-        SELECT doc_id, j.j,
-               MIN((h32 * (1000003 * j.j + 12345) + (999983 * j.j + 7919))
-                   % {_PORTABLE_P}) AS mh
-        FROM hashed, (SELECT UNNEST(range(0, {N_PERMS})) AS j) j
-        GROUP BY doc_id, j.j
-    ),
-    bands AS (
-        SELECT doc_id, j / {BAND_SIZE} AS band,
-               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bkey
-        FROM sig GROUP BY doc_id, j / {BAND_SIZE}
-    ),
+    {_PORTABLE_BANDS_SQL},
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -1090,29 +1052,7 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     ).persist()
-    hashed = sh.select(
-        "doc_id", F.expr(_H32_SPARK.format(col="shingle")).alias("h32")
-    )
-    grid = hashed.select(
-        "doc_id", "h32", F.explode(F.expr(f"sequence(0, {N_PERMS - 1})")).alias("j")
-    )
-    sig = grid.groupBy("doc_id", "j").agg(
-        F.min(
-            F.expr(
-                f"(h32 * (1000003 * j + 12345) + (999983 * j + 7919)) % {_PORTABLE_P}"
-            )
-        ).alias("mh")
-    )
-    bands = sig.groupBy(
-        "doc_id", (F.col("j") / BAND_SIZE).cast("long").alias("band")
-    ).agg(
-        F.md5(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(j, mh))), "
-                "s -> cast(s.mh as string)), ',')"
-            )
-        ).alias("bkey")
-    )
+    bands = _portable_bands(sh)
     is_new = (F.col("doc_id") % 10) >= 8
     new_bands = bands.filter(is_new).alias("a")
     all_bands = bands.alias("b")

@@ -232,6 +232,40 @@ _SIM = (
 )
 
 
+def ivf_centroid_row(emb: DataFrame) -> DataFrame:
+    """The 1-row broadcastable coarse quantizer: the K seed vectors
+    (vec_id < K_LISTS) collected into one sorted struct array with
+    precomputed norms. Shared by sim_ann_ivf and the probe-pruning
+    audit (scripts/bench_scaling.py) so the audit always measures the
+    shipped construction."""
+    return (
+        emb.filter(F.col("vec_id") < K_LISTS)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"),
+            ).alias("c")
+        )
+        .withColumn(
+            "c",
+            F.struct("c.cid", "c.ce", F.sqrt(_dots("c.ce", "c.ce")).alias("cnrm")),
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+
+
+def ivf_probe_explode() -> F.Column:
+    """Explode the N_PROBE nearest-centroid ids for a query row carrying
+    (qe, qnrm, qcents) — the probe-selection expression, defined once."""
+    probe_sim = _SIM.format(v="qe", c="c.ce", nv="qnrm", nc="c.cnrm")
+    return F.explode(
+        F.expr(
+            "transform(slice(reverse(array_sort(transform(qcents, c -> "
+            f"struct({probe_sim} AS s, c.cid AS cid)))), 1, {N_PROBE}), p -> p.cid)"
+        )
+    )
+
+
 def ivf_assign(emb: DataFrame, cent_row: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid — row-local argmax over the
     broadcast quantizer (array_max on (sim, cid) structs: ties take the higher
@@ -305,18 +339,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids), assignment + scoring are narrow map stages, final top-10 is
     TakeOrderedAndProject — the only wide operation at any scale."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cent_row = (
-        emb.filter(F.col("vec_id") < K_LISTS)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("cid"),
-                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"),
-            ).alias("c")
-        )
-        .withColumn("c", F.struct("c.cid", "c.ce", F.sqrt(_dots("c.ce", "c.ce")).alias("cnrm")))
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
-    assigned = ivf_assign(emb, cent_row)
+    assigned = ivf_assign(emb, ivf_centroid_row(emb))
 
     qrow = (
         assigned.filter(F.col("vec_id") == 0)
@@ -326,17 +349,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").alias("qcents"),
         )
     )
-    probe_sim = _SIM.format(v="qe", c="c.ce", nv="qnrm", nc="c.cnrm")
-    probes = qrow.select(
-        "qe",
-        "qnrm",
-        F.explode(
-            F.expr(
-                "transform(slice(reverse(array_sort(transform(qcents, c -> "
-                f"struct({probe_sim} AS s, c.cid AS cid)))), 1, {N_PROBE}), p -> p.cid)"
-            )
-        ).alias("pcid"),
-    )
+    probes = qrow.select("qe", "qnrm", ivf_probe_explode().alias("pcid"))
     cand = assigned.join(
         F.broadcast(probes), F.col("list_id") == F.col("pcid")
     ).filter(F.col("vec_id") != 0)

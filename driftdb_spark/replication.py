@@ -149,6 +149,31 @@ def _stream_epoch(ship_dir: str) -> dict:
     )
 
 
+def _manifest_name(epoch: int) -> str:
+    return f"_manifest-{epoch:012d}.json"
+
+
+def _stream_manifest(ship_dir: str, default=None):
+    """The authoritative manifest: each epoch writes its OWN file
+    (``_manifest-<epoch>.json``) and readers take the newest, so a fenced
+    zombie primary physically cannot clobber a newer primary's manifest —
+    not for caught-up replicas, not for lagging or freshly-seeded ones
+    (the hole an in-content epoch stamp alone leaves open: a late zombie
+    write would replace the file and anyone below that epoch would trust
+    it). Falls back to the legacy un-stamped ``_manifest.json`` for
+    streams written before the stamping existed."""
+    try:
+        names = os.listdir(ship_dir)
+    except OSError:
+        return default
+    stamped = sorted(
+        n for n in names if n.startswith("_manifest-") and n.endswith(".json")
+    )
+    if stamped:
+        return _read_json(os.path.join(ship_dir, stamped[-1]), default)
+    return _read_json(os.path.join(ship_dir, MANIFEST_FILE), default)
+
+
 class ReplicationPrimary:
     """Ships a session's published log entries into a replication stream
     directory and maintains the stream heartbeat (reference
@@ -241,9 +266,7 @@ class ReplicationPrimary:
 
     def _ship_locked(self) -> dict:
         self._check_fence()
-        manifest = _read_json(
-            os.path.join(self.ship_dir, MANIFEST_FILE), {"tables": {}}
-        )
+        manifest = _stream_manifest(self.ship_dir, {"tables": {}})
         shipped: dict[str, int] = {}
         hb_tables: dict[str, dict] = {}
         for name, (log, _cols) in sorted(self.session._tables.items()):
@@ -303,12 +326,17 @@ class ReplicationPrimary:
         # manifest never advance, and replicas ignore stale-epoch
         # heartbeats regardless)
         self._check_fence()
-        # The manifest carries the shipping epoch: a promote landing in the
-        # window between the re-check above and this write would let a
-        # fenced zombie publish the manifest anyway — replicas compare this
-        # stamp against the stream epoch and ignore older-epoch manifests,
-        # exactly as they already do for heartbeats.
+        # The manifest is published under an EPOCH-STAMPED filename: a
+        # promote landing in the window between the re-check above and
+        # this write lets a fenced zombie publish its manifest anyway —
+        # but only into its own epoch's file, which every reader ranks
+        # below the new primary's. The legacy un-stamped file is also
+        # maintained for external tooling; readers prefer stamped files,
+        # so a zombie clobbering the legacy copy is inert.
         manifest["epoch"] = self.epoch
+        _write_json_atomic(
+            os.path.join(self.ship_dir, _manifest_name(self.epoch)), manifest
+        )
         _write_json_atomic(os.path.join(self.ship_dir, MANIFEST_FILE), manifest)
         self.heartbeat(hb_tables)
         return shipped
@@ -384,24 +412,22 @@ class Replica:
     def _apply_locked(self) -> dict:
         if self.promoted:
             raise RuntimeError("promoted replica no longer follows the stream")
-        manifest = _read_json(os.path.join(self.ship_dir, MANIFEST_FILE))
+        manifest = _stream_manifest(self.ship_dir)
         if manifest is None:
             return {"applied": 0, "tables": {}}
         state = _read_json(self._state_path(), {"tables": {}})
-        # Epoch MONOTONICITY, not equality-with-the-stream: a manifest may
-        # never take this replica BACKWARDS past one it already applied —
-        # that is the fenced-zombie regression (zombie overwrites the new
-        # primary's manifest in the ship()-race window; same rule as
-        # stale-epoch heartbeats). Comparing against the STREAM epoch
-        # instead would deadlock liveness: after a promote, the previous
-        # primary's last manifest (perfectly good acknowledged data) would
-        # be unappliable until the new primary's first ship() — and if the
-        # new primary dies first, lag never drains, auto-failover's
-        # backlog-first guard never fires, and a forced promote would
-        # reseed the stream from stale state. A zombie manifest that lands
-        # BEFORE the new primary ships is pre-promote data and self-heals:
-        # the new primary's first ship() detects the entry mismatch and
-        # bumps the generation, reseeding every replica.
+        # Two layers of zombie protection, neither of which costs
+        # liveness (the old primary's last manifest stays appliable
+        # between a promote and the new primary's first ship — a
+        # stream-epoch equality check here would deadlock exactly that
+        # backlog):
+        # 1. _stream_manifest ranks epoch-stamped FILES, so a fenced
+        #    zombie's late write lands in its own epoch's file and is
+        #    simply outranked for every reader — caught-up, lagging, and
+        #    freshly-seeded replicas alike.
+        # 2. Epoch MONOTONICITY per replica (below): even if stamped
+        #    files are lost and the legacy file regresses, a replica
+        #    never applies a manifest older than one it already applied.
         applied_epoch = int(state.get("manifest_epoch", 0))
         manifest_epoch = manifest.get("epoch")
         if manifest_epoch is not None and int(manifest_epoch) < applied_epoch:
@@ -511,10 +537,13 @@ class Replica:
         table plus heartbeat age, with ZERO Spark jobs (pure manifest/state
         JSON reads), so a metrics scrape stays sub-ms while a long query
         holds the executors. The scrape-safe twin of :meth:`lag` (which
-        compares sequences and runs a Spark aggregate per table)."""
-        manifest = _read_json(
-            os.path.join(self.ship_dir, MANIFEST_FILE), {"tables": {}}
-        )
+        compares sequences and runs a Spark aggregate per table).
+
+        Reads the same epoch-ranked manifest the apply path uses
+        (:func:`_stream_manifest`) — measuring lag against a manifest the
+        apply path would refuse would leave ``max_lag_entries`` pinned
+        above zero and wedge the follower loop's backlog-first guard."""
+        manifest = _stream_manifest(self.ship_dir, {"tables": {}})
         state = _read_json(self._state_path(), {"tables": {}})
         tables = {}
         for name, t in manifest["tables"].items():
@@ -615,19 +644,29 @@ class Replica:
         if hb is None:
             # No heartbeat at all. A primary writes one at construction,
             # so either no primary ever claimed this stream, or one
-            # claimed the epoch and died/stalled inside the sub-second
-            # claim→heartbeat window (or the file was deleted). The grace
-            # is measured from STREAM facts — the epoch claim time for a
-            # claimed stream, this replica's start for a virgin one — so
-            # a one-shot caller (cli replicate promote --if-stale) gets
-            # the same answer as a long-lived follower loop instead of
-            # resetting the clock on every invocation.
+            # claimed and died/stalled, or the heartbeat file was lost.
+            # The grace is measured from STREAM facts — the freshest of
+            # the epoch claim time and the last manifest write (a live
+            # primary touches the manifest on every ship, so a lost
+            # heartbeat on an ACTIVE stream still holds failover off
+            # until ships stop for a full window) — so a one-shot caller
+            # (cli replicate promote --if-stale) gets the same answer as
+            # a long-lived follower loop instead of resetting the clock
+            # per invocation. A virgin stream anchors on replica start.
             cur = _stream_epoch(self.ship_dir)
-            anchor = (
-                float(cur.get("changed_unix", 0))
-                if cur["epoch"] > 0
-                else self._started_unix
-            )
+            if cur["epoch"] > 0:
+                anchor = float(cur.get("changed_unix", 0))
+                try:
+                    anchor = max(
+                        anchor,
+                        os.path.getmtime(
+                            os.path.join(self.ship_dir, MANIFEST_FILE)
+                        ),
+                    )
+                except OSError:
+                    pass
+            else:
+                anchor = self._started_unix
             if (time.time() - anchor) < stale_after_sec:
                 return None
         return self.promote()

@@ -139,6 +139,14 @@ def main() -> None:
         out["lsh_candidate_audit"][sf] = audit
         print(f"lsh_audit sf{sf}: {audit}", flush=True)
 
+    # IVF probe-pruning audit: measured fraction of the corpus the
+    # nprobe'd query actually scans (claim: ~nprobe/K at every scale)
+    out["ivf_probe_audit"] = {}
+    for sf in SFS + (["1"] if have_sf1 else []):
+        audit = ivf_audit(spark, SF_DIRS[sf])
+        out["ivf_probe_audit"][sf] = audit
+        print(f"ivf_audit sf{sf}: {audit}", flush=True)
+
     print(json.dumps(out, indent=1))
     tag = sys.argv[1] if len(sys.argv) > 1 else "r08"
     with open(os.path.join(REPO, f"BENCH_scaling_{tag}.json"), "w") as fh:
@@ -198,8 +206,6 @@ def lsh_audit(spark, sf_dir: str) -> dict:
     }
 
 
-if __name__ == "__main__":
-    main()
 
 
 def ivf_audit(spark, sf_dir: str) -> dict:
@@ -211,46 +217,23 @@ def ivf_audit(spark, sf_dir: str) -> dict:
 
     from driftdb_spark.catalog import load_tables
     from driftdb_spark.functions.similarity import (
-        _SIM,
-        _dots,
         K_LISTS,
         N_PROBE,
         ivf_assign,
+        ivf_centroid_row,
+        ivf_probe_explode,
     )
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     n_vecs = emb.count()
-    cent_row = (
-        emb.filter(F.col("vec_id") < K_LISTS)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("cid"),
-                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"),
-            ).alias("c")
-        )
-        .withColumn(
-            "c",
-            F.struct("c.cid", "c.ce", F.sqrt(_dots("c.ce", "c.ce")).alias("cnrm")),
-        )
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
-    assigned = ivf_assign(emb, cent_row).persist()
+    assigned = ivf_assign(emb, ivf_centroid_row(emb)).persist()
     sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
     qrow = assigned.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"),
         F.col("enrm").alias("qnrm"),
         F.col("cents").alias("qcents"),
     )
-    probe_sim = _SIM.format(v="qe", c="c.ce", nv="qnrm", nc="c.cnrm")
-    probes = qrow.select(
-        F.explode(
-            F.expr(
-                "transform(slice(reverse(array_sort(transform(qcents, c -> "
-                f"struct({probe_sim} AS s, c.cid AS cid)))), 1, {N_PROBE}), "
-                "p -> p.cid)"
-            )
-        ).alias("pcid")
-    )
+    probes = qrow.select(ivf_probe_explode().alias("pcid"))
     scanned = (
         sizes.join(probes, sizes.list_id == probes.pcid)
         .agg(F.sum("n"))
@@ -265,3 +248,7 @@ def ivf_audit(spark, sf_dir: str) -> dict:
         "scan_fraction": round(scanned / n_vecs, 4),
         "nprobe_over_k": round(N_PROBE / K_LISTS, 4),
     }
+
+
+if __name__ == "__main__":
+    main()

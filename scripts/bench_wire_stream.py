@@ -145,7 +145,7 @@ def main() -> None:
                 )
                 conc_rows[i] = r
                 s.close()
-            except Exception as exc:  # surfaced in the artifact
+            except Exception as exc:  # fails the bench loudly below
                 errs.append(repr(exc))
 
         threads = [threading.Thread(target=_client, args=(i,)) for i in range(4)]
@@ -155,7 +155,13 @@ def main() -> None:
         for t in threads:
             t.join()
         conc_wall = time.perf_counter() - t0
-        assert not errs, errs
+        if errs:
+            raise RuntimeError(f"concurrent clients failed: {errs}")
+        if conc_rows != [n_li] * 4:
+            raise RuntimeError(
+                f"concurrent clients received partial streams: {conc_rows} "
+                f"(expected {n_li} each)"
+            )
     finally:
         srv.stop()
     out = {

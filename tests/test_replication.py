@@ -517,11 +517,14 @@ def test_maybe_promote_grace_anchors_on_epoch_claim_for_one_shot_callers(
         node_id="os1",
     )
     assert oneshot.maybe_promote(stale_after_sec=3600) is None
-    # age the claim past the window: a SECOND fresh object now promotes
+    # age the claim AND the last ship (manifest mtime) past the window —
+    # both are liveness anchors; a SECOND fresh object now promotes
     ep_path = os.path.join(primary.ship_dir, "_epoch.json")
     ep = json.load(open(ep_path))
     ep["changed_unix"] = time.time() - 999
     json.dump(ep, open(ep_path, "w"))
+    mf_path = os.path.join(primary.ship_dir, "_manifest.json")
+    os.utime(mf_path, (time.time() - 999, time.time() - 999))
     oneshot2 = Replica(
         replica.spark,
         os.path.join(os.path.dirname(replica.storage_dir), "oneshot2"),
@@ -556,14 +559,27 @@ def test_zombie_manifest_cannot_regress_an_applied_epoch(rig):
     replica2.apply_pending()
     assert _names(replica2.session) == ["a", "b", "h"]
     # zombie force-writes its stale epoch-1 manifest (race-window write,
-    # bypassing the fence re-check) WITHOUT the new primary's entries
-    mf_path = os.path.join(primary.ship_dir, "_manifest.json")
-    mf = json.load(open(mf_path))
+    # bypassing the fence re-check) WITHOUT the new primary's entries —
+    # into its own stamped file AND over the legacy copy, exactly what a
+    # zombie _ship_locked would do
+    mf = json.load(open(os.path.join(primary.ship_dir, "_manifest.json")))
     mf["epoch"] = 1
-    json.dump(mf, open(mf_path, "w"))
+    for fname in ("_manifest.json", "_manifest-000000000001.json"):
+        json.dump(mf, open(os.path.join(primary.ship_dir, fname), "w"))
     out = replica2.apply_pending()
-    assert out["applied"] == 0 and out.get("stale_epoch") is True
+    assert out["applied"] == 0 and not out.get("stale_epoch")
     assert _names(replica2.session) == ["a", "b", "h"]  # no regression
+    # a LAGGING replica that never applied anything must ALSO be immune:
+    # the epoch-ranked manifest files outrank the zombie for everyone,
+    # not just replicas that already applied the newer epoch
+    lagger = Replica(
+        replica.spark,
+        os.path.join(os.path.dirname(replica.storage_dir), "lag-zombie"),
+        primary.ship_dir,
+        node_id="lz1",
+    )
+    lagger.apply_pending()
+    assert _names(lagger.session) == ["a", "b", "h"]
 
 
 def test_backlog_applies_between_promote_and_first_ship(rig):
