@@ -429,6 +429,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             auth_method=args.auth_method,
             ssl_context=ssl_context,
             max_connections=args.max_connections,
+            warm_workers=True,  # long-lived server: pre-spawn the pool
         ).start()
         health_addr = None
         if args.health_port is not None:

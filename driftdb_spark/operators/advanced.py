@@ -236,10 +236,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the sketch path for 100 TB
     cardinality estimation — made oracle-checkable: the projection carries
     the exact distinct count, the group size, and a boolean asserting the
-    default-rsd (0.05) HLL++ estimate lands within 3×rsd of exact. The
+    default-rsd (0.05) HLL++ estimate lands within 5×rsd of exact. The
     engine-specific estimate stays OUT of the projection (DuckDB's sketch
     differs by construction); the cross-engine contract is the BOUND.
-    The deeper-precision audit twin below (rsd=0.02) keeps its own row."""
+
+    Margin choice (r8 ADVICE): rsd is a standard deviation, not a hard
+    cap, so the oracle's TRUE is probabilistic on arbitrary data. At
+    5×rsd the per-group exceedance probability is ~6e-7 under the
+    Gaussian error model (≲1e-5 even with HLL++'s slightly heavy tails)
+    — ~2e-6 per run over the 3 lineitem groups, i.e. negligible as a
+    correctness gate. The TIGHT 3×rsd envelope (observed max 1.73×rsd
+    across SFs) stays asserted in pytest on the fixed test data, where
+    the sketch is deterministic — precision regressions still trip CI;
+    the cross-engine oracle no longer gambles on a 3σ event
+    (tests/test_functions.py::test_approx_distinct_error_within_bound).
+    """
     li = load_tables(spark, sf_dir)["lineitem"]
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
@@ -253,18 +264,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "exact_orders",
         "n",
-        (rel_err <= F.lit(3 * 0.05)).alias("approx_ok"),
+        (rel_err <= F.lit(5 * 0.05)).alias("approx_ok"),
     )
 
 
-#: HLL++ relative standard deviation used by the audit; the bound below is
-#: 3×rsd. Measured across sf0.001/0.01/0.1 on (l_returnflag, l_orderkey):
-#: max observed error 1.73×rsd, so 3×rsd holds with ~2× margin while still
-#: being tight enough that a broken sketch (or a silent precision change)
-#: trips it. The estimate is deterministic for a given input — same rows →
-#: same sketch → same boolean — which is what makes this oracle-checkable.
+#: HLL++ relative standard deviation used by the audit; the ORACLE-facing
+#: bound below is 5×rsd (r8 ADVICE: rsd is a standard deviation, not a hard
+#: cap — a 3×rsd oracle gate would fail spuriously ~0.3 % per group on
+#: arbitrary data; at 5×rsd that residual is ~6e-7 Gaussian, ≲1e-5 with
+#: HLL++'s tails). The TIGHT envelope stays in pytest where the input is
+#: fixed and the sketch deterministic: measured max error across
+#: sf0.001/0.01/0.1 on (l_returnflag, l_orderkey) is 1.73×rsd, and
+#: test_approx_distinct_error_within_bound asserts 3×rsd — so precision
+#: regressions still trip CI; only the cross-engine gate got slack.
 APPROX_RSD = 0.02
-APPROX_ERR_BOUND = 3 * APPROX_RSD
+APPROX_ERR_BOUND = 5 * APPROX_RSD
 
 
 @register(
@@ -272,7 +286,7 @@ APPROX_ERR_BOUND = 3 * APPROX_RSD
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-           TRUE AS within_3rsd
+           TRUE AS within_bound
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -281,10 +295,12 @@ APPROX_ERR_BOUND = 3 * APPROX_RSD
 def agg_approx_distinct_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-error guarantee for the HLL sketch path, oracle-checked:
     per group, the exact distinct count plus a boolean asserting the
-    HLL++ estimate (rsd=0.02) lands within 3×rsd of it. The oracle
-    projects the same exact counts with ``within_3rsd = TRUE`` — so if
-    the sketch ever drifts outside the bound, the driver's value hash
-    goes red rather than the approximation silently degrading (the
+    HLL++ estimate (rsd=0.02) lands within 5×rsd of it (the margin is
+    deliberately wider than the 3×rsd pytest envelope — see the
+    APPROX_ERR_BOUND note above for the residual-probability math). The
+    oracle projects the same exact counts with ``within_bound = TRUE`` —
+    so if the sketch ever leaves its error envelope, the driver's value
+    hash goes red rather than the approximation silently degrading (the
     measured-guarantee discipline of dedup_lsh_recall_audit applied to
     cardinality estimation). The estimate itself stays out of the
     projection because its exact value is engine-specific; the BOUND is
@@ -300,7 +316,7 @@ def agg_approx_distinct_error_audit(spark: SparkSession, sf_dir: str) -> DataFra
     return agg.select(
         "l_returnflag",
         "exact_orders",
-        (rel_err <= F.lit(APPROX_ERR_BOUND)).alias("within_3rsd"),
+        (rel_err <= F.lit(APPROX_ERR_BOUND)).alias("within_bound"),
     )
 
 

@@ -338,6 +338,23 @@ class ReplicationPrimary:
             os.path.join(self.ship_dir, _manifest_name(self.epoch)), manifest
         )
         _write_json_atomic(os.path.join(self.ship_dir, MANIFEST_FILE), manifest)
+        # GC stamped manifests older than the PREVIOUS epoch (r8 ADVICE:
+        # one stale file per epoch otherwise accumulates forever, and
+        # _stream_manifest lists/sorts the whole dir on every apply/lag
+        # call). Keeping current + previous preserves the backlog-apply
+        # window a fresh promote reads from; anything older is strictly
+        # dominated — readers always take the newest stamp.
+        for n in os.listdir(self.ship_dir):
+            if n.startswith("_manifest-") and n.endswith(".json"):
+                try:
+                    stamp = int(n[len("_manifest-") : -len(".json")])
+                except ValueError:
+                    continue
+                if stamp < self.epoch - 1:
+                    try:
+                        os.remove(os.path.join(self.ship_dir, n))
+                    except OSError:
+                        pass  # concurrent GC by a racing ship() is fine
         self.heartbeat(hb_tables)
         return shipped
 

@@ -52,6 +52,11 @@ def get_spark(
         # default; read as long nanos, catalog converts to TimestampType
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # FAIR job scheduling: the wire server gives each connection its
+        # own pool (server.py _set_job_group) so concurrent clients share
+        # cores instead of queueing whole jobs FIFO. Batch/bench work is
+        # unaffected (single pool ⇒ FIFO within it).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()

@@ -1,0 +1,313 @@
+"""Concurrent statement EXECUTION across wire connections (r9 ask #1).
+
+Round 8's global exec_lock serialized statement dispatch because every
+connection's DriftSession shared one SparkSession temp-view catalog.
+Round 9 gives each connection a cloned SparkSession (private temp-view
+namespace, shared SparkContext) + a FAIR scheduler pool, and takes
+exec_lock only for writes. This bench measures what that buys for the
+many-analysts shape: 4 clients each EXECUTING a distinct aggregation
+query (dispatch + planning + state registration + execution + streaming,
+end to end over the socket — not streaming a pre-planned result).
+
+The tables are the engine's OWN event-sourced tables (CREATE TABLE +
+INSERT ... SELECT from parquet), so dispatch does real work per query:
+AS-OF resolution, state-fold view registration, RLS/RBAC checks — the
+part the r8 lock serialized.
+
+A/B: the same workload against serialize_dispatch=True (the exact r8
+behavior: shared session, every statement locked) vs the new server.
+
+Writes BENCH_wire_concurrent_r09.json:
+  {serial_wall_sec, concurrent_wall_sec, speedup, per_client_queries,
+   clients, reps, rows_checked}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from driftdb_spark.session import get_spark  # noqa: E402
+
+
+def _recv_msg(rd):
+    head = rd.read(5)
+    if head is None or len(head) < 5:
+        raise ConnectionError("server closed")
+    (length,) = struct.unpack("!I", head[1:])
+    payload = rd.read(length - 4) if length > 4 else b""
+    return head[:1], payload
+
+
+class Conn:
+    def __init__(self, host, port):
+        self.raw = socket.create_connection((host, port), timeout=600)
+        self.rd = self.raw.makefile("rb", buffering=1 << 20)
+        pay = struct.pack("!I", 196608) + b"user\x00bench\x00\x00"
+        self.raw.sendall(struct.pack("!I", len(pay) + 4) + pay)
+        self._drain()
+
+    def _drain(self):
+        rows = 0
+        err = None
+        while True:
+            t, p = _recv_msg(self.rd)
+            if t == b"D":
+                rows += 1
+            elif t == b"E":
+                err = p
+            elif t == b"Z":
+                return rows, err
+
+    def query(self, sql: str):
+        pay = sql.encode() + b"\x00"
+        self.raw.sendall(b"Q" + struct.pack("!I", len(pay) + 4) + pay)
+        rows, err = self._drain()
+        if err is not None:
+            raise RuntimeError(f"query failed: {sql!r}: {err!r}")
+        return rows
+
+    def close(self):
+        self.rd.close()
+        self.raw.close()
+
+
+# Four DISTINCT aggregation queries over event-sourced tables — each
+# client owns one shape (group-agg, filtered agg, distinct-agg, join-agg)
+QUERIES = [
+    "SELECT o_orderpriority, COUNT(*) AS n, SUM(o_totalprice) AS s "
+    "FROM ev_orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sq, "
+    "AVG(l_extendedprice) AS ap, COUNT(*) AS n FROM ev_lineitem "
+    "WHERE l_shipdate <= DATE '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS nn, "
+    "AVG(c_acctbal) AS ab FROM ev_customer GROUP BY c_mktsegment "
+    "ORDER BY c_mktsegment",
+    "SELECT o_orderstatus, COUNT(*) AS n, AVG(c_acctbal) AS ab "
+    "FROM ev_orders JOIN ev_customer ON o_custkey = c_custkey "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+]
+
+
+def _run_fleet(host, port, reps):
+    """4 clients, each repeatedly executing its own aggregation. The
+    connections open OUTSIDE the timed window (session setup is a
+    once-per-connection cost; the ask is statement throughput), then a
+    barrier releases all clients at once. Returns (wall, per-client row
+    counts, per-client solo walls) where solo is each query measured
+    alone beforehand on its own connection — max(solo) is the ideal
+    fully-parallel wall."""
+    conns = [Conn(host, port) for _ in QUERIES]
+    solo = []
+    for i, c in enumerate(conns):  # warm + solo baseline, one at a time
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            c.query(QUERIES[i])
+        solo.append(round(time.perf_counter() - t0, 3))
+    results = [None] * len(QUERIES)
+    errs = []
+    barrier = threading.Barrier(len(QUERIES) + 1)
+
+    def client(i):
+        try:
+            barrier.wait()
+            n = 0
+            for _ in range(reps):
+                n += conns[i].query(QUERIES[i])
+            results[i] = n
+        except Exception as exc:
+            errs.append(repr(exc))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(len(QUERIES))]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    for c in conns:
+        c.close()
+    if errs:
+        raise RuntimeError(f"clients failed: {errs}")
+    return wall, results, solo
+
+
+def _values_batch(base_pk: int, n: int) -> str:
+    """One INSERT batch with PKs [base_pk, base_pk+n) — existing group
+    values only, so the readers' GROUP BY result cardinality is stable
+    while the writer runs (cross-mode row-count equality stays exact)."""
+    rows = ", ".join(
+        f"({base_pk + i}, {1 + (base_pk + i) % 1500}, 'F', "
+        f"{100.0 + (base_pk + i) % 997}, '1-URGENT')"
+        for i in range(n)
+    )
+    return f"INSERT INTO ev_orders VALUES {rows}"
+
+
+def _run_mixed(host, port, reps, pk_base):
+    """The workload the r8 lock actually throttled: 4 reader clients
+    each executing a distinct aggregation (reps times) WHILE a writer
+    connection applies a continuous stream of INSERT batches. Writes
+    execute EAGERLY inside dispatch (sequence claim + staged publish),
+    so in serialize mode every reader statement queues behind the
+    writer's multi-hundred-ms lock hold; with per-connection sessions
+    readers never touch the write lock. Returns (readers_wall, rows,
+    write_batches_applied)."""
+    conns = [Conn(host, port) for _ in QUERIES]
+    writer = Conn(host, port)
+    for i, c in enumerate(conns):  # warm pass (workers, IO cache)
+        c.query(QUERIES[i])
+    stop = threading.Event()
+    wrote = [0]
+
+    def write_loop():
+        k = 0
+        while not stop.is_set():
+            writer.query(_values_batch(pk_base + k * 500, 500))
+            k += 1
+        wrote[0] = k
+
+    results = [None] * len(QUERIES)
+    errs = []
+    barrier = threading.Barrier(len(QUERIES) + 1)
+
+    def client(i):
+        try:
+            barrier.wait()
+            n = 0
+            for _ in range(reps):
+                n += conns[i].query(QUERIES[i])
+            results[i] = n
+        except Exception as exc:
+            errs.append(repr(exc))
+
+    wt = threading.Thread(target=write_loop)
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(len(QUERIES))]
+    wt.start()
+    time.sleep(1.0)  # writer reaches steady state first
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stop.set()
+    wt.join()
+    for c in conns:
+        c.close()
+    writer.close()
+    if errs:
+        raise RuntimeError(f"clients failed: {errs}")
+    return wall, results, wrote[0]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    reps = int(os.environ.get("BENCH_CONC_REPS", "3"))
+    spark = get_spark(app_name="bench_wire_concurrent")
+    import tempfile
+
+    from driftdb_spark.server import PgWireServer
+    from driftdb_spark.sql_frontend import DriftSession
+
+    sess = DriftSession(spark, tempfile.mkdtemp(prefix="concbench-"))
+    # Event-sourced copies of three sf tables: INSERT ... SELECT routes
+    # through the real write path (sequence assignment, constraints),
+    # so subsequent SELECT dispatch does the real state-fold work.
+    for name, cols, pk in (
+        (
+            "orders",
+            "o_orderkey BIGINT PRIMARY KEY, o_custkey BIGINT, "
+            "o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING",
+            None,
+        ),
+        (
+            "lineitem",
+            # l_orderkey repeats per line — synthesize a unique PK below
+            "l_pk BIGINT PRIMARY KEY, l_quantity DOUBLE, "
+            "l_extendedprice DOUBLE, l_returnflag STRING, "
+            "l_linestatus STRING, l_shipdate DATE",
+            None,
+        ),
+        (
+            "customer",
+            "c_custkey BIGINT PRIMARY KEY, c_nationkey BIGINT, "
+            "c_mktsegment STRING, c_acctbal DOUBLE",
+            None,
+        ),
+    ):
+        src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        src.createOrReplaceTempView(f"src_{name}")
+        sess.sql(f"CREATE TABLE ev_{name} ({cols})")
+        proj = ", ".join(c.split()[0] for c in cols.split(", "))
+        # the synthetic lineitem has non-unique (orderkey, linenumber):
+        # synthesize a dense unique PK for the event-log copy
+        proj = proj.replace(
+            "l_pk",
+            "ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS l_pk",
+            1,
+        )
+        sess.sql(f"INSERT INTO ev_{name} SELECT {proj} FROM src_{name}")
+
+    out = {"clients": len(QUERIES), "reps": reps, "sf_dir": sf_dir, "runs": {}}
+    pk_base = 50_000_000
+    for mode, serialize in (("serial_r8", True), ("concurrent_r9", False)):
+        srv = PgWireServer(
+            sess, warm_workers=True, serialize_dispatch=serialize
+        ).start()
+        host, port = srv.address
+        try:
+            wall, rows, solo = _run_fleet(host, port, reps)
+            mixed_wall, mixed_rows, batches = _run_mixed(
+                host, port, reps, pk_base
+            )
+            pk_base += 10_000_000  # next mode claims fresh PKs
+        finally:
+            srv.stop()
+        out["runs"][mode] = {
+            "read_only": {
+                "wall_sec": round(wall, 3),
+                "rows": rows,
+                "solo_walls_sec": solo,
+                "ideal_parallel_wall_sec": max(solo),
+                "serial_sum_sec": round(sum(solo), 3),
+            },
+            "mixed_dml": {
+                "readers_wall_sec": round(mixed_wall, 3),
+                "rows": mixed_rows,
+                "writer_batches": batches,
+            },
+        }
+        print(f"{mode}: read-only wall={wall:.3f}s solo={solo}")
+        print(
+            f"{mode}: mixed readers wall={mixed_wall:.3f}s "
+            f"(writer applied {batches} x500-row batches)"
+        )
+    s = out["runs"]["serial_r8"]
+    c = out["runs"]["concurrent_r9"]
+    out["read_only_speedup"] = round(
+        s["read_only"]["wall_sec"] / c["read_only"]["wall_sec"], 2
+    )
+    out["mixed_dml_reader_speedup"] = round(
+        s["mixed_dml"]["readers_wall_sec"] / c["mixed_dml"]["readers_wall_sec"], 2
+    )
+    print(json.dumps(out))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_wire_concurrent_r09.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,7 +77,7 @@ def main() -> None:
     li.createOrReplaceTempView("lineitem")
     n_docs = docs.count()
     n_li = li.count()
-    srv = PgWireServer(sess).start()
+    srv = PgWireServer(sess, warm_workers=True).start()
     host, port = srv.address
 
     def _run(sock, sql: bytes):
@@ -108,14 +108,18 @@ def main() -> None:
             _recv_exact(sock, length - 4)
             if head[:1] == b"Z":
                 break
+        li_sql = (
+            b"SELECT l_orderkey, l_partkey, l_quantity, l_shipdate, "
+            b"l_returnflag FROM lineitem\x00"
+        )
+        # one untimed pass FIRST: absorbs Python-worker spin-up (and any
+        # race with the server's own warm thread) so both timed streams
+        # below measure steady-state serving, not pool startup
+        _run(sock, li_sql)
         rows, bytes_rx, wall = _run(
             sock, b"SELECT doc_id, text, lang, source, n_chars FROM documents\x00"
         )
-        li_rows, li_bytes, li_wall = _run(
-            sock,
-            b"SELECT l_orderkey, l_partkey, l_quantity, l_shipdate, "
-            b"l_returnflag FROM lineitem\x00",
-        )
+        li_rows, li_bytes, li_wall = _run(sock, li_sql)
         sock.close()
 
         # concurrent serving: 4 clients streaming the same 600 K-row
@@ -180,6 +184,7 @@ def main() -> None:
         "concurrent_rows_total": sum(conc_rows),
         "concurrent_wall_sec": round(conc_wall, 3),
         "concurrent_agg_rows_per_sec": int(sum(conc_rows) / conc_wall),
+        "warm_steady_state": True,  # lineitem stream timed after one warm pass
         "sf_dir": sf_dir,
     }
     print(json.dumps(out))

@@ -166,14 +166,15 @@ def test_approx_distinct_error_within_bound(spark):
 
 
 def test_approx_distinct_audit_all_within_bound(spark):
-    """The registered audit query itself: every group's within_3rsd flag
+    """The registered audit query itself: every group's within_bound flag
     is True at the test SF (the oracle asserts the same at the driver's
-    SF — a False here means the sketch left its error envelope)."""
+    SF — a False here means the sketch left its 5×rsd error envelope;
+    the tighter 3×rsd envelope is asserted numerically above)."""
     from driftdb_spark.registry import QUERIES, _ensure_loaded
 
     _ensure_loaded()
     rows = QUERIES["agg_approx_distinct_error_audit"].fn(spark, SF).collect()
-    assert rows and all(r.within_3rsd for r in rows)
+    assert rows and all(r.within_bound for r in rows)
 
 
 def test_bloom_decontaminate_no_false_negatives(spark):

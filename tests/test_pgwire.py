@@ -1219,3 +1219,53 @@ def sorted_frames(stream: bytes) -> list[bytes]:
         frames.append(stream[i : i + 1 + length])
         i += 1 + length
     return sorted(frames)
+
+
+def test_tz_parity_when_session_tz_differs_from_os(spark):
+    """r8 ADVICE (medium): the executor-side encode renders tz-aware
+    timestamps in spark.sql.session.timeZone while Spark hands the
+    driver Row path datetimes in the OS timezone. With the Row-path
+    fixer (_tz_row_fixer) both paths must produce identical bytes even
+    when the session tz is NOT the OS tz (here: America/New_York vs a
+    UTC host) — and the rendered wall time must be the SESSION zone's,
+    PostgreSQL's TimeZone-GUC semantics."""
+    from driftdb_spark.server import _Handler, _wire_encode_batches
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.sql(
+            "SELECT * FROM VALUES "
+            "(1, TIMESTAMP'2024-01-02 03:04:05'), "
+            "(2, TIMESTAMP'2024-07-02 03:04:05.123456'), "  # DST flip
+            "(3, CAST(NULL AS TIMESTAMP)) AS t(i, ts)"
+        ).repartition(3)
+        fix = _Handler._tz_row_fixer(df.schema, spark)
+        assert fix is not None
+        per_row = b"".join(
+            _Handler._data_row_bytes(fix(list(r))) for r in df.toLocalIterator()
+        )
+        enc = df.mapInArrow(_wire_encode_batches, "wire binary, n long")
+        executor_side = b"".join(bytes(r[0]) for r in enc.toLocalIterator())
+        assert sorted_frames(per_row) == sorted_frames(executor_side)
+        # session-zone wall time appears verbatim (literals are parsed
+        # in the session zone, so they round-trip unchanged)
+        assert b"2024-01-02 03:04:05" in per_row
+        assert b"2024-07-02 03:04:05.123456" in per_row
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_wire_encodable_is_a_whitelist(spark):
+    """r8 ADVICE (low): unknown/non-castable types must NOT slip through
+    the executor-side gate — _wire_text_encodable whitelists proven
+    types, so intervals (and anything future) stay on the per-row
+    driver path instead of failing inside mapInArrow at runtime."""
+    from driftdb_spark.server import _wire_text_encodable
+
+    for q in (
+        "SELECT INTERVAL '1' DAY AS iv",
+        "SELECT INTERVAL '1-2' YEAR TO MONTH AS iv",
+        "SELECT make_dt_interval(1, 2, 3, 4.5) AS iv",
+    ):
+        assert not _wire_text_encodable(spark.sql(q).schema), q

@@ -628,3 +628,40 @@ def test_replica_refuses_role_management(rig):
     ):
         with pytest.raises(ReadOnlyLog):
             replica.session.sql(stmt)
+
+
+def test_stamped_manifests_are_garbage_collected(rig, spark, tmp_path):
+    """r8 ADVICE: epoch-stamped manifest files must not accumulate one
+    per epoch forever. ship() keeps the current and previous epoch's
+    stamps (the backlog-apply window a fresh promote reads from) and
+    deletes anything older; a fresh lagging replica still catches up
+    from the surviving stamps."""
+    sess, primary, replica = rig
+    primary.ship()
+    replica.apply_pending()
+    cur = primary
+    cur_replica = replica
+    for i in range(3):  # epochs 2, 3, 4
+        nxt = Replica(
+            spark,
+            str(tmp_path / f"gc-replica-{i}"),
+            primary.ship_dir,
+            node_id=f"gc{i}",
+        )
+        nxt.apply_pending()
+        cur = cur_replica.promote()
+        cur.session.sql(f"INSERT INTO users VALUES ({10 + i}, 'gc{i}', {i})")
+        cur.ship()
+        cur_replica = nxt
+    stamps = sorted(
+        n
+        for n in os.listdir(primary.ship_dir)
+        if n.startswith("_manifest-") and n.endswith(".json")
+    )
+    # epoch 4 just shipped: only 3 and 4 survive
+    assert stamps == ["_manifest-000000000003.json", "_manifest-000000000004.json"]
+    lagger = Replica(
+        spark, str(tmp_path / "gc-lagger"), primary.ship_dir, node_id="gclag"
+    )
+    lagger.apply_pending()
+    assert _names(lagger.session) == ["a", "b", "gc0", "gc1", "gc2"]
