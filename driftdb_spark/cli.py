@@ -247,7 +247,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if spark is None:
         from driftdb_spark.session import get_spark
 
-        spark = get_spark()
+        # Only the wire server wants FAIR scheduling (per-connection pools
+        # share cores between concurrent clients); every batch entry point
+        # keeps FIFO — FAIR measured 8-18 % slower on shuffle-heavy batch
+        # queries (scripts/bench_isolated_ab.py --scheduler-ab). Scheduler
+        # mode is static per SparkContext, so serve must opt in here.
+        spark = get_spark(scheduler="FAIR" if args.cmd == "serve" else "FIFO")
     from driftdb_spark.sql_frontend import DriftSession
 
     sess = DriftSession(spark, args.data)

@@ -210,11 +210,42 @@ _WIRE_BATCH_ROWS = 4096
 #: SQL-level EXECUTE whose body may write) serializes on exec_lock: the
 #: catalog file and the event-log sequence claim are cheap to serialize
 #: and races would surface retryable-but-ugly ConcurrentAppendErrors to
-#: clients. EXPLAIN is read-only here (the dispatcher never executes the
-#: explained statement's side effects — plans/stats.py).
+#: clients. Classification is via :func:`_is_readonly_sql`, not this
+#: regex alone — two verbs need a second look: EXPLAIN is read-only only
+#: when the explained statement is itself query-like (the dispatcher
+#: never executes an explained DML, sql_frontend._sql_explain, but an
+#: EXPLAIN of DML still parses against catalog state and belongs with
+#: the writes), and WITH can prefix DML in Spark SQL
+#: (WITH t AS (...) INSERT INTO ...), so a WITH statement containing a
+#: write verb anywhere takes the lock — false positives merely
+#: serialize, which is the safe direction.
 _READONLY_SQL = re.compile(
     r"^\s*(SELECT|WITH|VALUES|TABLE|EXPLAIN|SHOW|DESCRIBE|DESC)\b", re.IGNORECASE
 )
+_WRITE_VERB_ANYWHERE = re.compile(
+    r"\b(INSERT|UPDATE|DELETE|MERGE|TRUNCATE|CREATE|DROP|ALTER|REFRESH|GRANT|REVOKE)\b",
+    re.IGNORECASE,
+)
+_EXPLAIN_PREFIX = re.compile(
+    r"^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.*)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _is_readonly_sql(sql: str) -> bool:
+    """True only when the statement provably performs no writes — the
+    lock-free concurrent dispatch gate. When in doubt, returns False:
+    a read that serializes is slow, a write that skips exec_lock breaks
+    the single-writer invariant."""
+    m = _READONLY_SQL.match(sql)
+    if not m:
+        return False
+    verb = m.group(1).upper()
+    if verb == "EXPLAIN":
+        me = _EXPLAIN_PREFIX.match(sql)
+        return bool(me) and _is_readonly_sql(me.group(1))
+    if verb == "WITH" and _WRITE_VERB_ANYWHERE.search(sql):
+        return False
+    return True
 
 
 def _clone_spark(spark):
@@ -737,7 +768,7 @@ class _Handler(socketserver.BaseRequestHandler):
             else:
                 self.session.set_security_context(None)
             return "SET" if m is not None else "RESET"
-        if self._isolated and _READONLY_SQL.match(sql):
+        if self._isolated and _is_readonly_sql(sql):
             # Reads dispatch CONCURRENTLY across connections: this
             # connection's SparkSession analyzes/executes in its own
             # temp-view namespace, the scan targets are immutable
@@ -1119,7 +1150,7 @@ class _Handler(socketserver.BaseRequestHandler):
         execution is deferred to Execute, where side effects belong)."""
         if _QUERYLIKE.match(sql) and not _SHOW.match(sql):
             try:
-                if self._isolated and _READONLY_SQL.match(sql):
+                if self._isolated and _is_readonly_sql(sql):
                     df = (
                         self.session.sql(sql, args)
                         if args

@@ -27,12 +27,24 @@ def get_spark(
     app_name: str = "driftdb_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    scheduler: str = "FIFO",
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     ``getOrCreate`` reuses the live session, so repeated calls across the
     query registry / bench / tests share one JVM — Spark's per-query floor
     is scheduling, not session startup.
+
+    ``scheduler``: job-scheduling mode for the SparkContext. FIFO is the
+    engine default — an isolated A/B (scripts/bench_isolated_ab.py
+    --scheduler-ab; both orders, fresh processes) measured FAIR costing
+    8-18 % on shuffle-heavy batch queries, so batch/bench work must not
+    pay it. The wire-serve path opts into FAIR at session build time
+    (cli serve → get_spark(scheduler="FAIR")) so concurrent connections
+    share executor cores via per-connection pools instead of queueing
+    whole jobs. Scheduler mode is static per SparkContext: it cannot be
+    flipped after getOrCreate, which is why it is a build-time argument
+    and not a server-side conf set.
     """
     cpus = _cpus()
     builder = (
@@ -52,11 +64,7 @@ def get_spark(
         # default; read as long nanos, catalog converts to TimestampType
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        # FAIR job scheduling: the wire server gives each connection its
-        # own pool (server.py _set_job_group) so concurrent clients share
-        # cores instead of queueing whole jobs FIFO. Batch/bench work is
-        # unaffected (single pool ⇒ FIFO within it).
-        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.mode", scheduler)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()

@@ -1466,6 +1466,165 @@ class DriftSession:
         _re.IGNORECASE | _re.DOTALL,
     )
 
+    _EXPLAIN_QUERYLIKE_RE = _re.compile(
+        r"^\s*(SELECT|WITH|VALUES|TABLE)\b", _re.IGNORECASE
+    )
+
+    def _sql_explain(self, inner: str):
+        """EXPLAIN <statement> → the plan as a one-column frame, NEVER
+        executing the statement (PostgreSQL contract: EXPLAIN without
+        ANALYZE has no side effects; the reference builds a PlanNode tree
+        without publishing, sql_bridge.rs:580-670).
+
+        The inner statement is parse-classified FIRST. Query-like inners
+        recurse through ``sql()`` — lazy, side-effect-free — and render
+        Catalyst's formatted physical plan. DML inners get an engine
+        dispatch node on top of the lazy physical plan of whatever the
+        statement would READ (the INSERT source, the UPDATE/DELETE
+        matched-row scan, the MERGE source): zero events published, no
+        sequence claimed. A WITH-prefixed statement whose body is DML is
+        classified as DML, not as a query. Utility statements (DDL,
+        SNAPSHOT, VACUUM, ...) refuse with a clear error, as PostgreSQL
+        does. ``EXPLAIN ANALYZE <query>`` executes the query and renders
+        per-operator runtime metrics; EXPLAIN ANALYZE of DML refuses
+        (PostgreSQL would execute it — this engine never mutates state
+        from an EXPLAIN, full stop)."""
+        from driftdb_spark.plans.stats import explain_analyze, explain_plan
+
+        def frame(lines: list[str]):
+            return self.spark.createDataFrame(
+                [(line,) for line in lines], "plan string"
+            )
+
+        def indent(text: str, pad: str = "   ") -> list[str]:
+            return [pad + line for line in text.splitlines()]
+
+        body = inner.strip().rstrip(";").strip()
+        analyze = False
+        ma = _re.match(r"^ANALYZE\s+(.*)$", body, _re.IGNORECASE | _re.DOTALL)
+        if ma:
+            analyze, body = True, ma.group(1).strip()
+
+        # A WITH-prefixed statement can still be DML in Spark SQL
+        # (WITH t AS (...) INSERT INTO ...): scan past the CTE prefix for
+        # a write verb before trusting the query-like classification.
+        querylike = bool(self._EXPLAIN_QUERYLIKE_RE.match(body))
+        if querylike and _re.match(r"^\s*WITH\b", body, _re.IGNORECASE):
+            if _re.search(r"\b(INSERT|UPDATE|DELETE|MERGE)\b", body, _re.IGNORECASE):
+                querylike = False
+
+        if querylike:
+            df = self.sql(body)
+            if analyze:
+                lines = []
+                for node in explain_analyze(df):
+                    metrics = ", ".join(
+                        f"{k}={v}" for k, v in sorted(node["metrics"].items())
+                    )
+                    lines.append(
+                        "   " * node["depth"]
+                        + node["node"]
+                        + (f" [{metrics}]" if metrics else "")
+                    )
+                return frame(lines)
+            return frame(explain_plan(df).splitlines())
+
+        if analyze:
+            raise ValueError(
+                "EXPLAIN ANALYZE of a DML/utility statement is not supported: "
+                "this engine never executes a statement from EXPLAIN "
+                "(PostgreSQL would run it; use EXPLAIN for the plan, or run "
+                "the statement directly)"
+            )
+
+        # DML: build the dispatch-node header + the lazy read-side plan.
+        header: list[str] = []
+        mr = (
+            self._RETURNING_RE.search(body)
+            if _re.match(r"^\s*(INSERT|UPDATE|DELETE)\b", body, _re.IGNORECASE)
+            else None
+        )
+        if mr:
+            header.append(f"Returning [{mr.group(1).strip()}]")
+            body = body[: mr.start()].strip()
+
+        conflict = None
+        mc = self._ON_CONFLICT_RE.search(body)
+        if mc:
+            conflict, body = mc.group(1).upper(), body[: mc.start()].strip()
+
+        m = self._INSERT_RE.match(body)
+        if m and m.group(1) in self._tables:
+            table, cols, source = m.group(1), m.group(2), m.group(3).strip()
+            head = f"InsertEvents [table={table}"
+            if cols:
+                head += f", columns=({cols.strip()})"
+            if conflict:
+                head += f", on_conflict=DO {conflict}"
+            lines = header + [head + "]"]
+            try:
+                src_df = (
+                    self.sql(source)
+                    if self._EXPLAIN_QUERYLIKE_RE.match(source)
+                    else self.spark.sql(source)  # bare VALUES: LocalRelation
+                )
+                lines += indent(explain_plan(src_df))
+            except Exception:
+                lines.append(f"   Source [{source[:120]}]")
+            return frame(lines)
+
+        m = self._UPDATE_RE.match(body)
+        if m and m.group(1) in self._tables:
+            table, set_clause, where = m.group(1), m.group(2), m.group(3)
+            lines = header + [
+                f"UpdateEvents [table={table}, set={set_clause.strip()}]"
+            ]
+            scan = f"SELECT * FROM {table}" + (
+                f" WHERE {where}" if where else ""
+            )
+            lines += indent(explain_plan(self.sql(scan)))
+            return frame(lines)
+
+        m = self._DELETE_RE.match(body)
+        if m and m.group(1) in self._tables:
+            table, where = m.group(1), m.group(2)
+            lines = header + [f"DeleteEvents [table={table}]"]
+            scan = f"SELECT * FROM {table}" + (
+                f" WHERE {where}" if where else ""
+            )
+            lines += indent(explain_plan(self.sql(scan)))
+            return frame(lines)
+
+        m = self._MERGE_RE.match(body)
+        if m and m.group(1) in self._tables:
+            table, _alias, source, on, whens = (
+                m.group(1),
+                m.group(2),
+                m.group(3).strip(),
+                m.group(4).strip(),
+                m.group(5).strip(),
+            )
+            lines = header + [
+                f"MergeEvents [table={table}, on={on}]",
+                f"   When [{' '.join(whens.split())[:200]}]",
+            ]
+            try:
+                src = source
+                msub = _re.match(r"^\((.*)\)\s*(?:AS\s+)?\w*$", src, _re.DOTALL)
+                if msub:
+                    src = msub.group(1)
+                else:
+                    src = f"SELECT * FROM {src.split()[0]}"
+                lines += indent(explain_plan(self.sql(src)))
+            except Exception:
+                lines.append(f"   Source [{source[:120]}]")
+            return frame(lines)
+
+        raise ValueError(
+            f"EXPLAIN is not supported for this statement (only queries and "
+            f"INSERT/UPDATE/DELETE/MERGE on known tables): {body[:80]!r}"
+        )
+
     def _dispatch_dml(self, q: str):
         # Peel a trailing RETURNING clause off DML (PostgreSQL surface):
         # the statement executes normally, then the affected rows project
@@ -1486,16 +1645,7 @@ class DriftSession:
             )
         m = self._EXPLAIN_RE.match(q)
         if m:
-            # EXPLAIN <query> → the formatted physical plan as a one-column
-            # frame (reference builds a PlanNode tree and renders it,
-            # sql_bridge.rs:580-670; Catalyst's plan is the real thing).
-            from driftdb_spark.plans.stats import explain_plan
-
-            inner = self.sql(m.group(1))
-            text = explain_plan(inner)
-            return self.spark.createDataFrame(
-                [(line,) for line in text.splitlines()], "plan string"
-            )
+            return self._sql_explain(m.group(1).strip())
         m = self._CREATE_IMVIEW_RE.match(q)
         if m and m.group(2) in self._tables:
             # CREATE INCREMENTAL MATERIALIZED VIEW v ON t GROUP BY (cols)

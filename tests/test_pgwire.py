@@ -1269,3 +1269,68 @@ def test_wire_encodable_is_a_whitelist(spark):
         "SELECT make_dt_interval(1, 2, 3, 4.5) AS iv",
     ):
         assert not _wire_text_encodable(spark.sql(q).schema), q
+
+
+def test_explain_dml_wire_gate_and_no_mutation(server):
+    """Round-9 hole: _READONLY_SQL classified any EXPLAIN as read-only, so
+    a wire client's EXPLAIN INSERT executed the DML OUTSIDE exec_lock.
+    Pins the fix at both layers: (a) the classifier routes EXPLAIN-of-DML
+    and WITH-prefixed DML to the locked path, (b) over the wire an
+    EXPLAIN INSERT returns a plan, acquires exec_lock, and publishes
+    nothing."""
+    from driftdb_spark.server import _is_readonly_sql
+
+    # (a) classifier: read-only only when provably side-effect-free
+    assert _is_readonly_sql("SELECT 1")
+    assert _is_readonly_sql("EXPLAIN SELECT 1")
+    assert _is_readonly_sql("EXPLAIN ANALYZE SELECT 1")
+    assert _is_readonly_sql("WITH c AS (SELECT 1 AS x) SELECT * FROM c")
+    assert not _is_readonly_sql("EXPLAIN INSERT INTO t VALUES (1)")
+    assert not _is_readonly_sql("EXPLAIN UPDATE t SET v = 1")
+    assert not _is_readonly_sql("explain delete from t")
+    assert not _is_readonly_sql(
+        "WITH c AS (SELECT 1 AS x) INSERT INTO t SELECT x FROM c"
+    )
+    assert not _is_readonly_sql("INSERT INTO t VALUES (1)")
+
+    # (b) wire path: EXPLAIN INSERT takes the lock and mutates nothing
+    class CountingLock:
+        def __init__(self, inner):
+            self.inner, self.count = inner, 0
+
+        def __enter__(self):
+            self.count += 1
+            return self.inner.__enter__()
+
+        def __exit__(self, *a):
+            return self.inner.__exit__(*a)
+
+    host, port = server.address
+    c = Client(host, port)
+    c.ssl_probe()
+    c.startup()
+    _c, _r, _t, err = c.query("CREATE TABLE exp (id INT PRIMARY KEY, v INT)")
+    assert err is None
+    _c, _r, _t, err = c.query("INSERT INTO exp VALUES (1, 10)")
+    assert err is None
+
+    lock = CountingLock(server._tcp.exec_lock)
+    server._tcp.exec_lock = lock
+    try:
+        cols, rows, _t, err = c.query("EXPLAIN INSERT INTO exp VALUES (2, 20)")
+        assert err is None and len(rows) > 0
+        assert any("InsertEvents" in r[0] for r in rows)
+        locked_for_explain_dml = lock.count
+        assert locked_for_explain_dml >= 1  # serialized with the writers
+
+        _c, rows, _t, err = c.query("SELECT COUNT(*) AS n FROM exp")
+        assert err is None and rows == [["1"]]  # nothing published
+
+        # a plain EXPLAIN SELECT stays on the lock-free read path
+        before = lock.count
+        _c, rows, _t, err = c.query("EXPLAIN SELECT * FROM exp")
+        assert err is None and len(rows) > 0
+        assert lock.count == before  # per-connection isolation ⇒ lock-free
+    finally:
+        server._tcp.exec_lock = lock.inner
+    c.close()

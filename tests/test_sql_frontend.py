@@ -973,3 +973,73 @@ def test_publish_versioned_keeps_previous_version_one_cycle(spark, tmp_path):
     assert versions() == ["vv.v1.parquet", "vv.v2.parquet"]
     assert resolve_versioned(d, "vv").endswith("vv.v2.parquet")
     assert spark.read.parquet(p1).count() == 3
+
+
+def test_explain_dml_builds_plan_without_executing(spark, tmp_path):
+    """PostgreSQL contract: EXPLAIN without ANALYZE NEVER executes the
+    statement (reference builds a PlanNode tree without publishing,
+    sql_bridge.rs:580-670). Round 9 recursed EXPLAIN's inner statement
+    through sql() unconditionally, which EXECUTED DML eagerly (row count
+    mutated) and then crashed — this pins the fix: every DML shape returns
+    a dispatch-node plan with ZERO events published, and EXPLAIN of
+    utility statements / EXPLAIN ANALYZE of DML refuse cleanly."""
+    import pytest as _pytest
+
+    from driftdb_spark.sql_frontend import DriftSession
+
+    sess = DriftSession(spark, str(tmp_path / "xplain"))
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    sess.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    log = sess._tables["t"][0]
+
+    def state():
+        rows = sorted(
+            (r.id, r.v) for r in sess.sql("SELECT id, v FROM t").collect()
+        )
+        return rows, log.last_sequence()
+
+    before = state()
+    cases = {
+        "EXPLAIN INSERT INTO t VALUES (3, 30)": "InsertEvents",
+        "EXPLAIN INSERT INTO t SELECT id + 10, v FROM t": "InsertEvents",
+        "EXPLAIN INSERT INTO t VALUES (4, 40) RETURNING id": "Returning",
+        "EXPLAIN UPDATE t SET v = v + 1 WHERE id = 1": "UpdateEvents",
+        "EXPLAIN DELETE FROM t WHERE id = 2": "DeleteEvents",
+        "EXPLAIN MERGE INTO t USING t s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v": "MergeEvents",
+    }
+    for stmt, node in cases.items():
+        plan = sess.sql(stmt)
+        text = "\n".join(r.plan for r in plan.collect())
+        assert node in text, f"{stmt} missing dispatch node: {text[:200]}"
+        # the read side of the DML still plans through Catalyst
+        if "VALUES" not in stmt or "SELECT" in stmt:
+            assert "Physical Plan" in text or "Scan" in text
+        assert state() == before, f"EXPLAIN executed the statement: {stmt}"
+
+    # WITH-prefixed DML classifies as DML, not as a query (Spark SQL
+    # allows CTE-prefixed INSERT; it must not slip through the lazy path)
+    with _pytest.raises(Exception):
+        sess.sql("EXPLAIN WITH c AS (SELECT 1 AS x) INSERT INTO t SELECT x, x FROM c")
+    assert state() == before
+
+    # utility statements refuse (PostgreSQL: EXPLAIN CREATE ... is an error)
+    for bad in (
+        "EXPLAIN CREATE TABLE zz (a INT PRIMARY KEY)",
+        "EXPLAIN TRUNCATE t",
+        "EXPLAIN ANALYZE INSERT INTO t VALUES (5, 50)",
+    ):
+        with _pytest.raises(ValueError):
+            sess.sql(bad)
+        assert state() == before, f"refusal still executed: {bad}"
+
+    # EXPLAIN ANALYZE of a QUERY executes the query (that is its job)
+    # and renders per-operator runtime metrics — state still unchanged.
+    txt = "\n".join(
+        r.plan
+        for r in sess.sql(
+            "EXPLAIN ANALYZE SELECT v, COUNT(*) AS n FROM t GROUP BY v"
+        ).collect()
+    )
+    assert "numOutputRows" in txt
+    assert state() == before
