@@ -97,10 +97,14 @@ def _write_json_atomic(path: str, obj: dict) -> None:
 
 
 def _read_json(path: str, default=None):
-    if not os.path.exists(path):
+    # open-first (no exists() pre-check): a racing primary's manifest GC
+    # may delete the file between a listing and this read — that must
+    # degrade to the default, not raise mid-apply/lag
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
         return default
-    with open(path) as fh:
-        return json.load(fh)
 
 
 def _atomic_copy(src: str, dst: str) -> None:
@@ -161,17 +165,29 @@ def _stream_manifest(ship_dir: str, default=None):
     (the hole an in-content epoch stamp alone leaves open: a late zombie
     write would replace the file and anyone below that epoch would trust
     it). Falls back to the legacy un-stamped ``_manifest.json`` for
-    streams written before the stamping existed."""
-    try:
-        names = os.listdir(ship_dir)
-    except OSError:
-        return default
-    stamped = sorted(
-        n for n in names if n.startswith("_manifest-") and n.endswith(".json")
-    )
-    if stamped:
-        return _read_json(os.path.join(ship_dir, stamped[-1]), default)
-    return _read_json(os.path.join(ship_dir, MANIFEST_FILE), default)
+    streams written before the stamping existed.
+
+    GC race: a racing primary that ships two epochs between our listing
+    and the read can delete the stamp we chose (GC keeps current +
+    previous). A vanished stamp retries with a FRESH listing — the newer
+    stamp is already on disk by construction — instead of surfacing an
+    exception or a bogus empty manifest."""
+    missing = object()
+    for _ in range(3):
+        try:
+            names = os.listdir(ship_dir)
+        except OSError:
+            return default
+        stamped = sorted(
+            n for n in names if n.startswith("_manifest-") and n.endswith(".json")
+        )
+        target = stamped[-1] if stamped else MANIFEST_FILE
+        got = _read_json(os.path.join(ship_dir, target), missing)
+        if got is not missing:
+            return got
+        if not stamped:
+            return default  # legacy file legitimately absent: empty stream
+    return default
 
 
 class ReplicationPrimary:

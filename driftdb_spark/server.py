@@ -248,6 +248,51 @@ def _is_readonly_sql(sql: str) -> bool:
     return True
 
 
+def _parse_session_tz(tz_id: str):
+    """Resolve ``spark.sql.session.timeZone`` to a tzinfo. Spark accepts
+    every java.time ZoneId spelling; ZoneInfo only knows IANA names, so
+    offset-style ids ('+08:00', 'GMT+8', 'UTC+08:00') fall back to a
+    fixed-offset timezone — without this, the Row-path tz normalization
+    silently disabled itself under those configs and reverted to
+    OS-timezone rendering, diverging byte-wise from the executor-side
+    Arrow path. Returns None (with a warning: normalization off) only for
+    ids neither database resolves. Note 'Etc/GMT+8' (POSIX-inverted) is an
+    IANA name and resolves via ZoneInfo before the regex ever sees it."""
+    import datetime as _dt
+    import zoneinfo
+
+    try:
+        return zoneinfo.ZoneInfo(tz_id)
+    except Exception:
+        pass
+    m = re.match(
+        r"^(?:UTC?|GMT)?([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?$",
+        tz_id.strip(),
+        re.IGNORECASE,
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = _dt.timedelta(
+            hours=int(m.group(2)),
+            minutes=int(m.group(3) or 0),
+            seconds=int(m.group(4) or 0),
+        )
+        try:
+            return _dt.timezone(sign * delta)
+        except ValueError:
+            pass  # offset out of range: fall through to the warning
+    if tz_id.strip().upper() in ("UTC", "UT", "GMT", "Z"):
+        return _dt.timezone.utc
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "unrecognized spark.sql.session.timeZone %r: wire Row-path timestamp "
+        "normalization disabled (driver renders in OS timezone)",
+        tz_id,
+    )
+    return None
+
+
 def _clone_spark(spark):
     """Per-connection SparkSession: same SparkContext (one JVM, one
     executor pool, one scheduler) but a separate SessionState — its own
@@ -552,17 +597,21 @@ class _Handler(socketserver.BaseRequestHandler):
         if not idx:
             return None
         import datetime as _dt
-        import zoneinfo
 
-        try:
-            zone = zoneinfo.ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
-        except Exception:
+        zone = _parse_session_tz(spark.conf.get("spark.sql.session.timeZone"))
+        if zone is None:
             return None
 
         def fix(vals: list) -> list:
             for i in idx:
                 v = vals[i]
-                # naive = OS-local per fromInternal; reinterpret → session
+                # naive = OS-local per fromInternal; reinterpret → session.
+                # DST-ambiguous wall times (the repeated hour): fromInternal
+                # builds the value via datetime.fromtimestamp, which sets
+                # fold=1 for the later occurrence, replace() preserves fold,
+                # and naive astimezone() honors it — so the round-trip picks
+                # the ORIGINAL instant, matching the executor-side Arrow
+                # rendering byte-for-byte even inside the repeated hour.
                 if isinstance(v, _dt.datetime) and v.tzinfo is None:
                     vals[i] = v.astimezone(zone).replace(tzinfo=None)
             return vals

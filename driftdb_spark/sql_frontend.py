@@ -135,6 +135,10 @@ class DriftSession:
         self._constraints: dict = {}  # table -> TableConstraints
         self._views: dict[str, str] = {}
         self._mviews: dict[str, str] = {}  # materialized views: name -> SQL
+        # mview name -> registered parquet path: _register_views re-resolves
+        # the versioned pointer per statement (a sibling session's REFRESH
+        # moves it) and re-reads only when it actually moved
+        self._mview_paths: dict[str, str] = {}
         self._imv_registry = None  # incremental MVs (views.py), lazily built
         # incremental-MV catalog mirror: name -> {sql, source, group_cols,
         # last_seq} — persisted so a fresh session re-attaches the stored
@@ -303,6 +307,7 @@ class DriftSession:
             path = resolve_versioned(self.storage_dir, f"mv_{name}")
             if path is not None:
                 self.spark.read.parquet(path).createOrReplaceTempView(name)
+                self._mview_paths[name] = path
         self._imvs = {k: dict(v) for k, v in cat.get("imvs", {}).items()}
         for name, meta in self._imvs.items():
             # Re-attach each incremental MV: stored result + saved refresh
@@ -1706,6 +1711,7 @@ class DriftSession:
 
             drop_versioned(self.storage_dir, f"mv_{m.group(1)}")
             self._mviews.pop(m.group(1), None)
+            self._mview_paths.pop(m.group(1), None)
             try:
                 self.spark.catalog.dropTempView(m.group(1))
             except Exception:
@@ -2165,6 +2171,7 @@ class DriftSession:
         path = publish_versioned(out, self.storage_dir, f"mv_{name}")
         self.spark.read.parquet(path).createOrReplaceTempView(name)
         self._mviews[name] = sql
+        self._mview_paths[name] = path
         self._save_catalog()
         return 0
 
@@ -2179,6 +2186,7 @@ class DriftSession:
         out = self.sql(self._mviews[name])
         path = publish_versioned(out, self.storage_dir, f"mv_{name}")
         self.spark.read.parquet(path).createOrReplaceTempView(name)
+        self._mview_paths[name] = path
         return 0
 
     def _project_returning(self, df: DataFrame) -> DataFrame:
@@ -2761,7 +2769,24 @@ class DriftSession:
         """Re-execute every stored view definition over the just-registered
         state views (reference re-runs view SQL inline per query). A view
         whose definition carries its own FOR SYSTEM_TIME keeps it; others
-        see the query's temporal context via the state views."""
+        see the query's temporal context via the state views.
+
+        Materialized views re-resolve their versioned parquet pointer here,
+        PER STATEMENT: sessions share the storage dir but not the temp-view
+        namespace (the wire server clones a SparkSession per connection), so
+        a REFRESH MATERIALIZED VIEW on one connection moves the on-disk
+        pointer and sweeps the superseded version one publish cycle later —
+        a sibling connection that kept its connect-time registration would
+        first serve stale rows, then break when the old directory is
+        deleted. Re-resolution is a listdir per mview; the parquet re-read
+        only happens when the pointer actually moved."""
+        from driftdb_spark.views import resolve_versioned
+
+        for name in self._mviews:
+            path = resolve_versioned(self.storage_dir, f"mv_{name}")
+            if path is not None and self._mview_paths.get(name) != path:
+                self.spark.read.parquet(path).createOrReplaceTempView(name)
+                self._mview_paths[name] = path
         for name, definition in self._views.items():
             clean, view_asof = parse_system_time(definition)
             if view_asof.sequence is not None or view_asof.timestamp is not None:

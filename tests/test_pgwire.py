@@ -1334,3 +1334,31 @@ def test_explain_dml_wire_gate_and_no_mutation(server):
     finally:
         server._tcp.exec_lock = lock.inner
     c.close()
+
+
+def test_parse_session_tz_offset_styles():
+    """Spark accepts java.time ZoneId spellings ZoneInfo cannot parse
+    ('GMT+8', 'UTC+08:00', '+08:00'); under those configs the Row-path tz
+    normalization used to silently disable itself and diverge from the
+    executor-side Arrow rendering. The fallback parser must resolve every
+    offset style to the same fixed offset java.time would."""
+    import datetime as dt
+
+    from driftdb_spark.server import _parse_session_tz
+
+    eight = dt.timezone(dt.timedelta(hours=8))
+    for tz_id in ("GMT+8", "UTC+08:00", "UTC+8", "+08:00", "+0800", "+8", "UT+08"):
+        zone = _parse_session_tz(tz_id)
+        assert zone is not None, tz_id
+        assert zone.utcoffset(None) == eight.utcoffset(None), tz_id
+
+    minus = _parse_session_tz("-05:30")
+    assert minus.utcoffset(None) == dt.timedelta(hours=-5, minutes=-30)
+
+    # IANA names resolve via ZoneInfo (incl. POSIX-inverted Etc/GMT+8 = UTC-8)
+    assert _parse_session_tz("America/New_York") is not None
+    etc = _parse_session_tz("Etc/GMT+8")
+    assert etc.utcoffset(dt.datetime(2026, 1, 1)) == dt.timedelta(hours=-8)
+
+    # unresolvable -> None (normalization off, warning logged)
+    assert _parse_session_tz("Not/AZone") is None

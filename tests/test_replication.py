@@ -665,3 +665,49 @@ def test_stamped_manifests_are_garbage_collected(rig, spark, tmp_path):
     )
     lagger.apply_pending()
     assert _names(lagger.session) == ["a", "b", "gc0", "gc1", "gc2"]
+
+
+def test_stream_manifest_survives_gc_race(tmp_path, monkeypatch):
+    """Manifest GC deletes stamps older than current-1; a reader that
+    listed the dir just before a racing primary shipped two epochs can
+    pick a stamp that no longer exists. _read_json must degrade to the
+    default instead of raising (open-first, no exists() pre-check), and
+    _stream_manifest must retry with a FRESH listing and land on the
+    newer stamp instead of reporting a bogus empty manifest."""
+    import os as _os
+
+    from driftdb_spark import replication as repl
+
+    ship = tmp_path / "ship"
+    ship.mkdir()
+
+    # _read_json: missing file -> default, no exception
+    assert repl._read_json(str(ship / "nope.json"), {"d": 1}) == {"d": 1}
+
+    # current state on disk: epochs 5 (old stamp 3 already GC'd)
+    repl._write_json_atomic(
+        str(ship / repl._manifest_name(5)), {"epoch": 5, "tables": {"t": 1}}
+    )
+
+    # a stale listing that still shows the deleted epoch-3 stamp, once
+    real_listdir = _os.listdir
+    state = {"first": True}
+
+    def stale_once(path):
+        names = real_listdir(path)
+        if state["first"]:
+            state["first"] = False
+            return [repl._manifest_name(3)] + [
+                n for n in names if n != repl._manifest_name(5)
+            ]
+        return names
+
+    monkeypatch.setattr(repl.os, "listdir", stale_once)
+    got = repl._stream_manifest(str(ship), {"tables": {}})
+    assert got["epoch"] == 5  # retried with a fresh listing
+
+    # empty stream (no stamps, no legacy file) still yields the default
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    monkeypatch.setattr(repl.os, "listdir", real_listdir)
+    assert repl._stream_manifest(str(empty), {"tables": {}}) == {"tables": {}}

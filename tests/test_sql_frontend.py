@@ -1043,3 +1043,36 @@ def test_explain_dml_builds_plan_without_executing(spark, tmp_path):
     )
     assert "numOutputRows" in txt
     assert state() == before
+
+
+def test_mview_refresh_visible_across_cloned_sessions(spark, tmp_path):
+    """The wire server clones a SparkSession per connection (private
+    temp-view namespace), so a REFRESH MATERIALIZED VIEW on connection A
+    moves the on-disk version pointer in a namespace B cannot see. B kept
+    its connect-time registration: after one refresh it silently served
+    stale rows, after two the registered directory is swept (publish keeps
+    current+previous one cycle) and the SELECT broke. _register_views now
+    re-resolves the pointer per statement, so B always reads current."""
+    from driftdb_spark.server import _clone_spark
+    from driftdb_spark.sql_frontend import DriftSession
+
+    d = str(tmp_path / "mv_xsess")
+    s1 = DriftSession(spark, d)
+    s1.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    s1.sql("INSERT INTO t VALUES (1, 10)")
+    s1.sql("CREATE MATERIALIZED VIEW mv AS SELECT SUM(v) AS total FROM t")
+
+    clone = _clone_spark(spark)
+    assert clone is not spark  # the isolation the bug needs
+    s2 = DriftSession(clone, d)  # connection B: registers mv at connect
+    assert s2.sql("SELECT total FROM mv").collect()[0].total == 10
+
+    # two refreshes on A: the version B registered is now DELETED
+    s1.sql("INSERT INTO t VALUES (2, 20)")
+    s1.sql("REFRESH MATERIALIZED VIEW mv")
+    s1.sql("INSERT INTO t VALUES (3, 30)")
+    s1.sql("REFRESH MATERIALIZED VIEW mv")
+
+    assert s2.sql("SELECT total FROM mv").collect()[0].total == 60
+    # and A itself stays current too
+    assert s1.sql("SELECT total FROM mv").collect()[0].total == 60
