@@ -1,25 +1,40 @@
-"""Concurrent statement EXECUTION across wire connections (r9 ask #1).
+"""Concurrent statement EXECUTION across wire connections.
 
 Round 8's global exec_lock serialized statement dispatch because every
 connection's DriftSession shared one SparkSession temp-view catalog.
 Round 9 gives each connection a cloned SparkSession (private temp-view
 namespace, shared SparkContext) + a FAIR scheduler pool, and takes
-exec_lock only for writes. This bench measures what that buys for the
-many-analysts shape: 4 clients each EXECUTING a distinct aggregation
-query (dispatch + planning + state registration + execution + streaming,
-end to end over the socket — not streaming a pre-planned result).
+exec_lock only for writes. This bench measures what that buys across
+three workloads:
+
+1. read_only — 4 clients each EXECUTING a distinct aggregation (dispatch
+   + planning + state registration + execution + streaming, end to end
+   over the socket). The r9 artifact showed ~1x here: exec_lock only ever
+   serialized Python-side DISPATCH for reads (session.sql is lazy;
+   execution already overlapped), and concurrent dispatch still
+   serializes on the GIL/Py4J gateway — the measured floor, documented
+   in SCALE.md.
+2. mixed_dml — the same readers while a writer streams 500-row INSERT
+   batches. r9 measured the real win here as writer liveness (+40%
+   batches at equal reader wall).
+3. lock_bound (r10) — the workload the lock DEMONSTRABLY bound: a writer
+   applying multi-second INSERT ... SELECT batches (~120K rows each, the
+   full write path: PK anti-join, constraint check, sequence claim,
+   staged publish) while 4 readers execute sub-second aggregations. In
+   serialize mode every reader statement queues behind up to a full
+   writer batch; with per-connection sessions readers never touch the
+   write lock. The serialize arm wraps exec_lock in a timing shim, so
+   each reader statement's wall decomposes into measured LOCK-WAIT vs
+   dispatch+execution (solo latency approximates the latter).
 
 The tables are the engine's OWN event-sourced tables (CREATE TABLE +
 INSERT ... SELECT from parquet), so dispatch does real work per query:
-AS-OF resolution, state-fold view registration, RLS/RBAC checks — the
-part the r8 lock serialized.
+AS-OF resolution, state-fold view registration, RLS/RBAC checks.
 
-A/B: the same workload against serialize_dispatch=True (the exact r8
+A/B: identical workloads against serialize_dispatch=True (the exact r8
 behavior: shared session, every statement locked) vs the new server.
 
-Writes BENCH_wire_concurrent_r09.json:
-  {serial_wall_sec, concurrent_wall_sec, speedup, per_client_queries,
-   clients, reps, rows_checked}
+Writes BENCH_wire_concurrent_r10.json.
 """
 
 from __future__ import annotations
@@ -211,6 +226,112 @@ def _run_mixed(host, port, reps, pk_base):
     return wall, results, wrote[0]
 
 
+class _TimingLock:
+    """exec_lock shim for the serialize arm: records how long each
+    acquisition WAITED, so a reader statement's wall decomposes into
+    lock-wait vs everything else."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.waits: list[float] = []
+
+    def __enter__(self):
+        t0 = time.perf_counter()
+        self.inner.acquire()
+        self.waits.append(time.perf_counter() - t0)
+        return self
+
+    def __exit__(self, *a):
+        self.inner.release()
+        return False
+
+
+def _run_lock_bound(host, port, reps, srv, serialize, pk_base):
+    """Workload 3: readers behind SUSTAINED multi-second DML batches.
+    The writer's INSERT ... SELECT multiplies src_orders 8x (~120K rows
+    at sf0.01) into a SEPARATE sink table — readers' tables stay
+    byte-identical across arms, so their latencies compare cleanly while
+    each batch still holds exec_lock for seconds (full write path: PK
+    anti-join, constraint check, sequence claim, staged publish). 4
+    readers each run `reps` sub-second aggregations and record
+    PER-STATEMENT latencies."""
+    conns = [Conn(host, port) for _ in QUERIES]
+    writer = Conn(host, port)
+    for i, c in enumerate(conns):
+        c.query(QUERIES[i])  # warm
+
+    timing = None
+    if serialize:
+        timing = _TimingLock(srv._tcp.exec_lock)
+        srv._tcp.exec_lock = timing
+
+    stop = threading.Event()
+    wrote = [0]
+
+    def write_loop():
+        k = 0
+        while not stop.is_set():
+            # spacing: 1e9 per batch, 1e8 per multiplier slice — both far
+            # above any TPC-H o_orderkey, so PKs never collide
+            base = pk_base + k * 1_000_000_000
+            writer.query(
+                "INSERT INTO ev_sink "
+                f"SELECT o_orderkey + {base} + m.i * 100000000, o_custkey, "
+                "o_orderstatus, o_totalprice, o_orderpriority "
+                "FROM src_orders CROSS JOIN "
+                "(SELECT explode(sequence(0, 7)) AS i) m"
+            )
+            k += 1
+        wrote[0] = k
+
+    lat: list[list[float]] = [[] for _ in QUERIES]
+    errs: list[str] = []
+    barrier = threading.Barrier(len(QUERIES) + 1)
+
+    def client(i):
+        try:
+            barrier.wait()
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                conns[i].query(QUERIES[i])
+                lat[i].append(time.perf_counter() - t0)
+        except Exception as exc:
+            errs.append(repr(exc))
+
+    wt = threading.Thread(target=write_loop)
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(len(QUERIES))
+    ]
+    wt.start()
+    time.sleep(2.0)  # writer mid-batch when readers arrive
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stop.set()
+    wt.join()
+    if timing is not None:
+        srv._tcp.exec_lock = timing.inner
+    for c in conns:
+        c.close()
+    writer.close()
+    if errs:
+        raise RuntimeError(f"clients failed: {errs}")
+    flat = sorted(t for ls in lat for t in ls)
+    waits = sorted(timing.waits, reverse=True) if timing else []
+    return {
+        "readers_wall_sec": round(wall, 3),
+        "reader_stmt_p50_sec": round(flat[len(flat) // 2], 3),
+        "reader_stmt_max_sec": round(flat[-1], 3),
+        "writer_batches": wrote[0],
+        "lock_wait_top5_sec": [round(w, 3) for w in waits[:5]],
+        "lock_wait_total_sec": round(sum(waits), 3) if waits else None,
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
@@ -260,9 +381,18 @@ def main() -> None:
             1,
         )
         sess.sql(f"INSERT INTO ev_{name} SELECT {proj} FROM src_{name}")
+    # the lock-bound writer's target: readers never touch it, so their
+    # latencies compare cleanly across arms while the write path (and its
+    # multi-second exec_lock hold) stays fully real
+    sess.sql(
+        "CREATE TABLE ev_sink (o_orderkey BIGINT PRIMARY KEY, "
+        "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, "
+        "o_orderpriority STRING)"
+    )
 
     out = {"clients": len(QUERIES), "reps": reps, "sf_dir": sf_dir, "runs": {}}
     pk_base = 50_000_000
+    sink_base = 100_000_000_000
     for mode, serialize in (("serial_r8", True), ("concurrent_r9", False)):
         srv = PgWireServer(
             sess, warm_workers=True, serialize_dispatch=serialize
@@ -274,8 +404,15 @@ def main() -> None:
                 host, port, reps, pk_base
             )
             pk_base += 10_000_000  # next mode claims fresh PKs
+            lock_bound = _run_lock_bound(
+                host, port, reps, srv, serialize, sink_base
+            )
+            sink_base += 1_000_000_000_000
         finally:
             srv.stop()
+        # equalize the sink between arms: the PK anti-join's cost depends
+        # on the sink's current state, which must match at arm start
+        sess.sql("TRUNCATE ev_sink")
         out["runs"][mode] = {
             "read_only": {
                 "wall_sec": round(wall, 3),
@@ -289,12 +426,14 @@ def main() -> None:
                 "rows": mixed_rows,
                 "writer_batches": batches,
             },
+            "lock_bound": lock_bound,
         }
         print(f"{mode}: read-only wall={wall:.3f}s solo={solo}")
         print(
             f"{mode}: mixed readers wall={mixed_wall:.3f}s "
             f"(writer applied {batches} x500-row batches)"
         )
+        print(f"{mode}: lock_bound {lock_bound}")
     s = out["runs"]["serial_r8"]
     c = out["runs"]["concurrent_r9"]
     out["read_only_speedup"] = round(
@@ -303,9 +442,18 @@ def main() -> None:
     out["mixed_dml_reader_speedup"] = round(
         s["mixed_dml"]["readers_wall_sec"] / c["mixed_dml"]["readers_wall_sec"], 2
     )
+    out["lock_bound_reader_speedup"] = round(
+        s["lock_bound"]["readers_wall_sec"] / c["lock_bound"]["readers_wall_sec"],
+        2,
+    )
+    out["lock_bound_reader_p50_speedup"] = round(
+        s["lock_bound"]["reader_stmt_p50_sec"]
+        / c["lock_bound"]["reader_stmt_p50_sec"],
+        2,
+    )
     print(json.dumps(out))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_wire_concurrent_r09.json"), "w") as fh:
+    with open(os.path.join(repo, "BENCH_wire_concurrent_r10.json"), "w") as fh:
         json.dump(out, fh, indent=1)
 
 
