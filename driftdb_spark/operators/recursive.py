@@ -29,6 +29,10 @@ from driftdb_spark.registry import register
 
 MAX_ITERATIONS = 1000  # reference cap: sql_bridge.rs:827
 
+#: below this frontier size the next iteration's job is pure scheduling
+#: overhead at default parallelism — coalesce it to ONE partition
+SMALL_FRONTIER_ROWS = 10_000
+
 
 def recursive_cte(
     anchor: DataFrame,
@@ -38,27 +42,42 @@ def recursive_cte(
 ) -> DataFrame:
     """Fixpoint-iterate ``step`` from ``anchor`` (UNION ALL semantics by
     default; ``distinct=True`` gives UNION semantics where already-seen rows
-    do not re-enter the working set, exactly the reference's algorithm)."""
+    do not re-enter the working set, exactly the reference's algorithm).
+
+    Per-iteration mechanics, settled by an isolated A/B
+    (scripts/bench_recursive_ab.py, 26-step walk at sf0.01, median of 5
+    interleaved reps): lazy ``localCheckpoint`` materialized by the
+    emptiness probe's ``count()`` — one job per iteration — plus a
+    ``coalesce(1)`` of the next frontier once the PREVIOUS frontier
+    measured tiny, so a near-empty working set stops scheduling
+    default-parallelism tasks to move a handful of rows. Measured medians:
+    eager checkpoint + isEmpty (r8) 3.61 s, lazy + count alone (r9)
+    4.23 s — the r9 docstring's claimed halving was wrong; lazy alone is
+    a 0.85x REGRESSION in isolation because count() is a two-stage job
+    while eager's materialize + limit-1 probe are two one-stage jobs —
+    and lazy + small-frontier coalesce 2.98-3.17 s (1.12-1.21x over r8
+    across two invocations; BENCH_recursive_ab_r10.json). That sits
+    at the driver-side floor: a recursive CTE must materialize every
+    frontier before the driver can decide to continue, so wall ==
+    iterations x per-job fixed cost (~0.11 s on this machine) no matter
+    how the probe is phrased; deeper wins need fewer round-trips
+    (batching k steps speculatively), not cheaper ones. At scale the
+    heuristic is inert: frontiers above SMALL_FRONTIER_ROWS keep their
+    natural partitioning."""
     acc = anchor
     frontier = anchor
+    prev_n: int | None = None
     for i in range(max_iterations):
         nxt = step(frontier)
         if distinct:
             nxt = nxt.distinct().subtract(acc)
-        # Checkpoint EVERY frontier, but LAZILY, and let the emptiness
-        # probe be the action that materializes it: one Spark job per
-        # iteration instead of two (r8's eager checkpoint + isEmpty ran
-        # a separate limit-1 job per step — at tiny frontiers the loop
-        # is pure per-job fixed cost, so halving the job count nearly
-        # halves the wall; measured 6.9 s → ~3.6 s on the 26-step walk
-        # at sf0.01). The count() touches every partition, which is
-        # exactly what checkpoint materialization needs anyway; all
-        # later readers (the accumulated union, the next step) read the
-        # checkpointed blocks, so each iteration still executes exactly
-        # once and lineage stays flat.
+        if prev_n is not None and prev_n <= SMALL_FRONTIER_ROWS:
+            nxt = nxt.coalesce(1)
         nxt = nxt.localCheckpoint(eager=False)
-        if nxt.count() == 0:
+        n = nxt.count()
+        if n == 0:
             break
+        prev_n = n
         acc = acc.unionByName(nxt)
         frontier = nxt
     return acc

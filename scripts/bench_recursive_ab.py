@@ -114,20 +114,22 @@ def main() -> None:
     anchor, step = _walk_pieces(spark, sf_dir)
 
     times: dict[str, list[float]] = {k: [] for k in VARIANTS}
-    # one warm pass each (JIT, broadcast warm), then round-robin reps
+    # one warm pass each (JIT, broadcast warm), then round-robin reps;
+    # every variant must agree on the exact result set
+    expected = sorted(map(tuple, VARIANTS["eager_r8"](anchor, step).collect()))
     for name, fn in VARIANTS.items():
-        assert len(fn(anchor, step).collect()) == 27
+        assert sorted(map(tuple, fn(anchor, step).collect())) == expected, name
     for _ in range(reps):
         for name, fn in VARIANTS.items():
             t0 = time.perf_counter()
             rows = fn(anchor, step).collect()
             times[name].append(time.perf_counter() - t0)
-            assert len(rows) == 27
+            assert len(rows) == len(expected), name
 
     out = {
         "sf_dir": sf_dir,
         "reps": reps,
-        "walk_steps": 26,
+        "walk_rows": len(expected),
         "variants": {
             k: {
                 "median_sec": round(statistics.median(v), 3),
