@@ -117,6 +117,13 @@ SYSTEM_ROLES: dict[str, frozenset] = {
 # first-token (or two-token) statement classes → required permission
 _VERB_PERMS: list[tuple[str, str]] = [
     (r"SELECT|WITH|VALUES|TABLE\s", "select"),
+    # PostgreSQL: EXPLAIN requires the privileges of the explained
+    # statement (it plans against real catalog/table state even though
+    # this engine never executes an explained DML — sql_frontend.
+    # _sql_explain)
+    (r"EXPLAIN\s+(ANALYZE\s+)?INSERT", "insert"),
+    (r"EXPLAIN\s+(ANALYZE\s+)?(UPDATE|MERGE)", "update"),
+    (r"EXPLAIN\s+(ANALYZE\s+)?DELETE", "delete"),
     (r"EXPLAIN", "select"),
     (r"ANALYZE", "select"),  # reads data to build stats
     (r"INSERT", "insert"),

@@ -162,6 +162,11 @@ def test_statement_permission_mapping_table():
         "SELECT 1": "select",
         "WITH t AS (SELECT 1) SELECT * FROM t": "select",
         "EXPLAIN SELECT 1": "select",
+        # PostgreSQL: EXPLAIN needs the explained statement's privilege
+        "EXPLAIN INSERT INTO t VALUES (1)": "insert",
+        "EXPLAIN ANALYZE UPDATE t SET x = 1": "update",
+        "EXPLAIN MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE": "update",
+        "EXPLAIN DELETE FROM t": "delete",
         "INSERT INTO t VALUES (1)": "insert",
         "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE": "update",
         "TRUNCATE t": "truncate_table",
