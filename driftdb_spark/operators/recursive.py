@@ -48,15 +48,18 @@ def recursive_cte(
     (scripts/bench_recursive_ab.py, 26-step walk at sf0.01, median of 5
     interleaved reps): lazy ``localCheckpoint`` materialized by the
     emptiness probe's ``count()`` — one job per iteration — plus a
-    ``coalesce(1)`` of the next frontier once the PREVIOUS frontier
-    measured tiny, so a near-empty working set stops scheduling
-    default-parallelism tasks to move a handful of rows. Measured medians:
-    eager checkpoint + isEmpty (r8) 3.61 s, lazy + count alone (r9)
-    4.23 s — the r9 docstring's claimed halving was wrong; lazy alone is
-    a 0.85x REGRESSION in isolation because count() is a two-stage job
-    while eager's materialize + limit-1 probe are two one-stage jobs —
-    and lazy + small-frontier coalesce 2.98-3.17 s (1.12-1.21x over r8
-    across two invocations; BENCH_recursive_ab_r10.json). That sits
+    ``coalesce(1)`` of each frontier whose MEASURED count is tiny, so a
+    near-empty working set stops scheduling default-parallelism tasks to
+    move a handful of rows (the decision keys on the counted frame
+    itself, never a prediction — a frontier that explodes in one step
+    keeps its natural partitioning). Measured medians (quiet machine,
+    load 0.00): eager checkpoint + isEmpty (r8) 2.86 s, lazy + count
+    alone (r9) 3.40 s — the r9 docstring's claimed halving was wrong;
+    lazy alone is a 0.84x REGRESSION in isolation because count() is a
+    two-stage job while eager's materialize + limit-1 probe are two
+    one-stage jobs — and lazy + measured-small coalesce 2.41 s (1.18x
+    over r8; 1.12-1.21x across three invocations,
+    BENCH_recursive_ab_r10.json). That sits
     at the driver-side floor: a recursive CTE must materialize every
     frontier before the driver can decide to continue, so wall ==
     iterations x per-job fixed cost (~0.11 s on this machine) no matter
@@ -66,18 +69,23 @@ def recursive_cte(
     natural partitioning."""
     acc = anchor
     frontier = anchor
-    prev_n: int | None = None
     for i in range(max_iterations):
         nxt = step(frontier)
         if distinct:
             nxt = nxt.distinct().subtract(acc)
-        if prev_n is not None and prev_n <= SMALL_FRONTIER_ROWS:
-            nxt = nxt.coalesce(1)
         nxt = nxt.localCheckpoint(eager=False)
         n = nxt.count()
         if n == 0:
             break
-        prev_n = n
+        if n <= SMALL_FRONTIER_ROWS:
+            # coalesce AFTER counting, so the decision is about THIS
+            # frame's measured size — gating on the previous frontier
+            # would force a frontier that exploded in one step (small
+            # prev, fan-out join) into a single partition. A coalesce of
+            # a checkpointed tiny frame is a narrow no-shuffle read of
+            # its blocks; the next iteration's job runs one task instead
+            # of default-parallelism tasks moving a handful of rows.
+            nxt = nxt.coalesce(1)
         acc = acc.unionByName(nxt)
         frontier = nxt
     return acc

@@ -166,7 +166,26 @@ _VERB_PERMS: list[tuple[str, str]] = [
 _VERB_RES = [(_re.compile(rf"^({p})", _re.IGNORECASE), perm) for p, perm in _VERB_PERMS]
 
 
+_EXPLAIN_WITH_RE = _re.compile(
+    r"^EXPLAIN\s+(?:ANALYZE\s+)?(WITH\b.*)$", _re.IGNORECASE | _re.DOTALL
+)
+_WITH_RE = _re.compile(r"^WITH\b", _re.IGNORECASE)
+
+
 def statement_permission(stripped_sql: str) -> str | None:
+    # CTE-prefixed statements (bare or under EXPLAIN) classify on the
+    # verb FOLLOWING the WITH prefix — Spark SQL allows WITH ... INSERT,
+    # and PostgreSQL requires the explained statement's privilege
+    m = _EXPLAIN_WITH_RE.match(stripped_sql) or _WITH_RE.match(stripped_sql)
+    if m:
+        from driftdb_spark.sql_frontend import strip_leading_ctes
+
+        body = m.group(1) if m.re is _EXPLAIN_WITH_RE else stripped_sql
+        rest = strip_leading_ctes(body)
+        if rest is not None:
+            inner = statement_permission(rest.strip())
+            if inner is not None:
+                return inner
     for rx, perm in _VERB_RES:
         if rx.match(stripped_sql):
             return perm

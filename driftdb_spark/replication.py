@@ -173,7 +173,7 @@ def _stream_manifest(ship_dir: str, default=None):
     stamp is already on disk by construction — instead of surfacing an
     exception or a bogus empty manifest."""
     missing = object()
-    for _ in range(3):
+    for _ in range(5):
         try:
             names = os.listdir(ship_dir)
         except OSError:
@@ -187,7 +187,14 @@ def _stream_manifest(ship_dir: str, default=None):
             return got
         if not stamped:
             return default  # legacy file legitimately absent: empty stream
-    return default
+    # five FRESH listings each lost the list→read race: GC only deletes
+    # stamps two epochs behind, so this means the stream dir is churning
+    # faster than we can list it or something is deleting manifests out
+    # of band — surface it rather than report a bogus empty manifest
+    raise RuntimeError(
+        f"manifest read lost the GC race 5 times in {ship_dir!r}; "
+        "stamped manifests exist but every chosen one vanished before open"
+    )
 
 
 class ReplicationPrimary:

@@ -235,7 +235,11 @@ def _is_readonly_sql(sql: str) -> bool:
     """True only when the statement provably performs no writes — the
     lock-free concurrent dispatch gate. When in doubt, returns False:
     a read that serializes is slow, a write that skips exec_lock breaks
-    the single-writer invariant."""
+    the single-writer invariant. WITH-prefixed statements classify
+    structurally (strip the CTE prefix, check the following verb); if
+    the prefix doesn't parse, a write verb ANYWHERE in the text keeps
+    the statement on the locked path — false positives merely
+    serialize, which is the safe direction."""
     m = _READONLY_SQL.match(sql)
     if not m:
         return False
@@ -243,8 +247,15 @@ def _is_readonly_sql(sql: str) -> bool:
     if verb == "EXPLAIN":
         me = _EXPLAIN_PREFIX.match(sql)
         return bool(me) and _is_readonly_sql(me.group(1))
-    if verb == "WITH" and _WRITE_VERB_ANYWHERE.search(sql):
-        return False
+    if verb == "WITH":
+        from driftdb_spark.sql_frontend import strip_leading_ctes
+
+        rest = strip_leading_ctes(sql)
+        if rest is not None:
+            return not re.match(
+                r"^(INSERT|UPDATE|DELETE|MERGE)\b", rest, re.IGNORECASE
+            )
+        return not _WRITE_VERB_ANYWHERE.search(sql)
     return True
 
 
@@ -1197,6 +1208,13 @@ class _Handler(socketserver.BaseRequestHandler):
         """RowDescription for query-like statements (planning only — a lazy
         DataFrame has a schema without executing), NoData for DML (whose
         execution is deferred to Execute, where side effects belong)."""
+        if _EXPLAIN_PREFIX.match(sql):
+            # every EXPLAIN variant returns exactly one 'plan' column —
+            # answer statically so Describe never plans (or, for
+            # EXPLAIN ANALYZE, EXECUTES) the inner statement; execution
+            # belongs to Execute
+            self._row_description(["plan"])
+            return
         if _QUERYLIKE.match(sql) and not _SHOW.match(sql):
             try:
                 if self._isolated and _is_readonly_sql(sql):

@@ -69,4 +69,19 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # getOrCreate reuses a live SparkContext, silently dropping every
+    # builder config — including the scheduler, which cannot change after
+    # launch. A serve path that requested FAIR but got a pre-existing
+    # FIFO context would have inert per-connection pools: say so.
+    actual = spark.sparkContext.getConf().get("spark.scheduler.mode", "FIFO")
+    if actual.upper() != scheduler.upper():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "get_spark(scheduler=%r) reused a live SparkContext running %s "
+            "— scheduler mode is fixed at JVM launch; restart the process "
+            "(or build the serve session first) to change it",
+            scheduler,
+            actual,
+        )
     return spark

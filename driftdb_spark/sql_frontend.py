@@ -84,6 +84,50 @@ class TokenBucket:
         return False
 
 
+_WITH_HEAD_RE = _re.compile(r"^\s*WITH\s+(RECURSIVE\s+)?", _re.IGNORECASE)
+_CTE_NAME_RE = _re.compile(r"^\s*\w+\s*(\([^)]*\))?\s*AS\s*\(", _re.IGNORECASE)
+
+
+def strip_leading_ctes(sql: str) -> str | None:
+    """Return the statement body after a leading ``WITH name AS (...)
+    [, name AS (...)]*`` prefix, or None if ``sql`` is not WITH-prefixed
+    or the prefix doesn't parse. Paren matching skips string literals
+    (single/double quoted, '' doubling), so a ``')'`` inside a CTE body
+    can't derail the scan. Used to classify WITH-prefixed statements
+    STRUCTURALLY — Spark SQL allows CTE-prefixed DML (WITH t AS (...)
+    INSERT INTO ...), and a word-search would misfire on literals or
+    aliases that merely contain a DML verb."""
+    m = _WITH_HEAD_RE.match(sql)
+    if not m:
+        return None
+    pos = m.end()
+    while True:
+        mc = _CTE_NAME_RE.match(sql[pos:])
+        if not mc:
+            return None  # malformed WITH prefix: caller stays conservative
+        pos += mc.end()  # just past the CTE body's opening paren
+        depth, quote = 1, None
+        while pos < len(sql) and depth:
+            ch = sql[pos]
+            if quote:
+                if ch == quote:
+                    quote = None  # '' doubling re-enters on the next quote
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            pos += 1
+        if depth:
+            return None  # unbalanced: caller stays conservative
+        rest = sql[pos:].lstrip()
+        if rest.startswith(","):
+            pos = sql.index(",", pos) + 1
+            continue
+        return rest or None
+
+
 def _extract_clause(text: str, keyword: str) -> str | None:
     """Extract the balanced-paren expression after ``keyword (`` — e.g.
     ``USING (f(x) = 1)`` → ``f(x) = 1`` (regex can't balance parens)."""
@@ -1511,12 +1555,17 @@ class DriftSession:
             analyze, body = True, ma.group(1).strip()
 
         # A WITH-prefixed statement can still be DML in Spark SQL
-        # (WITH t AS (...) INSERT INTO ...): scan past the CTE prefix for
-        # a write verb before trusting the query-like classification.
+        # (WITH t AS (...) INSERT INTO ...): classify STRUCTURALLY by
+        # stripping the CTE prefix and checking the verb that follows —
+        # a word-search would refuse valid queries whose literals or
+        # aliases merely contain a DML verb ('... WHERE status='DELETE'').
         querylike = bool(self._EXPLAIN_QUERYLIKE_RE.match(body))
         if querylike and _re.match(r"^\s*WITH\b", body, _re.IGNORECASE):
-            if _re.search(r"\b(INSERT|UPDATE|DELETE|MERGE)\b", body, _re.IGNORECASE):
-                querylike = False
+            rest = strip_leading_ctes(body)
+            if rest is None or _re.match(
+                r"^(INSERT|UPDATE|DELETE|MERGE)\b", rest, _re.IGNORECASE
+            ):
+                querylike = False  # DML body (or unparseable: stay safe)
 
         if querylike:
             df = self.sql(body)
@@ -1568,12 +1617,10 @@ class DriftSession:
                 head += f", on_conflict=DO {conflict}"
             lines = header + [head + "]"]
             try:
-                src_df = (
-                    self.sql(source)
-                    if self._EXPLAIN_QUERYLIKE_RE.match(source)
-                    else self.spark.sql(source)  # bare VALUES: LocalRelation
-                )
-                lines += indent(explain_plan(src_df))
+                # SELECT/WITH/VALUES sources all plan through sql() (VALUES
+                # is query-like); anything unparseable (defaults-bearing
+                # VALUES etc.) degrades to the Source line below
+                lines += indent(explain_plan(self.sql(source)))
             except Exception:
                 lines.append(f"   Source [{source[:120]}]")
             return frame(lines)

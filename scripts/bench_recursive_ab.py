@@ -8,10 +8,11 @@ context measured 1.2x. This harness settles the number in isolation:
 
   eager_r8   — localCheckpoint(eager=True) then isEmpty(): two jobs/iter
   lazy_r9    — localCheckpoint(eager=False) + count(): one job/iter
-  lazy_coal  — lazy_r9 + coalesce(1) of the next frontier once the
-               previous frontier measured tiny (the 26-step walk's
-               frontier is ONE row; scheduling 8 tasks per job to move
-               one row is pure overhead)
+  lazy_coal  — lazy_r9 + coalesce(1) of each frontier whose MEASURED
+               count is tiny (the 26-step walk's frontier is ONE row;
+               scheduling 8 tasks per job to move one row is pure
+               overhead; the post-count gate keeps exploding frontiers
+               at natural partitioning)
 
 Variants alternate within each rep (round-robin) so ambient drift hits
 all arms equally. Median of N reps, full collect() per run.
@@ -88,17 +89,16 @@ def lazy_r9(anchor, step):
 
 
 def lazy_coal(anchor, step):
+    # the SHIPPED shape (operators/recursive.py): coalesce AFTER counting,
+    # keyed on the measured size of the frame itself — never a prediction
     acc, frontier = anchor, anchor
-    prev_n = None
     for _ in range(1000):
-        nxt = step(frontier)
-        if prev_n is not None and prev_n <= SMALL_FRONTIER_ROWS:
-            nxt = nxt.coalesce(1)
-        nxt = nxt.localCheckpoint(eager=False)
+        nxt = step(frontier).localCheckpoint(eager=False)
         n = nxt.count()
         if n == 0:
             break
-        prev_n = n
+        if n <= SMALL_FRONTIER_ROWS:
+            nxt = nxt.coalesce(1)
         acc = acc.unionByName(nxt)
         frontier = nxt
     return acc

@@ -183,13 +183,18 @@ def _run_mixed(host, port, reps, pk_base):
         c.query(QUERIES[i])
     stop = threading.Event()
     wrote = [0]
+    werrs: list[str] = []
 
     def write_loop():
         k = 0
-        while not stop.is_set():
-            writer.query(_values_batch(pk_base + k * 500, 500))
-            k += 1
-        wrote[0] = k
+        try:
+            while not stop.is_set():
+                writer.query(_values_batch(pk_base + k * 500, 500))
+                k += 1
+        except Exception as exc:  # a dead writer voids the A/B: surface it
+            werrs.append(repr(exc))
+        finally:
+            wrote[0] = k
 
     results = [None] * len(QUERIES)
     errs = []
@@ -221,8 +226,10 @@ def _run_mixed(host, port, reps, pk_base):
     for c in conns:
         c.close()
     writer.close()
-    if errs:
-        raise RuntimeError(f"clients failed: {errs}")
+    if errs or werrs:
+        raise RuntimeError(f"clients failed: {errs or werrs}")
+    if wrote[0] == 0:
+        raise RuntimeError("writer applied zero batches: not a mixed workload")
     return wall, results, wrote[0]
 
 
@@ -267,22 +274,27 @@ def _run_lock_bound(host, port, reps, srv, serialize, pk_base):
 
     stop = threading.Event()
     wrote = [0]
+    werrs: list[str] = []
 
     def write_loop():
         k = 0
-        while not stop.is_set():
-            # spacing: 1e9 per batch, 1e8 per multiplier slice — both far
-            # above any TPC-H o_orderkey, so PKs never collide
-            base = pk_base + k * 1_000_000_000
-            writer.query(
-                "INSERT INTO ev_sink "
-                f"SELECT o_orderkey + {base} + m.i * 100000000, o_custkey, "
-                "o_orderstatus, o_totalprice, o_orderpriority "
-                "FROM src_orders CROSS JOIN "
-                "(SELECT explode(sequence(0, 7)) AS i) m"
-            )
-            k += 1
-        wrote[0] = k
+        try:
+            while not stop.is_set():
+                # spacing: 1e9 per batch, 1e8 per multiplier slice — both
+                # far above any TPC-H o_orderkey, so PKs never collide
+                base = pk_base + k * 1_000_000_000
+                writer.query(
+                    "INSERT INTO ev_sink "
+                    f"SELECT o_orderkey + {base} + m.i * 100000000, o_custkey, "
+                    "o_orderstatus, o_totalprice, o_orderpriority "
+                    "FROM src_orders CROSS JOIN "
+                    "(SELECT explode(sequence(0, 7)) AS i) m"
+                )
+                k += 1
+        except Exception as exc:  # a dead writer = no lock contention = void A/B
+            werrs.append(repr(exc))
+        finally:
+            wrote[0] = k
 
     lat: list[list[float]] = [[] for _ in QUERIES]
     errs: list[str] = []
@@ -318,8 +330,10 @@ def _run_lock_bound(host, port, reps, srv, serialize, pk_base):
     for c in conns:
         c.close()
     writer.close()
-    if errs:
-        raise RuntimeError(f"clients failed: {errs}")
+    if errs or werrs:
+        raise RuntimeError(f"clients failed: {errs or werrs}")
+    if wrote[0] == 0:
+        raise RuntimeError("writer applied zero batches: not lock-bound")
     flat = sorted(t for ls in lat for t in ls)
     waits = sorted(timing.waits, reverse=True) if timing else []
     return {
@@ -337,7 +351,10 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
     reps = int(os.environ.get("BENCH_CONC_REPS", "3"))
-    spark = get_spark(app_name="bench_wire_concurrent")
+    # the SERVE path ships FAIR (cli serve); benching the wire server
+    # under the engine-default FIFO would measure a configuration
+    # production serving never runs
+    spark = get_spark(app_name="bench_wire_concurrent", scheduler="FAIR")
     import tempfile
 
     from driftdb_spark.server import PgWireServer

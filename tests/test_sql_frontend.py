@@ -1076,3 +1076,56 @@ def test_mview_refresh_visible_across_cloned_sessions(spark, tmp_path):
     assert s2.sql("SELECT total FROM mv").collect()[0].total == 60
     # and A itself stays current too
     assert s1.sql("SELECT total FROM mv").collect()[0].total == 60
+
+
+def test_strip_leading_ctes_and_explain_with_literals(spark, tmp_path):
+    """WITH-prefixed statements classify STRUCTURALLY: a DML verb inside a
+    string literal or alias must not flip a valid query to DML (the r10
+    word-search draft refused `... WHERE s = 'DELETE'`), while a genuine
+    CTE-prefixed INSERT still classifies as a write everywhere (EXPLAIN
+    refusal, wire lock gate, RBAC privilege)."""
+    from driftdb_spark.rbac import statement_permission
+    from driftdb_spark.server import _is_readonly_sql
+    from driftdb_spark.sql_frontend import DriftSession, strip_leading_ctes
+
+    # the stripper: multi-CTE, nested parens, quoted ')' and 'INSERT'
+    assert strip_leading_ctes("SELECT 1") is None
+    assert (
+        strip_leading_ctes("WITH a AS (SELECT 1), b AS (SELECT 2) SELECT 3")
+        == "SELECT 3"
+    )
+    assert strip_leading_ctes(
+        "WITH a (x) AS (SELECT ')' FROM t WHERE s = 'INSERT (') SELECT * FROM a"
+    ) == "SELECT * FROM a"
+    assert strip_leading_ctes(
+        "WITH RECURSIVE w AS (SELECT 1 UNION ALL SELECT n + 1 FROM w) "
+        "INSERT INTO t SELECT * FROM w"
+    ).startswith("INSERT")
+    assert strip_leading_ctes("WITH broken AS (SELECT 1") is None  # unbalanced
+
+    # classification parity across the three consumers
+    lit = "WITH c AS (SELECT COUNT(*) AS n FROM t WHERE s = 'DELETE') SELECT * FROM c"
+    dml = "WITH c AS (SELECT 1 AS x) INSERT INTO t SELECT x, x FROM c"
+    assert _is_readonly_sql(lit) and not _is_readonly_sql(dml)
+    assert statement_permission(lit) == "select"
+    assert statement_permission(dml) == "insert"
+    assert statement_permission("EXPLAIN " + dml) == "insert"
+
+    # EXPLAIN of the literal-bearing query returns a plan, not a refusal
+    sess = DriftSession(spark, str(tmp_path / "ctes"))
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, s STRING)")
+    sess.sql("INSERT INTO t VALUES (1, 'DELETE'), (2, 'keep')")
+    plan = "\n".join(
+        r.plan
+        for r in sess.sql(
+            "EXPLAIN WITH c AS (SELECT COUNT(*) AS n FROM t "
+            "WHERE s = 'DELETE') SELECT * FROM c"
+        ).collect()
+    )
+    assert "Physical Plan" in plan or "Scan" in plan
+    # and genuine CTE-DML under EXPLAIN still refuses without executing
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sess.sql("EXPLAIN " + dml)
+    assert sess.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 2
