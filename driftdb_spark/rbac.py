@@ -172,6 +172,17 @@ _EXPLAIN_WITH_RE = _re.compile(
 _WITH_RE = _re.compile(r"^WITH\b", _re.IGNORECASE)
 
 
+_DML_WORD_ANYWHERE = _re.compile(
+    r"\b(INSERT|MERGE|DELETE|UPDATE)\b", _re.IGNORECASE
+)
+_DML_WORD_PERM = {
+    "INSERT": "insert",
+    "MERGE": "update",
+    "UPDATE": "update",
+    "DELETE": "delete",
+}
+
+
 def statement_permission(stripped_sql: str) -> str | None:
     # CTE-prefixed statements (bare or under EXPLAIN) classify on the
     # verb FOLLOWING the WITH prefix — Spark SQL allows WITH ... INSERT,
@@ -186,6 +197,14 @@ def statement_permission(stripped_sql: str) -> str | None:
             inner = statement_permission(rest.strip())
             if inner is not None:
                 return inner
+        else:
+            # the prefix didn't lex: stay CONSERVATIVE like the wire
+            # lock gate — if a DML verb appears anywhere, require that
+            # verb's permission (over-requiring denies an odd read;
+            # under-requiring would let a readonly role at a write)
+            mw = _DML_WORD_ANYWHERE.search(body)
+            if mw:
+                return _DML_WORD_PERM[mw.group(1).upper()]
     for rx, perm in _VERB_RES:
         if rx.match(stripped_sql):
             return perm

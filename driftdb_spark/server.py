@@ -248,13 +248,11 @@ def _is_readonly_sql(sql: str) -> bool:
         me = _EXPLAIN_PREFIX.match(sql)
         return bool(me) and _is_readonly_sql(me.group(1))
     if verb == "WITH":
-        from driftdb_spark.sql_frontend import strip_leading_ctes
+        from driftdb_spark.sql_frontend import CTE_DML_RE, strip_leading_ctes
 
         rest = strip_leading_ctes(sql)
         if rest is not None:
-            return not re.match(
-                r"^(INSERT|UPDATE|DELETE|MERGE)\b", rest, re.IGNORECASE
-            )
+            return not CTE_DML_RE.match(rest)
         return not _WRITE_VERB_ANYWHERE.search(sql)
     return True
 

@@ -84,47 +84,147 @@ class TokenBucket:
         return False
 
 
-_WITH_HEAD_RE = _re.compile(r"^\s*WITH\s+(RECURSIVE\s+)?", _re.IGNORECASE)
-_CTE_NAME_RE = _re.compile(r"^\s*\w+\s*(\([^)]*\))?\s*AS\s*\(", _re.IGNORECASE)
+_WITH_HEAD_RE = _re.compile(r"^\s*WITH\b", _re.IGNORECASE)
+_RECURSIVE_RE = _re.compile(r"^RECURSIVE\b", _re.IGNORECASE)
+_CTE_NAME_RE = _re.compile(r"^(\w+|`[^`]+`)", _re.IGNORECASE)
+_AS_RE = _re.compile(r"^AS\b", _re.IGNORECASE)
+
+#: the verbs that make a CTE-prefixed statement DML — shared by the
+#: EXPLAIN dispatcher, the wire server's lock gate, and RBAC so the three
+#: consumers can never drift apart
+CTE_DML_RE = _re.compile(r"^(INSERT|UPDATE|DELETE|MERGE)\b", _re.IGNORECASE)
+
+
+def _skip_ws_comments(sql: str, i: int) -> int | None:
+    """Advance past whitespace and SQL comments (``--`` line, nesting
+    ``/* */`` block). Returns None on an unterminated block comment."""
+    n = len(sql)
+    while i < n:
+        if sql[i].isspace():
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            if j == -1:
+                return n
+            i = j + 1
+        elif sql.startswith("/*", i):
+            d, i = 1, i + 2
+            while i < n and d:
+                if sql.startswith("/*", i):
+                    d, i = d + 1, i + 2
+                elif sql.startswith("*/", i):
+                    d, i = d - 1, i + 2
+                else:
+                    i += 1
+            if d:
+                return None
+        else:
+            return i
+    return i
+
+
+def _skip_balanced_paren(sql: str, i: int) -> int | None:
+    """``i`` points just past an opening '('; return the index just past
+    its matching ')', or None if unbalanced. Skips string literals
+    (single/double quoted, '' doubling AND backslash escapes — Spark's
+    parser accepts both), backtick-quoted identifiers, and comments, so
+    parens or quotes inside any of those cannot derail the balance."""
+    depth, n = 1, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            q, i = ch, i + 1
+            while i < n:
+                c = sql[i]
+                if c == "\\":
+                    i += 2
+                elif c == q:
+                    if i + 1 < n and sql[i + 1] == q:  # '' doubling
+                        i += 2
+                    else:
+                        i += 1
+                        break
+                else:
+                    i += 1
+            else:
+                return None  # unterminated literal
+            continue
+        if ch == "`":
+            j = sql.find("`", i + 1)
+            if j == -1:
+                return None
+            i = j + 1
+            continue
+        if sql.startswith("--", i) or sql.startswith("/*", i):
+            j = _skip_ws_comments(sql, i)
+            if j is None:
+                return None
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return None
 
 
 def strip_leading_ctes(sql: str) -> str | None:
-    """Return the statement body after a leading ``WITH name AS (...)
-    [, name AS (...)]*`` prefix, or None if ``sql`` is not WITH-prefixed
-    or the prefix doesn't parse. Paren matching skips string literals
-    (single/double quoted, '' doubling), so a ``')'`` inside a CTE body
-    can't derail the scan. Used to classify WITH-prefixed statements
+    """Return the statement body after a leading ``WITH [RECURSIVE] name
+    [(cols)] AS (...) [, name AS (...)]*`` prefix, or None if ``sql`` is
+    not WITH-prefixed or the prefix doesn't lex (the caller must then
+    stay CONSERVATIVE — treat as possibly-DML). The scan lexes string
+    literals (backslash escapes and '' doubling), backtick identifiers,
+    and line/block comments, so a ``')'`` or DML verb inside any of those
+    cannot derail it. Used to classify WITH-prefixed statements
     STRUCTURALLY — Spark SQL allows CTE-prefixed DML (WITH t AS (...)
     INSERT INTO ...), and a word-search would misfire on literals or
     aliases that merely contain a DML verb."""
     m = _WITH_HEAD_RE.match(sql)
     if not m:
         return None
-    pos = m.end()
+    pos = _skip_ws_comments(sql, m.end())
+    if pos is None:
+        return None
+    mr = _RECURSIVE_RE.match(sql[pos:])
+    if mr:
+        pos = _skip_ws_comments(sql, pos + mr.end())
+        if pos is None:
+            return None
     while True:
         mc = _CTE_NAME_RE.match(sql[pos:])
         if not mc:
             return None  # malformed WITH prefix: caller stays conservative
-        pos += mc.end()  # just past the CTE body's opening paren
-        depth, quote = 1, None
-        while pos < len(sql) and depth:
-            ch = sql[pos]
-            if quote:
-                if ch == quote:
-                    quote = None  # '' doubling re-enters on the next quote
-            elif ch in "'\"":
-                quote = ch
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            pos += 1
-        if depth:
-            return None  # unbalanced: caller stays conservative
-        rest = sql[pos:].lstrip()
-        if rest.startswith(","):
-            pos = sql.index(",", pos) + 1
+        pos = _skip_ws_comments(sql, pos + mc.end())
+        if pos is None:
+            return None
+        if pos < len(sql) and sql[pos] == "(":  # optional column list
+            nxt = _skip_balanced_paren(sql, pos + 1)
+            if nxt is None:
+                return None
+            pos = _skip_ws_comments(sql, nxt)
+            if pos is None:
+                return None
+        ma = _AS_RE.match(sql[pos:])
+        if not ma:
+            return None
+        pos = _skip_ws_comments(sql, pos + ma.end())
+        if pos is None or pos >= len(sql) or sql[pos] != "(":
+            return None
+        pos = _skip_balanced_paren(sql, pos + 1)
+        if pos is None:
+            return None
+        pos = _skip_ws_comments(sql, pos)
+        if pos is None:
+            return None
+        if pos < len(sql) and sql[pos] == ",":
+            pos = _skip_ws_comments(sql, pos + 1)
+            if pos is None:
+                return None
             continue
+        rest = sql[pos:]
         return rest or None
 
 
@@ -1562,10 +1662,8 @@ class DriftSession:
         querylike = bool(self._EXPLAIN_QUERYLIKE_RE.match(body))
         if querylike and _re.match(r"^\s*WITH\b", body, _re.IGNORECASE):
             rest = strip_leading_ctes(body)
-            if rest is None or _re.match(
-                r"^(INSERT|UPDATE|DELETE|MERGE)\b", rest, _re.IGNORECASE
-            ):
-                querylike = False  # DML body (or unparseable: stay safe)
+            if rest is None or CTE_DML_RE.match(rest):
+                querylike = False  # DML body (or unlexable: stay safe)
 
         if querylike:
             df = self.sql(body)

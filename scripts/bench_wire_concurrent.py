@@ -227,7 +227,7 @@ def _run_mixed(host, port, reps, pk_base):
         c.close()
     writer.close()
     if errs or werrs:
-        raise RuntimeError(f"clients failed: {errs or werrs}")
+        raise RuntimeError(f"clients failed: {errs + werrs}")
     if wrote[0] == 0:
         raise RuntimeError("writer applied zero batches: not a mixed workload")
     return wall, results, wrote[0]
@@ -331,7 +331,7 @@ def _run_lock_bound(host, port, reps, srv, serialize, pk_base):
         c.close()
     writer.close()
     if errs or werrs:
-        raise RuntimeError(f"clients failed: {errs or werrs}")
+        raise RuntimeError(f"clients failed: {errs + werrs}")
     if wrote[0] == 0:
         raise RuntimeError("writer applied zero batches: not lock-bound")
     flat = sorted(t for ls in lat for t in ls)

@@ -1102,6 +1102,33 @@ def test_strip_leading_ctes_and_explain_with_literals(spark, tmp_path):
         "INSERT INTO t SELECT * FROM w"
     ).startswith("INSERT")
     assert strip_leading_ctes("WITH broken AS (SELECT 1") is None  # unbalanced
+    # adversarial lexing: backslash escapes, '' doubling, comments (line
+    # and nesting block, incl. between the prefix and the body), backtick
+    # identifiers containing parens — each once derailed the scan
+    assert strip_leading_ctes(
+        "WITH a AS (SELECT 'don\\'t' AS s) SELECT s FROM a"
+    ) == "SELECT s FROM a"
+    assert strip_leading_ctes(
+        "WITH a AS (SELECT 'ab\\' x)' AS s) INSERT INTO t SELECT s FROM a"
+    ).startswith("INSERT")
+    assert strip_leading_ctes(
+        "WITH a AS (SELECT 1 -- note :)\n) INSERT INTO t SELECT * FROM a"
+    ).startswith("INSERT")
+    assert strip_leading_ctes(
+        "WITH a AS (SELECT 1 -- note (\n) SELECT * FROM a"
+    ) == "SELECT * FROM a"
+    assert strip_leading_ctes(
+        "WITH a AS (SELECT 1) -- x\n INSERT INTO t SELECT * FROM a"
+    ).startswith("INSERT")
+    assert strip_leading_ctes("WITH a AS (SELECT 1 /* ) */) SELECT 2") == "SELECT 2"
+    assert strip_leading_ctes(
+        "WITH a AS (SELECT `weird(col` FROM t) SELECT * FROM a"
+    ) == "SELECT * FROM a"
+    assert strip_leading_ctes(
+        "WITH a AS (SELECT '''quoted'' paren )' ) SELECT 1"
+    ) == "SELECT 1"
+    # unlexable WITH + DML word anywhere -> RBAC stays conservative
+    assert statement_permission("WITH broken AS (SELECT 1 INSERT") == "insert"
 
     # classification parity across the three consumers
     lit = "WITH c AS (SELECT COUNT(*) AS n FROM t WHERE s = 'DELETE') SELECT * FROM c"
