@@ -60,13 +60,15 @@ def test_update_expressions_see_old_row(sess):
 
 def test_views_and_materialized_views(sess, spark, tmp_path):
     reg = ViewRegistry(spark, str(tmp_path / "views"))
-    sess.sql("SELECT 1")  # ensure products view registered at current state
+    # registration is statement-scoped (O(referenced), not O(catalog)):
+    # the trigger statement must actually reference the table
+    sess.sql("SELECT COUNT(*) FROM products")
     reg.create_view("cheap", "SELECT id, name FROM products WHERE qty < 6")
     assert {r.id for r in spark.sql("SELECT * FROM cheap").collect()} == {1, 3}
 
     reg.create_materialized_view("mv_cheap", "SELECT id, name FROM products WHERE qty < 6")
     sess.table("products").update_where(COLS, "id = 2", {"qty": "1"})
-    sess.sql("SELECT 1")  # re-register current state
+    sess.sql("SELECT COUNT(*) FROM products")  # re-register current state
     # materialized view is stale until refresh
     assert {r.id for r in spark.sql("SELECT * FROM mv_cheap").collect()} == {1, 3}
     reg.refresh("mv_cheap")
@@ -1156,3 +1158,38 @@ def test_strip_leading_ctes_and_explain_with_literals(spark, tmp_path):
     with _pytest.raises(Exception):
         sess.sql("EXPLAIN " + dml)
     assert sess.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 2
+
+
+def test_statement_scoped_registration(spark, tmp_path):
+    """Per-statement state registration is O(referenced), not O(catalog):
+    a statement only (re-)registers the tables/views reachable from its
+    text (transitively through view definitions and RLS predicates).
+    Pins the correctness half: reachability through a view, through a
+    nested view, and the superset property (unreferenced tables are NOT
+    registered — their temp views stay stale/absent, which is invisible
+    because nothing in the statement can read them)."""
+    from driftdb_spark.sql_frontend import DriftSession
+
+    d = str(tmp_path / "scoped")
+    s = DriftSession(spark, d)
+    for i in range(3):
+        s.sql(f"CREATE TABLE st{i} (id INT PRIMARY KEY, v INT)")
+        s.sql(f"INSERT INTO st{i} VALUES (1, {10 * (i + 1)})")
+    s.sql("CREATE VIEW sv1 AS SELECT id, v FROM st1")
+    s.sql("CREATE VIEW sv2 AS SELECT * FROM sv1 WHERE v > 0")
+
+    # the scan: direct, via view, via nested view, plus RLS predicates
+    only = s._referenced_catalog_objects("SELECT * FROM st0")
+    assert only == {"st0"}
+    only = s._referenced_catalog_objects("SELECT * FROM sv2")
+    assert only == {"sv2", "sv1", "st1"}
+    # a name inside a literal over-registers (superset is fine)
+    only = s._referenced_catalog_objects("SELECT 'st2' FROM st0")
+    assert only == {"st0", "st2"}
+
+    # correctness through the full dispatch: nested view reads fresh state
+    assert s.sql("SELECT v FROM sv2").collect()[0].v == 20
+    s.sql("UPDATE st1 SET v = 99 WHERE id = 1")
+    assert s.sql("SELECT v FROM sv2").collect()[0].v == 99
+    # unreferenced tables still answer correctly when referenced next
+    assert s.sql("SELECT v FROM st2").collect()[0].v == 30
