@@ -183,10 +183,15 @@ _DML_WORD_PERM = {
 }
 
 
-def statement_permission(stripped_sql: str) -> str | None:
-    # CTE-prefixed statements (bare or under EXPLAIN) classify on the
-    # verb FOLLOWING the WITH prefix — Spark SQL allows WITH ... INSERT,
-    # and PostgreSQL requires the explained statement's privilege
+def statement_permissions(stripped_sql: str) -> list[str]:
+    """Permission(s) a statement requires — normally exactly one. A
+    CTE-prefixed statement (bare or under EXPLAIN) classifies on the verb
+    FOLLOWING the WITH prefix — Spark SQL allows WITH ... INSERT, and
+    PostgreSQL requires the explained statement's privilege. When the
+    prefix doesn't lex, stay CONSERVATIVE: require the permission of
+    EVERY DML verb appearing anywhere in the text (the real verb is one
+    of them; requiring only the first would let a role holding that
+    verb's permission execute a different write kind)."""
     m = _EXPLAIN_WITH_RE.match(stripped_sql) or _WITH_RE.match(stripped_sql)
     if m:
         from driftdb_spark.sql_frontend import strip_leading_ctes
@@ -194,21 +199,27 @@ def statement_permission(stripped_sql: str) -> str | None:
         body = m.group(1) if m.re is _EXPLAIN_WITH_RE else stripped_sql
         rest = strip_leading_ctes(body)
         if rest is not None:
-            inner = statement_permission(rest.strip())
-            if inner is not None:
+            inner = statement_permissions(rest.strip())
+            if inner:
                 return inner
         else:
-            # the prefix didn't lex: stay CONSERVATIVE like the wire
-            # lock gate — if a DML verb appears anywhere, require that
-            # verb's permission (over-requiring denies an odd read;
-            # under-requiring would let a readonly role at a write)
-            mw = _DML_WORD_ANYWHERE.search(body)
-            if mw:
-                return _DML_WORD_PERM[mw.group(1).upper()]
+            found = sorted(
+                {
+                    _DML_WORD_PERM[w.upper()]
+                    for w in _DML_WORD_ANYWHERE.findall(body)
+                }
+            )
+            if found:
+                return found
     for rx, perm in _VERB_RES:
         if rx.match(stripped_sql):
-            return perm
-    return None
+            return [perm]
+    return []
+
+
+def statement_permission(stripped_sql: str) -> str | None:
+    perms = statement_permissions(stripped_sql)
+    return perms[0] if perms else None
 
 
 class PermissionDenied(RuntimeError):

@@ -809,6 +809,17 @@ class DriftSession:
                 f"cannot execute {stripped.split(None, 1)[0].upper()} on a "
                 "read-only replica (promote it to accept writes)"
             )
+        if self._ESCAPED_LITERALS_SET_RE.match(stripped):
+            # The engine's statement classifiers (the wire write-lock
+            # gate, RBAC, EXPLAIN's DML guard) lex string literals with
+            # backslash escapes enabled — Spark's default. Flipping the
+            # parser mode would make the lexer and Spark disagree about
+            # where a literal ends, which is exactly the gap a crafted
+            # CTE could use to smuggle DML past the classifiers.
+            raise ValueError(
+                "SET spark.sql.parser.escapedStringLiterals is not "
+                "supported by this engine"
+            )
         # Injection-pattern guard (reference sql_validator.rs) — opt-in,
         # restricted identities only; see sqlguard.py for positioning
         if (
@@ -834,21 +845,23 @@ class DriftSession:
         # recorded as a security event. Owner sessions and superusers
         # bypass; RLS still scopes the rows afterwards.
         if self._security is not None and not self._security.is_superuser:
-            from driftdb_spark.rbac import PermissionDenied, statement_permission
+            from driftdb_spark.rbac import PermissionDenied, statement_permissions
 
-            perm = statement_permission(stripped)
+            perms = statement_permissions(stripped)
+            perm = perms[0] if perms else None
             if self.rbac.enabled():
-                if perm is not None and not self.rbac.has_permission(
-                    self._security.username, perm
-                ):
-                    self.security.record(
-                        "permission_denied", actor=self._security.username
-                    )
-                    raise PermissionDenied(
-                        f"permission denied: user {self._security.username!r} "
-                        f"lacks {perm!r} (roles: "
-                        f"{', '.join(self.rbac.roles_of(self._security.username)) or 'none'})"
-                    )
+                # normally one permission; an unlexable CTE prefix yields
+                # the union of DML verbs present, ALL required (rbac.py)
+                for p in perms:
+                    if not self.rbac.has_permission(self._security.username, p):
+                        self.security.record(
+                            "permission_denied", actor=self._security.username
+                        )
+                        raise PermissionDenied(
+                            f"permission denied: user {self._security.username!r} "
+                            f"lacks {p!r} (roles: "
+                            f"{', '.join(self.rbac.roles_of(self._security.username)) or 'none'})"
+                        )
             elif perm in ("grant_role", "revoke_role"):
                 # Bootstrap gate: before the first grant exists, role
                 # management is superuser/owner-only — otherwise any
@@ -876,9 +889,6 @@ class DriftSession:
         is_info = bool(self._INFO_SCHEMA_RE.search(clean))
         if is_info:
             clean = self._rewrite_info_schema(clean)
-        # register only what this statement can reach — O(referenced),
-        # not O(catalog) (see _referenced_catalog_objects)
-        only = self._referenced_catalog_objects(clean)
         cache = self._result_cache
         if cache is not None and not is_info:
             tables = cache.cacheable(clean)
@@ -887,8 +897,9 @@ class DriftSession:
                 hit = cache.lookup(key)
                 if hit is not None:
                     # a hit scans the materialized parquet directly — no
-                    # state-view registration, no re-planning
+                    # state-view registration, no re-planning, no scope scan
                     return hit
+                only = self._statement_scope(clean)
                 self._register_states(asof, only)
                 self._register_views(asof, only)
                 df = (
@@ -898,11 +909,25 @@ class DriftSession:
                 )
                 return cache.store(key, df)
             cache.bypasses += 1
+        # register only what this statement can reach — O(referenced),
+        # not O(catalog) (see _referenced_catalog_objects)
+        only = self._statement_scope(clean)
         self._register_states(asof, only)
         self._register_views(asof, only)
         if args is None:
             return self.spark.sql(clean)
         return self.spark.sql(clean, args=args)
+
+    _IDENTIFIER_RE = _re.compile(r"\bIDENTIFIER\s*\(", _re.IGNORECASE)
+
+    def _statement_scope(self, clean: str) -> set[str] | None:
+        """The registration scope for one statement, or None (= register
+        everything) when the statement can name objects NON-textually:
+        Spark's IDENTIFIER() clause resolves a table name from an
+        expression or parameter, which a word-token scan cannot see."""
+        if self._IDENTIFIER_RE.search(clean):
+            return None
+        return self._referenced_catalog_objects(clean)
 
     _INSERT_RE = _re.compile(
         r"^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(VALUES\s*\(.*\)|SELECT\b.*)$",
@@ -934,6 +959,9 @@ class DriftSession:
         r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$", _re.IGNORECASE
     )
 
+    _ESCAPED_LITERALS_SET_RE = _re.compile(
+        r"^SET\s+.*escapedStringLiterals", _re.IGNORECASE
+    )
     _WRITE_VERB_RE = _re.compile(
         r"^(INSERT|UPDATE|DELETE|TRUNCATE|MERGE|CREATE|DROP|ALTER|SNAPSHOT"
         r"|COMPACT|VACUUM|CHECKPOINT|REFRESH|GRANT|REVOKE)\b",
@@ -2030,6 +2058,15 @@ class DriftSession:
         m = self._UPDATE_RE.match(q)
         if m and m.group(1) in self._tables:
             log, schema_cols = self._tables[m.group(1)]
+            if _re.search(r"\bSELECT\b", q, _re.IGNORECASE):
+                # WHERE/SET subqueries resolve through temp views, which
+                # statement-scoped registration no longer refreshes as a
+                # side effect of unrelated statements: refresh this
+                # statement's scope (including the target — a
+                # self-referencing subquery reads its temp view too)
+                scope = self._referenced_catalog_objects(q)
+                self._register_states(AsOf.now(), scope)
+                self._register_views(AsOf.now(), scope)
             assigns = {}
             for part in _split_top_level(m.group(2)):
                 col, _, expr = part.partition("=")
@@ -2072,6 +2109,12 @@ class DriftSession:
             return self._project_returning(post) if post is not None else out
         m = self._DELETE_RE.match(q)
         if m and m.group(1) in self._tables:
+            if _re.search(r"\bSELECT\b", q, _re.IGNORECASE):
+                # WHERE subqueries resolve through temp views: refresh
+                # the statement's scope (see the UPDATE branch above)
+                scope = self._referenced_catalog_objects(q)
+                self._register_states(AsOf.now(), scope)
+                self._register_views(AsOf.now(), scope)
             del_cond = self._rls_condition(m.group(1), m.group(2) or "true", "delete")
             pre = None
             if self._returning is not None:
@@ -2143,10 +2186,11 @@ class DriftSession:
         log, schema_cols = self._tables[table]
         pk = log.pk_col
         talias = talias or table
-        self._register_states(
-            AsOf.now(),
-            self._referenced_catalog_objects(table, source, on, whens),
-        )
+        merge_scope = self._referenced_catalog_objects(table, source, on, whens)
+        self._register_states(AsOf.now(), merge_scope)
+        # the USING source (or an ON/WHEN subquery) may read a stored
+        # VIEW: re-execute referenced definitions over the fresh states
+        self._register_views(AsOf.now(), merge_scope)
         src = source.strip()
         # `USING (subquery) [AS] alias` or `USING table [AS] alias`
         ms = _re.match(r"^(\(.*\)|\w+)\s*(?:AS\s+)?(\w+)?$", src, _re.DOTALL)
@@ -2652,11 +2696,12 @@ class DriftSession:
             )
         else:
             # INSERT ... SELECT: the SELECT may carry its own temporal
-            # clause — peel and resolve it like any query.
+            # clause — peel and resolve it like any query (including any
+            # stored views it reads, re-executed over the fresh states).
             clean, asof = parse_system_time(tail)
-            self._register_states(
-                asof, self._referenced_catalog_objects(clean)
-            )
+            ins_scope = self._referenced_catalog_objects(clean)
+            self._register_states(asof, ins_scope)
+            self._register_views(asof, ins_scope)
             rows = self.spark.sql(clean).toDF(*cols)
         typed = rows.select(
             *[F.col(c).cast(schema_cols[c]).alias(c) for c in cols]
@@ -2935,18 +2980,26 @@ class DriftSession:
         200-table catalog would pay ~17 s per one-table SELECT if every
         statement re-registered everything — measured 1.83 s/statement at
         just 20 tables before this filter, 0.28 s after."""
-        names = set(self._tables) | set(self._views) | set(self._mviews)
+        names = frozenset(self._tables) | frozenset(self._views) | frozenset(
+            self._mviews
+        )
         if not names:
             return set()
-        rx = _re.compile(
-            r"\b("
-            + "|".join(
-                sorted((_re.escape(n) for n in names), key=len, reverse=True)
+        cached = getattr(self, "_scope_rx_cache", None)
+        if cached is not None and cached[0] == names:
+            rx, canon = cached[1], cached[2]
+        else:
+            # rebuilt only when the catalog's name set changes (DDL)
+            rx = _re.compile(
+                r"\b("
+                + "|".join(
+                    sorted((_re.escape(n) for n in names), key=len, reverse=True)
+                )
+                + r")\b",
+                _re.IGNORECASE,
             )
-            + r")\b",
-            _re.IGNORECASE,
-        )
-        canon = {n.lower(): n for n in names}
+            canon = {n.lower(): n for n in names}
+            self._scope_rx_cache = (names, rx, canon)
         needed: set[str] = set()
         stack = [t for t in texts if t]
         while stack:

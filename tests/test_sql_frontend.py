@@ -1193,3 +1193,59 @@ def test_statement_scoped_registration(spark, tmp_path):
     assert s.sql("SELECT v FROM sv2").collect()[0].v == 99
     # unreferenced tables still answer correctly when referenced next
     assert s.sql("SELECT v FROM st2").collect()[0].v == 30
+
+
+def test_scoped_registration_dml_and_dynamic_identifiers(spark, tmp_path):
+    """Follow-ups to statement-scoped registration: paths that read temp
+    views OUTSIDE the query dispatcher must refresh their own scope now
+    that unrelated statements no longer refresh everything as a side
+    effect — MERGE/INSERT..SELECT through a VIEW, UPDATE/DELETE with a
+    subquery, and IDENTIFIER() dynamic names (non-textual references fall
+    back to registering the whole catalog)."""
+    import pytest as _pytest
+
+    from driftdb_spark.sql_frontend import DriftSession
+
+    s = DriftSession(spark, str(tmp_path / "dmlscope"))
+    s.sql("CREATE TABLE src (id INT PRIMARY KEY, v INT)")
+    s.sql("INSERT INTO src VALUES (1, 10), (2, 20)")
+    s.sql("CREATE TABLE dst (id INT PRIMARY KEY, v INT)")
+    s.sql("CREATE VIEW vsrc AS SELECT id, v FROM src")
+
+    # INSERT ... SELECT through a view in a FRESH session (no prior query
+    # ever registered vsrc): must register the view's whole chain itself
+    s2 = DriftSession(spark, str(tmp_path / "dmlscope"))
+    s2.sql("INSERT INTO dst SELECT id, v FROM vsrc")
+    assert s2.sql("SELECT COUNT(*) AS n FROM dst").collect()[0].n == 2
+
+    # the view must read CURRENT state, not the plan bound at first use
+    s2.sql("INSERT INTO src VALUES (3, 30)")
+    s2.sql("MERGE INTO dst USING vsrc AS nv ON dst.id = nv.id "
+           "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (nv.id, nv.v)")
+    assert s2.sql("SELECT COUNT(*) AS n FROM dst").collect()[0].n == 3
+
+    # UPDATE/DELETE WHERE-subqueries read other tables' CURRENT state
+    s2.sql("CREATE TABLE gate (id INT PRIMARY KEY)")
+    s2.sql("INSERT INTO gate VALUES (1)")
+    s2.sql("SELECT COUNT(*) AS n FROM gate")  # bind gate@now
+    s2.sql("INSERT INTO gate VALUES (3)")     # move gate past the binding
+    s2.sql("UPDATE dst SET v = 0 WHERE id IN (SELECT id FROM gate)")
+    got = {r.id: r.v for r in s2.sql("SELECT id, v FROM dst").collect()}
+    assert got[1] == 0 and got[3] == 0 and got[2] == 20, got
+    s2.sql("DELETE FROM dst WHERE id IN (SELECT id FROM gate)")
+    assert {r.id for r in s2.sql("SELECT id FROM dst").collect()} == {2}
+
+    # IDENTIFIER(): non-textual table name -> full-catalog registration
+    s2.sql("INSERT INTO src VALUES (4, 40)")
+    n = s2.sql("SELECT COUNT(*) AS n FROM IDENTIFIER(:t)", args={"t": "src"})
+    assert n.collect()[0].n == 4
+
+    # the parser mode the classifiers assume is pinned
+    with _pytest.raises(ValueError, match="escapedStringLiterals"):
+        s2.sql("SET spark.sql.parser.escapedStringLiterals=true")
+
+    # unlexable CTE prefix: RBAC requires EVERY DML verb present
+    from driftdb_spark.rbac import statement_permissions
+
+    assert statement_permissions(
+        "WITH broken AS (SELECT 'UPDATE' INSERT") == ["insert", "update"]
