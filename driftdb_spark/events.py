@@ -39,6 +39,8 @@ Scale notes (100 TB discipline):
 from __future__ import annotations
 
 import errno
+import fcntl
+import json
 import os
 import shutil
 import uuid
@@ -191,6 +193,51 @@ class EventLog:
                 "this is a read-only replica (promote it to accept writes)"
             )
 
+    # -- persisted meta (sequence high-water + rewrite generation) -----------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def read_meta(self) -> dict:
+        """Persisted per-table meta: ``seq_floor`` is the monotonic
+        high-water sequence mark (the reference persists its per-table
+        counter as an AtomicU64 in meta.json, table_storage.rs:212-261 —
+        deriving it from log contents alone is unsound: a compliance purge
+        that empties the log would reset the clock to 0 and the next
+        append would REUSE an already-shipped batch name with different
+        content, silently diverging replicas and re-pointing old
+        ``AS OF @SEQ:N`` identities at new rows). ``generation`` counts
+        log rewrites (compact/purge) and ``rewrite_id`` is a fresh token
+        per rewrite, so replication's ship() detects rewrites explicitly
+        instead of inferring them from entry-name sets."""
+        try:
+            with open(self._meta_path()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return {"seq_floor": 0, "generation": 0, "rewrite_id": ""}
+
+    def _bump_meta(self, seq_floor: int, rewrite: bool = False) -> None:
+        """Advance the persisted meta under an flock'd read-modify-write
+        (two publishers racing a plain replace could persist the smaller
+        floor). ``seq_floor`` only ever rises; a rewrite bumps the
+        generation and stamps a fresh rewrite_id. Atomic tmp+rename so a
+        reader never sees a torn file. On a real cluster this per-table
+        counter lives in the commit protocol (Delta log version) instead
+        of a local file — documented in SCALE.md."""
+        os.makedirs(self.path, exist_ok=True)
+        lock_path = os.path.join(self.path, ".meta.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            meta = self.read_meta()
+            meta["seq_floor"] = max(int(meta.get("seq_floor", 0)), int(seq_floor))
+            if rewrite:
+                meta["generation"] = int(meta.get("generation", 0)) + 1
+                meta["rewrite_id"] = uuid.uuid4().hex[:12]
+            tmp = self._meta_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh, sort_keys=True)
+            os.replace(tmp, self._meta_path())
+
     # -- storage ------------------------------------------------------------
 
     def events(self) -> DataFrame:
@@ -223,15 +270,20 @@ class EventLog:
         )
 
     def last_sequence(self) -> int:
-        """Max assigned sequence. Snapshot sequences participate: compaction
-        may drop trailing SoftDelete events from the log, and sequences must
-        never regress (the reference's per-table counter is monotonic)."""
+        """Max assigned sequence. Snapshot sequences participate (compaction
+        may drop trailing SoftDelete events from the log) and so does the
+        persisted ``seq_floor`` (a purge may empty the log AND rewrite every
+        snapshot): sequences must never regress — the reference's per-table
+        counter is a persisted monotonic AtomicU64
+        (table_storage.rs:212-261), and this is its three-source
+        equivalent."""
         ev_max = 0
         if os.path.exists(self._events_dir):
             row = self.events().agg(F.max("sequence").alias("s")).first()
             ev_max = int(row["s"] or 0)
         snaps = self._snapshot_seqs()
-        return max(ev_max, snaps[-1] if snaps else 0)
+        floor = int(self.read_meta().get("seq_floor", 0))
+        return max(ev_max, snaps[-1] if snaps else 0, floor)
 
     def _append(self, batch: DataFrame, event_type: str, payload: F.Column | None) -> int:
         """Assign contiguous sequences to the batch and publish it atomically.
@@ -353,6 +405,12 @@ class EventLog:
                     f"append lost the race for sequence {base + 1} "
                     f"(a rival append or log rewrite won); retry"
                 ) from exc
+            # Persist the high-water mark only after the batch is visible:
+            # a crash in between leaves the floor stale, which the
+            # log-derived max covers (last_sequence takes the max of all
+            # three sources). The floor is what survives a future
+            # purge-to-empty rewrite.
+            self._bump_meta(seq_floor=base + total)
         finally:
             src.unpersist()
         if self.post_commit_fn is not None:
@@ -619,13 +677,43 @@ class EventLog:
         whose staging dir was still in flight when the live dir moved
         aside fails its rename with ENOENT and surfaces as
         :class:`ConcurrentAppendError` — never a silent loss.
+        Before any rename, the persisted meta advances: ``seq_floor`` to
+        the pre-swap high-water mark (so a rewrite that drops trailing —
+        or ALL — events can never reset the sequence clock; see
+        :meth:`read_meta`) and ``generation``/``rewrite_id`` (so
+        replication's ship() reseeds replicas on the persisted signal,
+        not by diffing entry-name sets a clock reset could alias).
+
+        The rebuilt log is materialized ONCE, directly under
+        ``events.new`` as a hidden staging dir, then renamed to a uniform
+        ``batch-<min_seq>`` entry — ``_log_entries()`` keeps returning
+        only ``batch-*`` names across rewrites (rewrite output used to
+        land as raw flat ``part-*.parquet``). The single write runs the
+        rebuild plan against the still-live dir; nothing moves until the
+        write completes, so no defensive second materialization is
+        needed (it used to write tmp then re-copy — double I/O).
         """
+        # Floor first: a crash after this write leaves the floor equal to
+        # the current high-water mark (harmless) and the generation bump
+        # at worst forces one spurious replica reseed (safe, idempotent).
+        self._bump_meta(seq_floor=self.last_sequence(), rewrite=True)
         new_dir = self._events_dir + ".new"
-        tmp = self._events_dir + ".rewrite"
-        rebuilt.write.mode("overwrite").parquet(tmp)
-        # Re-read through a fresh frame so the final write doesn't re-run
-        # the rebuild plan against a directory we're about to move.
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(new_dir)
+        staging = os.path.join(new_dir, "_staging-rewrite")
+        rebuilt.write.mode("overwrite").parquet(staging)
+        row = (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .parquet(staging)
+            .agg(F.min("sequence").alias("lo"))
+            .first()
+        )
+        if row["lo"] is None:
+            # the rebuild removed every event (purge-to-empty): the new
+            # log is an empty dir with no batch entry
+            shutil.rmtree(staging)
+        else:
+            os.rename(
+                staging, os.path.join(new_dir, f"batch-{int(row['lo']):020d}")
+            )
         old_dir = self._events_dir + f".old-{uuid.uuid4().hex[:8]}"
         # an absent live dir is a valid (never-written or fully-purged)
         # log: rewrite it as empty rather than crash (fuzz-found)
@@ -637,7 +725,6 @@ class EventLog:
             if e.startswith("batch-") and e not in known:
                 os.rename(os.path.join(old_dir, e), os.path.join(self._events_dir, e))
         shutil.rmtree(old_dir)
-        shutil.rmtree(tmp)
 
     def _snapshot_seqs(self) -> list[int]:
         if not os.path.exists(self._snap_dir):

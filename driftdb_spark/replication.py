@@ -295,11 +295,27 @@ class ReplicationPrimary:
         for name, (log, _cols) in sorted(self.session._tables.items()):
             entries = log._log_entries()  # pinned published set
             snaps = [f"seq={s}" for s in log._snapshot_seqs()]
+            meta = log.read_meta()
+            log_gen = (int(meta.get("generation", 0)), meta.get("rewrite_id", ""))
             prev = manifest["tables"].get(
                 name, {"generation": 0, "entries": [], "snapshots": []}
             )
             gen = int(prev["generation"])
-            rewritten = bool(set(prev["entries"]) - set(entries))
+            prev_log_gen = (
+                int(prev.get("log_generation", 0)),
+                prev.get("rewrite_id", ""),
+            )
+            # A rewrite (compact/purge) is detected by the log's PERSISTED
+            # generation (events.py meta), not only by diffing entry-name
+            # sets: a purge-to-empty used to reset the sequence clock, so
+            # the next append could REUSE a shipped batch name with
+            # different content and the name-set diff saw nothing — the
+            # replica silently kept the old rows (fuzz-found, r10). The
+            # name-set diff stays as a fallback for meta-less legacy logs.
+            rewritten = (
+                bool(set(prev["entries"]) - set(entries))
+                or log_gen != prev_log_gen
+            )
             if gen == 0 or rewritten:
                 gen += 1  # fresh table or a compact/purge rewrite: reseed
                 prev_shipped_e: set[str] = set()
@@ -327,6 +343,12 @@ class ReplicationPrimary:
                 "entries": entries,
                 "snapshots": snaps,
                 "pk": log.pk_col,
+                # shipped so replicas persist the same sequence floor /
+                # rewrite generation locally: a PROMOTED replica must not
+                # restart the clock below the primary's high-water mark
+                "log_generation": log_gen[0],
+                "rewrite_id": log_gen[1],
+                "seq_floor": int(meta.get("seq_floor", 0)),
             }
             hb_tables[name] = {"last_sequence": log.last_sequence()}
             shipped[name] = n
@@ -483,6 +505,35 @@ class Replica:
                 name, {"generation": 0, "entries": [], "snapshots": []}
             )
             tbl_dir = os.path.join(self.storage_dir, name)
+
+            def _adopt_meta(dest_dir: str) -> None:
+                # Persist the primary's sequence floor / rewrite
+                # generation into the local table meta (max-merged, so a
+                # replayed older manifest can never lower the floor): a
+                # later promote() makes this log writable, and its
+                # sequence clock must resume ABOVE everything the primary
+                # ever assigned — even if the shipped generation was
+                # post-purge and carries no events at those sequences.
+                if "seq_floor" not in t:
+                    return  # pre-meta manifest (legacy primary)
+                cur = _read_json(
+                    os.path.join(dest_dir, "meta.json"),
+                    {"seq_floor": 0, "generation": 0, "rewrite_id": ""},
+                )
+                _write_json_atomic(
+                    os.path.join(dest_dir, "meta.json"),
+                    {
+                        "seq_floor": max(
+                            int(cur.get("seq_floor", 0)), int(t["seq_floor"])
+                        ),
+                        "generation": max(
+                            int(cur.get("generation", 0)),
+                            int(t.get("log_generation", 0)),
+                        ),
+                        "rewrite_id": t.get("rewrite_id", ""),
+                    },
+                )
+
             n = 0
             if local["generation"] != gen:
                 # reseed: build the new generation aside, then swap — a
@@ -501,6 +552,7 @@ class Replica:
                         os.path.join(gen_dir, "snapshots", s),
                         os.path.join(fresh, "snapshots", s),
                     )
+                _adopt_meta(fresh)
                 old = tbl_dir + f".old-{uuid.uuid4().hex[:8]}"
                 if os.path.exists(tbl_dir):
                     os.rename(tbl_dir, old)
@@ -522,6 +574,7 @@ class Replica:
                             os.path.join(gen_dir, "snapshots", s),
                             os.path.join(tbl_dir, "snapshots", s),
                         )
+                _adopt_meta(tbl_dir)
             state["tables"][name] = {
                 "generation": gen,
                 "entries": t["entries"],

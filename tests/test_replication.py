@@ -711,3 +711,67 @@ def test_stream_manifest_survives_gc_race(tmp_path, monkeypatch):
     empty.mkdir()
     monkeypatch.setattr(repl.os, "listdir", real_listdir)
     assert repl._stream_manifest(str(empty), {"tables": {}}) == {"tables": {}}
+
+
+def test_purge_to_empty_cannot_alias_batches(spark, tmp_path):
+    """Deterministic pin of the r10 fuzz-found falsifying program
+    (hypothesis shrank it to: del 1 / ins 5 / ship / ins 1 / purge 1 /
+    upd 1 / purge 5 / ins 1). Pre-fix: the second purge emptied the log,
+    last_sequence() regressed to 0, the final insert re-claimed
+    ``batch-…0001`` with DIFFERENT content, ship()'s entry-name diff saw
+    nothing to reship, and the replica silently kept the OLD batch's rows
+    (primary [(1,0)] vs replica [(5,0)], generation never bumped). The
+    persisted seq_floor + rewrite generation (events.py meta.json,
+    replication.py ship) close both halves; pinned per VERDICT r10 so the
+    counterexample replays without hypothesis seed luck."""
+    sess = DriftSession(spark, str(tmp_path / "primary"))
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    primary = ReplicationPrimary(sess, str(tmp_path / "stream"))
+    replica = Replica(spark, str(tmp_path / "replica"), str(tmp_path / "stream"))
+    log, _cols = sess._tables["t"]
+
+    sess.sql("DELETE FROM t WHERE id = 1")       # no-op: publishes nothing
+    sess.sql("INSERT INTO t VALUES (5, 0)")       # seq 1 -> batch-…0001
+    primary.ship()
+    replica.apply_pending()
+    sess.sql("INSERT INTO t VALUES (1, 0)")       # seq 2
+    log.purge(spark.createDataFrame([(1,)], "id int"))
+    sess.sql("UPDATE t SET v = 0 WHERE id = 1")   # purged pk: no-op
+    log.purge(spark.createDataFrame([(5,)], "id int"))  # log now EMPTY
+    assert log.last_sequence() >= 2               # the clock never regressed
+    sess.sql("INSERT INTO t VALUES (1, 0)")       # must NOT reuse batch-…0001
+    assert log._log_entries() == ["batch-00000000000000000003"]
+
+    primary.ship()
+    replica.apply_pending()
+    want = sorted((r["id"], r["v"]) for r in sess.sql("SELECT id, v FROM t").collect())
+    got = sorted(
+        (r["id"], r["v"]) for r in replica.session.sql("SELECT id, v FROM t").collect()
+    )
+    assert want == [(1, 0)] and got == want
+    # compliance propagated: the purged key left no history on the replica
+    rlog, _c = replica.session._tables["t"]
+    assert rlog.events().filter("pk = '5'").count() == 0
+
+
+def test_promoted_replica_resumes_above_primary_high_water(spark, tmp_path):
+    """The shipped seq_floor must survive onto the replica: a PROMOTED
+    replica's first append has to land ABOVE every sequence the old
+    primary ever assigned, even when the shipped generation was
+    post-purge and carries none of those sequences."""
+    sess = DriftSession(spark, str(tmp_path / "primary"))
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    primary = ReplicationPrimary(sess, str(tmp_path / "stream"))
+    replica = Replica(spark, str(tmp_path / "replica"), str(tmp_path / "stream"))
+    log, _cols = sess._tables["t"]
+    sess.sql("INSERT INTO t VALUES (1, 0), (2, 0), (3, 0)")  # seqs 1..3
+    log.purge(spark.createDataFrame([(1,), (2,), (3,)], "id int"))  # empty log
+    primary.ship()
+    replica.apply_pending()
+    replica.promote()
+    rlog, _c = replica.session._tables["t"]
+    assert rlog.last_sequence() >= 3  # floor adopted from the stream
+    end = replica.session._tables["t"][0].insert(
+        spark.createDataFrame([(9, 9)], "id int, v int")
+    )
+    assert end >= 4  # never recycles the old primary's sequences
