@@ -173,6 +173,16 @@ def verify_integrity(
     - ``batch_alignment`` — each ``batch-<startseq>`` directory's minimum
       contained sequence equals its directory name; a mismatch means a
       rename landed on the wrong claim.
+    - ``sequence_floor`` — no event's sequence may exceed the persisted
+      high-water mark (events.py meta.json): every publish advances the
+      floor to its batch end, so ``max(sequence) > floor`` means the log
+      was written by an engine that does not maintain the floor (pre-r11:
+      a purge-to-empty reset the clock and the next append silently
+      REUSED shipped sequences/batch names) or the meta was lost — either
+      way, sequence identity (AS OF @SEQ:N, replication entry names) can
+      no longer be trusted and the operator must reconcile. A log with no
+      meta at all reports ``missing meta (legacy log)`` as a warning
+      without failing the verify.
     - ``pk_duplicates`` — the folded current state must be unique per pk
       (fold_events guarantees it structurally; this re-derives it).
     - ``constraints`` — declared UNIQUE/CHECK/NOT NULL re-validated
@@ -215,6 +225,22 @@ def verify_integrity(
             .filter(F.col("_batch") != F.col("_min"))
             .count()
         )
+        def _floor_check():
+            ev_max = int(ev.agg(F.max("sequence")).first()[0] or 0)
+            if not os.path.exists(log._meta_path()):
+                # warn-only: pre-meta stores can't be checked, and failing
+                # them would make verify useless on every legacy log
+                return "missing meta (legacy log)"
+            floor = int(log.read_meta().get("seq_floor", 0))
+            if ev_max > floor:
+                return (
+                    f"VIOLATION: max sequence {ev_max} exceeds persisted "
+                    f"high-water mark {floor} — sequence clock ran past "
+                    "meta (aliased/reused sequences possible)"
+                )
+            return "ok"
+
+        r["sequence_floor"] = _safe(_floor_check)
         state = log.state_df(cols)
         r["pk_duplicates"] = _safe(
             lambda: state.groupBy(log.pk_col)
@@ -257,6 +283,7 @@ def verify_integrity(
         r["ok"] = (
             r["sequence_duplicates"] == 0
             and r["batch_misaligned"] == 0
+            and r["sequence_floor"] in ("ok", "missing meta (legacy log)")
             and r["pk_duplicates"] == 0
             and r["constraints"] in ("ok", "none declared")
             and r["snapshots"] == "ok"

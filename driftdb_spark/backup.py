@@ -83,6 +83,19 @@ class BackupManager:
             raise ValueError(f"backup destination {dest} is not empty")
         os.makedirs(dest, exist_ok=True)
         chain_entries = self._chain_copied(parent) if parent else {}
+        # entry names are immutable only WITHIN a rewrite generation: a
+        # compact/purge rebuilds the log and may reuse an existing
+        # batch-<minseq> name (and snapshot seq=N names) with different
+        # content. An incremental that skipped those by name would restore
+        # PRE-REWRITE bytes — resurrecting purged rows. Compare the
+        # parent's persisted per-table meta; any generation change voids
+        # the skip set for that table (same reseed rule as replication).
+        parent_meta: dict[str, dict | None] = {}
+        if parent:
+            pm = self._load_manifest(parent)
+            parent_meta = {
+                n: t.get("meta") for n, t in pm["tables"].items()
+            }
         manifest: dict = {
             "version": 1,
             "created_unix": time.time(),
@@ -94,7 +107,15 @@ class BackupManager:
         for name, (log, _cols) in sorted(self._session._tables.items()):
             entries = log._log_entries()  # pinned published set
             snaps = [f"seq={s}" for s in log._snapshot_seqs()]
+            cur_meta = log.read_meta()
             already = chain_entries.get(name, set())
+            pmeta = parent_meta.get(name)
+            if parent and (
+                pmeta is None  # pre-meta parent backup: can't prove no rewrite
+                or (int(pmeta.get("generation", 0)), pmeta.get("rewrite_id", ""))
+                != (int(cur_meta.get("generation", 0)), cur_meta.get("rewrite_id", ""))
+            ):
+                already = set()  # rewrite since parent: re-copy wholesale
             copied_entries = [e for e in entries if ("events", e) not in already]
             copied_snaps = [s for s in snaps if ("snapshots", s) not in already]
             for e in copied_entries:
@@ -118,6 +139,10 @@ class BackupManager:
                 "entries_copied": copied_entries,
                 "snapshots_copied": copied_snaps,
                 "last_sequence": log.last_sequence(),
+                # the persisted sequence floor / rewrite generation must
+                # survive a restore: without it, a restored post-purge
+                # store could hand out already-retired sequences
+                "meta": cur_meta,
             }
         cat = self._session._catalog_path()
         if os.path.exists(cat):
@@ -204,6 +229,19 @@ class BackupManager:
                 src = _find_source(name, "snapshots", s)
                 dst = os.path.join(target_storage_dir, name, "snapshots", s)
                 _copy_tree_or_file(src, dst)
+            # rehydrate the sequence floor so the restored log's clock
+            # resumes above everything the backed-up store ever assigned
+            # (pre-meta backups carry only last_sequence — use it as the
+            # floor; it is the same monotonic quantity at backup time)
+            meta = t.get("meta") or {
+                "seq_floor": int(t.get("last_sequence", 0)),
+                "generation": 0,
+                "rewrite_id": "",
+            }
+            tdir = os.path.join(target_storage_dir, name)
+            os.makedirs(tdir, exist_ok=True)
+            with open(os.path.join(tdir, "meta.json"), "w") as fh:
+                json.dump(meta, fh, sort_keys=True)
         # catalog: the leaf's copy wins (newest schema registration)
         for d in chain:
             cat = os.path.join(d, "_catalog.json")

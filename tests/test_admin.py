@@ -315,3 +315,34 @@ def test_recover_cli_surface(spark, tmp_path, capsys):
     assert rep["dry_run"] and rep["actions_total"] == 1
     rep = _run(capsys, spark, "--data", data, "admin", "recover")[0]
     assert rep["actions_total"] == 1 and not os.path.exists(st)
+
+
+def test_admin_verify_detects_sequence_clock_regression(spark, tmp_path):
+    """A synthetically aliased log — events whose sequence runs past the
+    persisted high-water mark (the r10 purge-to-empty reset writes this
+    shape: a pre-fix engine appends below/at sequences the meta says were
+    already retired, or equivalently appends without maintaining the
+    floor) — must fail verify with the sequence_floor check."""
+    _data, sess = _mkdb(spark, tmp_path, "admfloor")
+    log = sess.table("items")
+    assert admin.verify_integrity(sess)["ok"]  # healthy: floor == max
+    # simulate a pre-fix writer: replay a batch under a HIGHER sequence
+    # claim without advancing the persisted floor (name kept aligned so
+    # only the floor invariant trips, not batch_misaligned)
+    import pyspark.sql.functions as F
+
+    ev = log.events().limit(1)
+    hi = log.last_sequence() + 7
+    forged = ev.withColumn("sequence", F.lit(hi).cast("long"))
+    forged.write.parquet(os.path.join(log._events_dir, f"batch-{hi:020d}"))
+    rep = admin.verify_integrity(sess, table="items")
+    r = rep["tables"]["items"]
+    assert not rep["ok"]
+    assert str(r["sequence_floor"]).startswith("VIOLATION")
+
+    # a legacy log with no meta at all warns but does not fail
+    os.remove(log._meta_path())
+    shutil.rmtree(os.path.join(log._events_dir, f"batch-{hi:020d}"))
+    rep2 = admin.verify_integrity(sess, table="items")
+    assert rep2["ok"]
+    assert rep2["tables"]["items"]["sequence_floor"] == "missing meta (legacy log)"

@@ -134,3 +134,47 @@ def test_backup_refuses_nonempty_dest(sess, tmp_path):
         mgr.create_full_backup(str(dest))
     with pytest.raises(ValueError, match="not empty"):
         BackupManager.restore(str(dest), str(dest))
+
+
+def test_restore_rehydrates_sequence_floor(sess, spark, tmp_path):
+    """A restored store's sequence clock must resume ABOVE everything the
+    backed-up store ever assigned — even when the backup captured a
+    post-purge log that no longer carries those sequences. Without the
+    floor, the first insert into the restored store would recycle retired
+    sequences (the r10 aliasing bug, resurfacing through restore)."""
+    log = sess.table("products")
+    log.purge(spark.createDataFrame([(1,), (2,), (3,)], "id int"))  # empty log
+    hw = log.last_sequence()
+    assert hw >= 3  # the clock survived the purge on the source...
+    b = str(tmp_path / "b_floor")
+    BackupManager(sess).create_full_backup(b)
+    target = str(tmp_path / "restored_floor")
+    BackupManager.restore(b, target)
+    r = DriftSession(spark, target)
+    rlog = r.table("products")
+    assert rlog.last_sequence() == hw  # ...and survives the restore
+    end = rlog.insert(spark.createDataFrame([(9, "x", 1)], "id int, name string, qty int"))
+    assert end == hw + 1
+
+
+def test_incremental_reseeds_after_rewrite_reuses_entry_name(sess, spark, tmp_path):
+    """A purge rewrite may emit a batch under a previously-backed-up name
+    (batch-<minseq> with the purged rows removed). The incremental must
+    NOT skip it by name — entry immutability holds only within a rewrite
+    generation. Pre-fix this restored the PRE-purge bytes."""
+    mgr = BackupManager(sess)
+    b1 = str(tmp_path / "b1")
+    mgr.create_full_backup(b1)
+    log = sess.table("products")
+    log.purge(spark.createDataFrame([(2,)], "id int"))
+    # rewrite output reclaims the same batch-…0001 name (min seq 1 kept)
+    assert log._log_entries() == ["batch-00000000000000000001"]
+    b2 = str(tmp_path / "b2")
+    m2 = mgr.create_incremental_backup(b2, parent=b1)
+    # the aliased name was re-copied, not skipped
+    assert "batch-00000000000000000001" in m2["tables"]["products"]["entries_copied"]
+    target = str(tmp_path / "restored_reseed")
+    BackupManager.restore(b2, target)
+    r = DriftSession(spark, target)
+    assert _rows(r) == {(1, "bolt", 5), (3, "gear", 2)}
+    assert r.table("products").events().filter("pk = '2'").count() == 0
