@@ -183,18 +183,46 @@ _DML_WORD_PERM = {
 }
 
 
+def _normalize_head(sql: str) -> str:
+    """Skip leading comments, and comments between EXPLAIN [ANALYZE] and
+    the inner statement, so verb classification can't be dodged by a
+    comment prefix (``EXPLAIN /*c*/ INSERT …`` must demand 'insert', not
+    fall to the generic EXPLAIN→select rule — r10 ADVICE)."""
+    from driftdb_spark.sql_frontend import _skip_ws_comments
+
+    i = _skip_ws_comments(sql, 0)
+    out = sql if i is None else sql[i:]
+    m = _re.match(r"^EXPLAIN\b", out, _re.IGNORECASE)
+    if not m:
+        return out
+    j = _skip_ws_comments(out, m.end())
+    rest = out if j is None else out[j:]
+    ma = _re.match(r"^ANALYZE\b", rest, _re.IGNORECASE)
+    if ma:
+        k = _skip_ws_comments(rest, ma.end())
+        inner = rest if k is None else rest[k:]
+        return "EXPLAIN ANALYZE " + inner
+    return "EXPLAIN " + rest
+
+
 def statement_permissions(stripped_sql: str) -> list[str]:
     """Permission(s) a statement requires — normally exactly one. A
     CTE-prefixed statement (bare or under EXPLAIN) classifies on the verb
     FOLLOWING the WITH prefix — Spark SQL allows WITH ... INSERT, and
     PostgreSQL requires the explained statement's privilege. When the
     prefix doesn't lex, stay CONSERVATIVE: require the permission of
-    EVERY DML verb appearing anywhere in the text (the real verb is one
-    of them; requiring only the first would let a role holding that
-    verb's permission execute a different write kind)."""
+    EVERY DML verb appearing anywhere OUTSIDE string literals, quoted
+    identifiers, and comments (the real verb is one of them; requiring
+    only the first would let a role holding that verb's permission
+    execute a different write kind; scanning raw text would deny a query
+    merely CONTAINING 'UPDATE' in a literal — r10 ADVICE)."""
+    stripped_sql = _normalize_head(stripped_sql)
     m = _EXPLAIN_WITH_RE.match(stripped_sql) or _WITH_RE.match(stripped_sql)
     if m:
-        from driftdb_spark.sql_frontend import strip_leading_ctes
+        from driftdb_spark.sql_frontend import (
+            scrub_literals_and_comments,
+            strip_leading_ctes,
+        )
 
         body = m.group(1) if m.re is _EXPLAIN_WITH_RE else stripped_sql
         rest = strip_leading_ctes(body)
@@ -206,7 +234,9 @@ def statement_permissions(stripped_sql: str) -> list[str]:
             found = sorted(
                 {
                     _DML_WORD_PERM[w.upper()]
-                    for w in _DML_WORD_ANYWHERE.findall(body)
+                    for w in _DML_WORD_ANYWHERE.findall(
+                        scrub_literals_and_comments(body)
+                    )
                 }
             )
             if found:

@@ -1362,3 +1362,44 @@ def test_parse_session_tz_offset_styles():
 
     # unresolvable -> None (normalization off, warning logged)
     assert _parse_session_tz("Not/AZone") is None
+
+
+def test_cte_dml_executes_over_wire_under_exec_lock(server):
+    """WITH…INSERT executes over the wire (r10: it was classified as a
+    write but then died in Catalyst with an opaque RDD error), publishes
+    its rows, and is serialized on exec_lock like every other write."""
+
+    class CountingLock:
+        def __init__(self, inner):
+            self.inner, self.count = inner, 0
+
+        def __enter__(self):
+            self.count += 1
+            return self.inner.__enter__()
+
+        def __exit__(self, *a):
+            return self.inner.__exit__(*a)
+
+    host, port = server.address
+    c = Client(host, port)
+    c.ssl_probe()
+    c.startup()
+    _c, _r, _t, err = c.query("CREATE TABLE wcd (id INT PRIMARY KEY, v INT)")
+    assert err is None
+    _c, _r, _t, err = c.query("INSERT INTO wcd VALUES (1, 10)")
+    assert err is None
+
+    lock = CountingLock(server._tcp.exec_lock)
+    server._tcp.exec_lock = lock
+    try:
+        _c, _r, tag, err = c.query(
+            "WITH src AS (SELECT id + 1 AS id, v + 1 AS v FROM wcd) "
+            "INSERT INTO wcd SELECT * FROM src"
+        )
+        assert err is None
+        assert lock.count >= 1  # the write serialized on exec_lock
+        _c, rows, _t, err = c.query("SELECT id, v FROM wcd ORDER BY id")
+        assert err is None and rows == [["1", "10"], ["2", "11"]]
+    finally:
+        server._tcp.exec_lock = lock.inner
+    c.close()
