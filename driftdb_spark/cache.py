@@ -153,6 +153,12 @@ class ResultCache:
             h.update(json.dumps(sorted(cols.items())).encode())
             h.update("\0".join(log._log_entries()).encode())
             h.update(json.dumps(log._snapshot_seqs()).encode())
+            # entry NAMES are stable across a rewrite since r11 (uniform
+            # batch-<minseq> naming + a never-regressing sequence clock),
+            # so a purge can leave both hashes above unchanged while the
+            # CONTENT shrank — the persisted rewrite generation is the
+            # signal that the bytes behind the names changed
+            h.update(json.dumps(log.read_meta(), sort_keys=True).encode())
         # policy / view-definition changes must invalidate too
         h.update(json.dumps(sess.rls.to_catalog(), sort_keys=True).encode())
         h.update(json.dumps(sess._views, sort_keys=True).encode())

@@ -557,6 +557,7 @@ class DriftSession:
                 list(meta["group_cols"]),
                 meta["source"],
                 int(meta["last_seq"]),
+                meta.get("rewrite_token"),  # None for pre-r11 catalogs
             )
 
     def _save_catalog(self) -> None:
@@ -2042,11 +2043,13 @@ class DriftSession:
             log, schema_cols = self._tables[table]
             sql = m.group(4).strip()
             self._imv_reg().create(name, log, schema_cols, sql, group_cols, table)
+            iv = self._imv_registry._views[name]
             self._imvs[name] = {
                 "sql": sql,
                 "source": table,
                 "group_cols": group_cols,
-                "last_seq": log.last_sequence(),
+                "last_seq": iv.last_seq,
+                "rewrite_token": iv.rewrite_token,
             }
             self._save_catalog()
             return 0
@@ -2058,9 +2061,9 @@ class DriftSession:
         ):
             n = self._imv_registry.refresh(m.group(1))
             if m.group(1) in self._imvs:
-                self._imvs[m.group(1)]["last_seq"] = self._imv_registry._views[
-                    m.group(1)
-                ].last_seq
+                iv = self._imv_registry._views[m.group(1)]
+                self._imvs[m.group(1)]["last_seq"] = iv.last_seq
+                self._imvs[m.group(1)]["rewrite_token"] = iv.rewrite_token
                 self._save_catalog()
             return n
         m = self._DROP_MVIEW_RE.match(q)

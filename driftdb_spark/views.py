@@ -248,6 +248,16 @@ class IncrementalView:
     group_cols: list[str]
     last_seq: int
     last_refresh_groups: int = 0
+    # the base log's rewrite generation at last (re)compute: incremental
+    # maintenance is only sound while history BELOW the watermark is
+    # immutable, and a compact/purge rewrite voids that (a purge removes
+    # events without appending any, so the watermark alone sees nothing)
+    rewrite_token: str = ""
+
+
+def _log_rewrite_token(log) -> str:
+    m = log.read_meta()
+    return f"{m.get('generation', 0)}:{m.get('rewrite_id', '')}"
 
 
 class IncrementalViewRegistry:
@@ -327,7 +337,13 @@ class IncrementalViewRegistry:
             )
         path = publish_versioned(out, self.storage_dir, self._stem(name))
         self.spark.read.parquet(path).createOrReplaceTempView(name)
-        self._views[name] = IncrementalView(sql, source_view, list(group_cols), seq)
+        self._views[name] = IncrementalView(
+            sql,
+            source_view,
+            list(group_cols),
+            seq,
+            rewrite_token=_log_rewrite_token(log),
+        )
 
     def load(
         self,
@@ -338,18 +354,31 @@ class IncrementalViewRegistry:
         group_cols: list[str],
         source_view: str,
         last_seq: int,
+        rewrite_token: str | None = None,
     ) -> None:
         """Re-attach a persisted incremental view (catalog reopen): the
         STORED result re-registers without recompute; the saved
         ``last_seq`` watermark makes the next refresh exactly
-        incremental over everything that landed since."""
+        incremental over everything that landed since. A catalog saved
+        before rewrite tokens existed (None) adopts the log's CURRENT
+        token — the same no-rewrite-while-closed assumption the
+        watermark itself already makes; newly saved catalogs carry the
+        token so the window closes going forward."""
         self._logs[name] = log
         self._schemas[name] = dict(schema_cols)
         self.spark.read.parquet(self._current_path(name)).createOrReplaceTempView(
             name
         )
         self._views[name] = IncrementalView(
-            sql, source_view, list(group_cols), last_seq
+            sql,
+            source_view,
+            list(group_cols),
+            last_seq,
+            rewrite_token=(
+                rewrite_token
+                if rewrite_token is not None
+                else _log_rewrite_token(log)
+            ),
         )
 
     def drop(self, name: str) -> None:
@@ -373,6 +402,27 @@ class IncrementalViewRegistry:
         iv = self._views[name]
         log, schema_cols = self._logs[name], self._schemas[name]
         new_seq = log.last_sequence()
+        cur_token = _log_rewrite_token(log)
+        if cur_token != iv.rewrite_token:
+            # The base log was REWRITTEN (compact/purge) since the last
+            # (re)compute: incremental maintenance is void — a purge
+            # removes events BELOW the watermark without appending
+            # anything, so the sequence delta sees nothing and the MV
+            # would keep the purged rows' contributions forever (a
+            # compliance leak, not just staleness — found r11 while
+            # auditing the r10 sequence-clock bug's family). Recompute
+            # the whole view from current state, exactly the create path.
+            log.state_df(schema_cols).drop(
+                "pk", "last_seq"
+            ).createOrReplaceTempView(iv.source_view)
+            out = self.spark.sql(iv.sql)
+            path = publish_versioned(out, self.storage_dir, self._stem(name))
+            fresh_mv = self.spark.read.parquet(path)
+            fresh_mv.createOrReplaceTempView(name)
+            iv.last_seq = new_seq
+            iv.rewrite_token = cur_token
+            iv.last_refresh_groups = fresh_mv.count()
+            return iv.last_refresh_groups
         if new_seq == iv.last_seq:
             iv.last_refresh_groups = 0
             return 0

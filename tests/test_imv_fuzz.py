@@ -20,11 +20,19 @@ from hypothesis import strategies as st
 from driftdb_spark.sql_frontend import DriftSession
 
 # ops: ("ins", pk, site, hits) / ("upd", pk, site, hits) / ("del", pk)
+# plus the log-REWRITING maintenance ops ("purge", pk) / ("compact",):
+# purge removes events below the refresh watermark without appending
+# anything, which is exactly the shape incremental maintenance cannot
+# see — r11 found the MV kept purged rows' contributions forever because
+# this fuzz never rewrote the log (the same blind spot that hid the r10
+# replication bug until its fuzz gained purge ops)
 _site = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
 _op = st.one_of(
     st.tuples(st.just("ins"), st.integers(1, 8), _site, st.integers(0, 50)),
     st.tuples(st.just("upd"), st.integers(1, 8), _site, st.integers(0, 50)),
     st.tuples(st.just("del"), st.integers(1, 8)),
+    st.tuples(st.just("purge"), st.integers(1, 8)),
+    st.tuples(st.just("compact")),
 )
 _program = st.lists(_op, min_size=1, max_size=6)
 
@@ -72,6 +80,13 @@ def test_incremental_refresh_equals_full_recompute(
                     f"UPDATE fz SET site = {_lit(site)}, hits = {hits} "
                     f"WHERE id = {pk}"
                 )
+            elif op[0] == "purge":
+                s.table("fz").purge(
+                    spark.createDataFrame([(op[1],)], "id int")
+                )
+                live.discard(op[1])
+            elif op[0] == "compact":
+                s.table("fz").compact()
             else:
                 s.sql(f"DELETE FROM fz WHERE id = {op[1]}")
                 live.discard(op[1])
@@ -84,3 +99,30 @@ def test_incremental_refresh_equals_full_recompute(
             (r.site, r.n, r.total) for r in s.sql(view_sql).collect()
         }
         assert got == want, f"IVM diverged after {prog}: {got} != {want}"
+
+
+def test_imv_recomputes_after_purge_rewrite(spark, tmp_path):
+    """Deterministic pin of the r11-found IVM/purge hole: a purge removes
+    events BELOW the refresh watermark without appending any, so the
+    sequence-delta refresh saw nothing and the MV kept the purged rows'
+    contributions forever (a compliance leak). The IMV now records the
+    log's rewrite generation and falls back to a full recompute when it
+    changes, returning to incremental afterwards."""
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, g INT, v INT)")
+    s.sql("INSERT INTO t VALUES (1, 1, 10), (2, 1, 20), (3, 2, 5)")
+    s.sql(
+        "CREATE INCREMENTAL MATERIALIZED VIEW mv ON t GROUP BY (g) "
+        "AS SELECT g, SUM(v) AS sv FROM t GROUP BY g"
+    )
+    s.table("t").purge(spark.createDataFrame([(2,)], "id int"))
+    n = s.sql("REFRESH MATERIALIZED VIEW mv")
+    assert n == 2  # full recompute (every group), not the 0 of pre-r11
+    got = {(r.g, r.sv) for r in s.sql("SELECT * FROM mv").collect()}
+    assert got == {(1, 10), (2, 5)}  # purged contribution gone
+    # back to incremental afterwards: one group touched -> one recomputed
+    s.sql("INSERT INTO t VALUES (4, 2, 7)")
+    assert s.sql("REFRESH MATERIALIZED VIEW mv") == 1
+    # the token persists in the catalog: a fresh session stays incremental
+    s2 = DriftSession(spark, str(tmp_path))
+    assert s2.sql("REFRESH MATERIALIZED VIEW mv") == 0

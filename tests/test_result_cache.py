@@ -340,3 +340,22 @@ def test_warm_rerun_is_5x_faster_on_cacheable_queries(spark, tmp_path):
             f"(cold={cold:.3f}s warm={warm:.3f}s); mechanism asserts "
             "(misses==1, hits==3) passed"
         )
+
+
+def test_purge_rewrite_invalidates_cache(spark, tmp_path):
+    """r11 guard: uniform batch naming means a purge rewrite can leave
+    the entry-NAME set and snapshot seqs unchanged while the bytes
+    behind them shrank — the version vector must still move (it now
+    folds in the log's persisted rewrite generation), or a cached SELECT
+    would keep serving purged rows (compliance leak)."""
+    sess = _mkdb(spark, tmp_path, "cachepurge")
+    cache = sess.enable_result_cache()
+    q = "SELECT grp, SUM(v) AS s FROM t GROUP BY grp"
+    before = _rows(sess.sql(q))
+    assert _rows(sess.sql(q)) == before and cache.hits == 1  # cached
+    log = sess.table("t")
+    log.purge(spark.createDataFrame([(2,)], "id int"))
+    # same entry names, same snapshot seqs — but the purge must miss
+    after = _rows(sess.sql(q))
+    assert after == [("a", 10), ("b", 30)]
+    assert ("a", 30) not in after
