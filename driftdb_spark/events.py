@@ -801,6 +801,16 @@ class EventLog:
         for a purged key (a writer racing the purge); re-run ``purge`` after
         quiescing writers of the purged keys for a compliance-grade
         guarantee — the return value being 0 confirms convergence.
+
+        Purge scope (r11): in-engine derived artifacts converge — the
+        sequence clock never regresses (persisted ``seq_floor``), replicas
+        reseed on the persisted rewrite generation, incremental MVs fully
+        recompute on their next REFRESH, and the result cache's version
+        vector moves. Artifacts OUTSIDE the engine's management — streaming
+        state sinks built by ``streaming.ingest`` (a file stream cannot
+        un-see folded rows) and previously-taken backups — retain the
+        purged rows and need their own compliance pass, the same way any
+        downstream materialization does.
         """
         self._check_writable("purge")
         pk_list = keys.select(
