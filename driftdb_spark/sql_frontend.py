@@ -2401,16 +2401,24 @@ class DriftSession:
                         "object; rename the CTE in a data-modifying "
                         "statement"
                     )
+                # CTE bodies evaluate through the INTERNAL path: the
+                # statement-level RBAC gate already ran on the full
+                # WITH-DML text (rbac.statement_permissions classifies on
+                # the tail verb — the same single-permission model that
+                # lets an insert-only role run INSERT…SELECT), so
+                # re-demanding 'select' here would deny WITH…INSERT to a
+                # role that can run the equivalent INSERT…SELECT. RLS
+                # still scopes rows at state-view registration.
                 if recursive:
                     # self-referential body: run it through the recursive-
                     # CTE fixpoint machinery; earlier CTEs resolve as the
                     # temp views already registered below
-                    df = self.sql(
+                    df = self._internal_sql(
                         f"WITH RECURSIVE {name} AS ({body}) "
                         f"SELECT * FROM {name}"
                     )
                 else:
-                    df = self.sql(body)
+                    df = self._internal_sql(body)
                 if not isinstance(df, DataFrame):
                     raise ValueError(
                         f"CTE {name!r} body must be a query, got a "

@@ -271,3 +271,41 @@ def test_bootstrap_role_management_is_superuser_only(sess):
     finally:
         sess.set_security_context(None)
     assert sess.rbac.enabled()
+
+
+def test_cte_dml_matches_insert_select_permissions(spark, tmp_path):
+    """The statement-level RBAC model demands ONE permission per
+    statement (INSERT…SELECT needs 'insert', not also 'select'); the
+    CTE-prefixed form must behave identically — an insert-only role runs
+    WITH…INSERT iff it can run the equivalent INSERT…SELECT, and a role
+    with no insert is denied both."""
+    sess = DriftSession(spark, str(tmp_path))
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    sess.sql("INSERT INTO t VALUES (1, 10)")
+    sess.sql("CREATE ROLE insonly WITH PERMISSIONS (insert)")
+    sess.sql("GRANT ROLE insonly TO eve")
+    sess.set_security_context("eve", roles=sess.rbac.roles_of("eve"))
+    try:
+        sess.sql("INSERT INTO t SELECT id + 100, v FROM t")
+        sess.sql(
+            "WITH src AS (SELECT id + 200 AS id, v FROM t) "
+            "INSERT INTO t SELECT * FROM src"
+        )
+    finally:
+        sess.set_security_context(None)
+    # 1 seed row + 1 from INSERT…SELECT + 2 from WITH…INSERT (the CTE
+    # saw both prior rows)
+    assert sess.sql("SELECT count(*) AS n FROM t").first()["n"] == 4
+    # and a select-only role is denied the WITH-DML form
+    sess.sql("CREATE ROLE reader WITH PERMISSIONS (select)")
+    sess.sql("GRANT ROLE reader TO bob")
+    sess.set_security_context("bob", roles=sess.rbac.roles_of("bob"))
+    try:
+        with pytest.raises(Exception, match="permission denied"):
+            sess.sql(
+                "WITH src AS (SELECT 999 AS id, 0 AS v) "
+                "INSERT INTO t SELECT * FROM src"
+            )
+    finally:
+        sess.set_security_context(None)
+    assert sess.sql("SELECT count(*) AS n FROM t").first()["n"] == 4
