@@ -108,3 +108,38 @@ class AuditTrail:
         n = df.count()
         df.coalesce(1).write.mode("overwrite").json(out_path)
         return n
+
+    def scrub_pks(self, keys) -> int:
+        """Compliance companion to ``EventLog.purge``: remove the given
+        primary-key strings from every record's ``pks_sample`` (a pk can
+        itself be an identifier — an email, an account number — so a
+        purge that leaves it in the audit trail has not fully erased the
+        subject). Commit metadata (counts, sequences, actor, timing)
+        stays intact: the trail still proves WHAT happened, just not to
+        WHOM. Returns the number of audit records rewritten.
+
+        Same swap discipline as the event-log rewrite: build aside, two
+        renames, no reader ever sees a partial trail. The reference has
+        neither purge nor audit scrubbing; PostgreSQL-world equivalents
+        are log-retention scrubbers."""
+        pk_set = {str(k) for k in keys}
+        df = self.events()
+        lit_arr = F.array(*[F.lit(k) for k in sorted(pk_set)])
+        touched = df.filter(
+            F.arrays_overlap(F.col("pks_sample"), lit_arr)
+        ).count()
+        if touched == 0:
+            return 0
+        scrubbed = df.withColumn(
+            "pks_sample",
+            F.array_except(F.col("pks_sample"), lit_arr),
+        )
+        tmp = self._dir + f".scrub-{uuid.uuid4().hex[:8]}"
+        scrubbed.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = self._dir + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(self._dir, old)
+        os.rename(tmp, self._dir)
+        import shutil
+
+        shutil.rmtree(old)
+        return touched

@@ -806,11 +806,14 @@ class EventLog:
         sequence clock never regresses (persisted ``seq_floor``), replicas
         reseed on the persisted rewrite generation, incremental MVs fully
         recompute on their next REFRESH, and the result cache's version
-        vector moves. Artifacts OUTSIDE the engine's management — streaming
-        state sinks built by ``streaming.ingest`` (a file stream cannot
-        un-see folded rows) and previously-taken backups — retain the
-        purged rows and need their own compliance pass, the same way any
-        downstream materialization does.
+        vector moves. The audit trail keeps per-commit pk SAMPLES by
+        design (audit integrity); call ``AuditTrail.scrub_pks`` with the
+        purged keys to erase the subject there too. Artifacts OUTSIDE
+        the engine's management — streaming state sinks built by
+        ``streaming.ingest`` (a file stream cannot un-see folded rows)
+        and previously-taken backups — retain the purged rows and need
+        their own compliance pass, the same way any downstream
+        materialization does.
         """
         self._check_writable("purge")
         pk_list = keys.select(

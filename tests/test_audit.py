@@ -66,3 +66,32 @@ def test_audit_export_json(sess, tmp_path):
                 with open(os.path.join(root, f)) as fh:
                     lines += [json.loads(line) for line in fh if line.strip()]
     assert len(lines) == 1 and lines[0]["table"] == "products"
+
+
+def test_audit_scrub_pks_companion_to_purge(sess, spark):
+    """A compliance purge must be able to erase the subject from the
+    audit trail too: pks can be identifiers (emails, account numbers),
+    and purge rewrites the event log but the audit log keeps pk samples.
+    scrub_pks removes exactly the given keys from pks_sample while
+    commit metadata (counts, sequences, actors) stays intact."""
+    trail = AuditTrail(sess)
+    sess.sql("INSERT INTO products VALUES (1, 5), (2, 9)")
+    sess.sql("UPDATE products SET qty = 10 WHERE id = 2")
+    before = trail.events().orderBy("start_seq").collect()
+    assert any("2" in (r.pks_sample or []) for r in before)
+
+    log = sess.table("products")
+    log.purge(spark.createDataFrame([(2,)], "id int"))
+    n = trail.scrub_pks(["2"])
+    assert n == 2  # the insert commit and the update commit
+
+    after = trail.events().orderBy("start_seq").collect()
+    assert not any("2" in (r.pks_sample or []) for r in after)
+    # metadata preserved: same commits, same counts, same sequences
+    assert [(r.start_seq, r.n_events, r.action) for r in after] == [
+        (r.start_seq, r.n_events, r.action) for r in before
+    ]
+    # surviving pk still sampled
+    assert any("1" in (r.pks_sample or []) for r in after)
+    # idempotent
+    assert trail.scrub_pks(["2"]) == 0
