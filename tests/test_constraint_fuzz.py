@@ -11,6 +11,8 @@ model (constraints.rs)."""
 from __future__ import annotations
 
 import pytest
+
+from conftest import fuzz_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -54,7 +56,7 @@ def _lit(v):
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=8,
+    max_examples=fuzz_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -21,6 +21,8 @@ promote; invariants checked throughout and at the end:
 from __future__ import annotations
 
 import pytest
+
+from conftest import fuzz_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -45,7 +47,7 @@ def _rows(sess):
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=4,
+    max_examples=fuzz_examples(4),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -18,6 +18,8 @@ from __future__ import annotations
 import datetime
 
 import pytest
+
+from conftest import fuzz_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -61,7 +63,7 @@ def spark_fold(spark, events):
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=15,
+    max_examples=fuzz_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

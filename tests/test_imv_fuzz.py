@@ -14,6 +14,8 @@ its refresh can't be wrong, only slow; ours must be neither.)"""
 from __future__ import annotations
 
 import pytest
+
+from conftest import fuzz_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -43,7 +45,7 @@ def _lit(v):
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=6,
+    max_examples=fuzz_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+
+from conftest import fuzz_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -79,7 +81,7 @@ def engines(spark):
 
 @given(pred=predicate())
 @settings(
-    max_examples=25,
+    max_examples=fuzz_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -159,7 +161,7 @@ def join_engines(spark):
 
 @given(q=join_query())
 @settings(
-    max_examples=20,
+    max_examples=fuzz_examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

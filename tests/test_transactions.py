@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 
 import pytest
+
+from conftest import fuzz_examples
 from pyspark.sql import Row
 
 from driftdb_spark.events import EventLog
@@ -189,7 +191,7 @@ def test_txn_commit_equals_sequential_appends_fuzz(spark, tmp_path):
     )
 
     @settings(
-        max_examples=8,
+        max_examples=fuzz_examples(8),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
