@@ -43,6 +43,9 @@ class AuditTrail:
     def __init__(self, session, audit_dir: str | None = None):
         self._session = session
         self._dir = audit_dir or os.path.join(session.storage_dir, "_audit")
+        # let the session's PURGE statement find the trail so a SQL-level
+        # compliance erasure scrubs audit pk samples in the same statement
+        session._audit_trail = self
         self.attach()
 
     def attach(self) -> None:

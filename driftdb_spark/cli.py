@@ -76,6 +76,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         sp = sub.add_parser(name)
         sp.add_argument("table")
 
+    sp = sub.add_parser(
+        "purge",
+        help="hard-delete every event for the given primary keys "
+        "(right-to-be-forgotten; rewrites log + snapshots, scrubs the "
+        "audit trail)",
+    )
+    sp.add_argument("table")
+    sp.add_argument("keys", nargs="+", help="primary-key values to erase")
+
     sub.add_parser("tables", help="list catalog tables")
 
     sp = sub.add_parser("backup", help="back up --data (full, or incremental with --parent)")
@@ -273,6 +282,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.cmd == "compact":
         sess.table(args.table).compact()
         print(json.dumps({"ok": True}))
+    elif args.cmd == "purge":
+        # route through the SQL statement so audit scrubbing and the
+        # txn/RBAC gates apply identically to CLI and wire users; keys
+        # pass as literals through Spark's own parser (quote strings)
+        lits = ", ".join(
+            k if k.lstrip("-").replace(".", "", 1).isdigit()
+            else "'" + k.replace("'", "''") + "'"
+            for k in args.keys
+        )
+        removed = sess.sql(f"PURGE FROM {args.table} KEYS ({lits})")
+        print(json.dumps({"ok": True, "events_removed": removed}))
     elif args.cmd == "analyze":
         from driftdb_spark.plans.stats import analyze_table
 

@@ -131,6 +131,9 @@ _VERB_PERMS: list[tuple[str, str]] = [
     (r"MERGE", "update"),
     (r"DELETE", "delete"),
     (r"TRUNCATE", "truncate_table"),
+    # PURGE = destructive bulk history removal; gate it like TRUNCATE
+    # (the strongest non-DDL write permission — reference has no purge)
+    (r"PURGE", "truncate_table"),
     (r"CREATE\s+(UNIQUE\s+)?INDEX", "create_index"),
     (r"CREATE\s+(OR\s+REPLACE\s+)?(MATERIALIZED|INCREMENTAL)?\s*VIEW", "create_view"),
     (r"CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE", "create_procedure"),

@@ -1079,7 +1079,7 @@ class DriftSession:
     )
     _WRITE_VERB_RE = _re.compile(
         r"^(INSERT|UPDATE|DELETE|TRUNCATE|MERGE|CREATE|DROP|ALTER|SNAPSHOT"
-        r"|COMPACT|VACUUM|CHECKPOINT|REFRESH|GRANT|REVOKE)\b",
+        r"|COMPACT|PURGE|VACUUM|CHECKPOINT|REFRESH|GRANT|REVOKE)\b",
         _re.IGNORECASE,
     )
     _EXPLAIN_RE = _re.compile(r"^EXPLAIN\s+(.*)$", _re.IGNORECASE | _re.DOTALL)
@@ -1091,6 +1091,10 @@ class DriftSession:
     _DROP_TABLE_RE = _re.compile(r"^DROP\s+TABLE\s+(\w+)$", _re.IGNORECASE)
     _SNAPSHOT_RE = _re.compile(
         r"^(SNAPSHOT|COMPACT)\s+(?:TABLE\s+)?(\w+)$", _re.IGNORECASE
+    )
+    _PURGE_RE = _re.compile(
+        r"^PURGE\s+FROM\s+(\w+)\s+KEYS\s*\((.+)\)$",
+        _re.IGNORECASE | _re.DOTALL,
     )
     _CREATE_INDEX_RE = _re.compile(
         r"^CREATE\s+INDEX\s+\w+\s+ON\s+\w+\s*\([^)]*\)$", _re.IGNORECASE
@@ -2133,6 +2137,34 @@ class DriftSession:
                 return log.snapshot()
             log.compact()  # COMPACT implies a fresh snapshot first
             return log.last_sequence()
+        m = self._PURGE_RE.match(q)
+        if m and m.group(1) in self._tables:
+            # PURGE FROM t KEYS ('a', 2, ...) — the right-to-be-forgotten
+            # surface, SQL-reachable (EventLog.purge was API-only; a
+            # compliance erasure shouldn't require dropping into Python).
+            # Keys are an EXPLICIT literal list, not a WHERE predicate: a
+            # predicate over current state would miss keys that are
+            # already soft-deleted but still replayable in history, and
+            # erasure requests arrive as subject identifiers anyway.
+            # Spark's own parser evaluates the literals (no string
+            # munging); an attached audit trail is scrubbed in the same
+            # statement. Returns the number of events removed.
+            if self._active_txn is not None:
+                raise ValueError(
+                    "PURGE is a log-rewriting maintenance statement and "
+                    "cannot run inside a transaction"
+                )
+            log = self._tables[m.group(1)][0]
+            keys_df = self.spark.sql(
+                f"SELECT explode(array({m.group(2)})) AS k"
+            )
+            removed = log.purge(keys_df)
+            trail = getattr(self, "_audit_trail", None)
+            if trail is not None:
+                trail.scrub_pks(
+                    [str(r["k"]) for r in keys_df.distinct().collect()]
+                )
+            return removed
         m = self._CREATE_UNIQUE_INDEX_RE.match(q)
         if m and m.group(2) in self._tables:
             # CREATE UNIQUE INDEX = a named UNIQUE constraint (the

@@ -130,3 +130,15 @@ def test_cli_replicate_follow_bounded(spark, tmp_path, capsys):
     assert out[0]["ok"] and out[0]["applies"] >= 1 and not out[0]["promoted"]
     rows = _run(capsys, spark, "--data", standby, "select", "kv2")
     assert [r["k"] for r in rows] == [1]
+
+
+def test_cli_purge(spark, tmp_path, capsys):
+    data = str(tmp_path / "clipurge")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "CREATE TABLE p (id INT PRIMARY KEY, v INT)")
+    _run(capsys, spark, "--data", data, "sql", "-e",
+         "INSERT INTO p VALUES (1, 10), (2, 20)")
+    out = _run(capsys, spark, "--data", data, "purge", "p", "2")
+    assert out[0]["ok"] and out[0]["events_removed"] == 1
+    rows = _run(capsys, spark, "--data", data, "select", "p")
+    assert [r["id"] for r in rows] == [1]

@@ -1364,3 +1364,34 @@ def test_explain_of_cte_dml_plans_without_executing(spark, tmp_path):
     # comment-prefixed inner statements classify instead of refusing
     assert s.sql("EXPLAIN /*c*/ SELECT 1 AS x").count() > 0
     assert s.sql("EXPLAIN -- c\n SELECT 1 AS x").count() > 0
+
+
+def test_purge_sql_statement(spark, tmp_path):
+    """PURGE FROM t KEYS (…) — the right-to-be-forgotten surface made
+    SQL-reachable (EventLog.purge was API-only): rewrites log+snapshots,
+    scrubs an attached audit trail's pk samples, refuses inside a
+    transaction, and the sequence clock survives."""
+    from driftdb_spark.audit import AuditTrail
+
+    s = DriftSession(spark, str(tmp_path))
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    trail = AuditTrail(s)
+    s.sql("INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)")
+    s.sql("DELETE FROM t WHERE id = 3")  # purge must erase even deleted keys
+    removed = s.sql("PURGE FROM t KEYS (2, 3)")
+    assert removed == 3  # two inserts + one soft-delete tombstone
+    assert {r.id for r in s.sql("SELECT id FROM t").collect()} == {1}
+    log = s.table("t")
+    assert log.events().filter("pk IN ('2','3')").count() == 0
+    # audit pk samples scrubbed for the purged subjects, kept for others
+    samples = [set(r.pks_sample or []) for r in trail.events().collect()]
+    assert not any({"2", "3"} & st for st in samples)
+    assert any("1" in st for st in samples)
+    # clock did not regress: next insert lands above everything
+    end = s.sql("INSERT INTO t VALUES (9, 90)")
+    assert end == log.last_sequence() and end >= 5
+    # refused inside a transaction
+    s.sql("BEGIN")
+    with pytest.raises(ValueError, match="transaction"):
+        s.sql("PURGE FROM t KEYS (1)")
+    s.sql("ROLLBACK")
