@@ -693,11 +693,31 @@ class EventLog:
         write completes, so no defensive second materialization is
         needed (it used to write tmp then re-copy — double I/O).
         """
+        new_dir = self._events_dir + ".new"
+        if os.path.exists(new_dir):
+            if not os.path.exists(self._events_dir):
+                # live dir missing + events.new present = a crash landed
+                # BETWEEN the two swap renames, and events.new holds the
+                # only copy of the rebuilt log — rewriting now would base
+                # the rebuild on an empty live dir and discard it. Refuse;
+                # admin recover completes the swap (complete_swap action).
+                raise RuntimeError(
+                    f"interrupted log swap detected at {new_dir!r} (live "
+                    "events dir missing): run `admin recover` before "
+                    "compact/purge"
+                )
+            # live dir present: events.new can only be scratch from a
+            # rewrite that crashed BEFORE its swap (rewrites serialize
+            # under the write gate). The pre-r11 double-write cleared it
+            # via mode("overwrite") on new_dir itself; the single-write
+            # path stages under a subdir, so clear the scratch explicitly
+            # or its stale batch-* entries would swap in beside the fresh
+            # rebuild (resurrecting purged rows) or collide on rename.
+            shutil.rmtree(new_dir)
         # Floor first: a crash after this write leaves the floor equal to
         # the current high-water mark (harmless) and the generation bump
         # at worst forces one spurious replica reseed (safe, idempotent).
         self._bump_meta(seq_floor=self.last_sequence(), rewrite=True)
-        new_dir = self._events_dir + ".new"
         staging = os.path.join(new_dir, "_staging-rewrite")
         rebuilt.write.mode("overwrite").parquet(staging)
         row = (

@@ -663,3 +663,53 @@ def test_meta_generation_bumps_on_every_rewrite(spark, log):
     assert m1["generation"] == 1 and m2["generation"] == 2
     assert m1["rewrite_id"] != m2["rewrite_id"]
     assert m2["seq_floor"] >= 1
+
+def test_rewrite_clears_stale_new_dir_scratch(spark, log):
+    """A rewrite that crashed BEFORE its swap leaves events.new behind
+    with a materialized batch. The next rewrite must treat it as scratch
+    (admin recover's remove_rewrite_scratch invariant): the pre-r11
+    double-write cleared it via mode("overwrite") on new_dir; the r11
+    single-write stages under a subdir, so without an explicit clear the
+    stale batch would swap in beside the fresh rebuild — resurrecting
+    purged rows — or collide on the batch-<minseq> rename."""
+    import shutil as _sh
+    import os as _os
+
+    log.insert(
+        _rows(spark, [(1, "a", 10), (2, "b", 20)], "id int, name string, qty int")
+    )
+    # crash scene: a previous rewrite materialized events.new (holding
+    # the full pre-purge log, batch name identical to what the next
+    # rewrite will pick) and died before swapping
+    new_dir = log._events_dir + ".new"
+    first = sorted(_os.listdir(log._events_dir))[0]
+    _sh.copytree(
+        _os.path.join(log._events_dir, first), _os.path.join(new_dir, first)
+    )
+    log.purge(spark.createDataFrame([(1,)], "id int"))
+    # pk 1 stays purged: the stale scratch did not resurrect it
+    assert sorted(r["pk"] for r in log.state_at().collect()) == ["2"]
+    assert log.events().filter("pk = '1'").count() == 0
+    assert not _os.path.exists(new_dir)
+
+
+def test_rewrite_refuses_mid_swap_crash_scene(spark, log):
+    """If the crash landed BETWEEN the two swap renames (live dir gone,
+    events.new holds the only copy of the rebuilt log), a rewrite must
+    refuse and point at admin recover — rebuilding from the empty live
+    dir would silently discard the crashed rewrite's data."""
+    import os as _os
+
+    log.insert(_rows(spark, [(1, "a", 10)], "id int, name string, qty int"))
+    entries = log._log_entries()
+    rebuilt = log._read_entries(entries)
+    # crash scene: the previous swap renamed the live dir aside and died
+    # before renaming events.new into place
+    _os.rename(log._events_dir, log._events_dir + ".old-deadbeef")
+    _os.makedirs(log._events_dir + ".new")
+    try:
+        with pytest.raises(RuntimeError, match="admin recover"):
+            log._swap_events_dir(rebuilt, entries)
+    finally:
+        _os.rmdir(log._events_dir + ".new")
+        _os.rename(log._events_dir + ".old-deadbeef", log._events_dir)
