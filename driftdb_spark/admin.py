@@ -482,6 +482,19 @@ def recover(
                 act(name, "remove_torn_snapshot", snap)
                 if not dry_run:
                     shutil.rmtree(snap, ignore_errors=True)
+        # snapshot-purge scratch (_purge-<seq>-<token>): a purge that
+        # crashed mid-snapshot-rewrite strands its staging dir; hidden
+        # from _snapshot_seqs, pure dead disk. Same age gate as append
+        # staging — a purge still in flight keeps its scratch.
+        for st in glob.glob(os.path.join(log._snap_dir, "_purge-*")):
+            try:
+                age = now - os.path.getmtime(st)
+            except OSError:
+                continue
+            if age >= min_staging_age_sec:
+                act(name, "remove_purge_scratch", st, age_sec=round(age))
+                if not dry_run:
+                    shutil.rmtree(st, ignore_errors=True)
 
     # result-cache namespaces are in-process state (cache.py): a crashed
     # process strands its instance dir; the same age gate protects live

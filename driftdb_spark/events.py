@@ -749,10 +749,12 @@ class EventLog:
     def _snapshot_seqs(self) -> list[int]:
         if not os.path.exists(self._snap_dir):
             return []
+        # only pure-integer suffixes are snapshots; anything else under
+        # the dir (crash scratch, foreign files) must not brick the table
         return sorted(
-            int(d.split("=", 1)[1])
+            int(d[4:])
             for d in os.listdir(self._snap_dir)
-            if d.startswith("seq=")
+            if d.startswith("seq=") and d[4:].isdigit()
         )
 
     def _usable_snapshot(self, bound: int | None):
@@ -851,11 +853,22 @@ class EventLog:
             snap_path = os.path.join(self._snap_dir, f"seq={seq}")
             snap = self.spark.read.parquet(snap_path)
             cleaned = snap.join(F.broadcast(pk_list), "pk", "anti")
-            tmp_s = snap_path + ".purge"
+            # Single materialization into an underscore-hidden scratch dir
+            # OUTSIDE the ``seq=`` namespace (the old ``seq=N.purge`` /
+            # ``seq=N.new`` scratch names matched _snapshot_seqs()'s
+            # ``seq=`` prefix, so a crash mid-purge left an entry whose
+            # suffix fails int() — every later _snapshot_seqs() raised and
+            # the TABLE was bricked until manual cleanup; recover's torn-
+            # snapshot sweep never removed a completed-but-unswapped one
+            # because it carries _SUCCESS). The write executes the plan
+            # against the still-live snapshot; a crash in the rmtree→
+            # rename gap just loses the snapshot (state rebuilds from the
+            # log — compact folds history forward before dropping it) and
+            # recover reclaims the scratch.
+            tmp_s = os.path.join(
+                self._snap_dir, f"_purge-{seq}-{uuid.uuid4().hex[:8]}"
+            )
             cleaned.write.mode("overwrite").parquet(tmp_s)
-            final_s = self.spark.read.parquet(tmp_s)
-            final_s.write.mode("overwrite").parquet(snap_path + ".new")
             shutil.rmtree(snap_path)
-            os.rename(snap_path + ".new", snap_path)
-            shutil.rmtree(tmp_s)
+            os.rename(tmp_s, snap_path)
         return removed

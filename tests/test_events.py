@@ -713,3 +713,29 @@ def test_rewrite_refuses_mid_swap_crash_scene(spark, log):
     finally:
         _os.rmdir(log._events_dir + ".new")
         _os.rename(log._events_dir + ".old-deadbeef", log._events_dir)
+
+def test_stray_snapshot_dir_entries_do_not_brick(spark, log):
+    """Pre-r11.1 purge staged snapshot rewrites as ``seq=N.purge`` /
+    ``seq=N.new`` — INSIDE the ``seq=`` namespace — so a crash mid-purge
+    left an entry whose suffix fails int() and every later
+    _snapshot_seqs() raised: the table was bricked until manual cleanup
+    (recover never removed a completed-but-unswapped scratch because it
+    carries _SUCCESS). Scratch now lives outside the namespace AND the
+    parser skips non-integer suffixes."""
+    import os as _os
+
+    log.insert(_rows(spark, [(1, "a", 10)], "id int, name string, qty int"))
+    log.snapshot()
+    real = log._snapshot_seqs()
+    assert real == [1]
+    # legacy crash scratch + new-style scratch + foreign junk
+    _os.makedirs(_os.path.join(log._snap_dir, "seq=1.purge"))
+    _os.makedirs(_os.path.join(log._snap_dir, "seq=1.new"))
+    _os.makedirs(_os.path.join(log._snap_dir, "_purge-1-deadbeef"))
+    assert log._snapshot_seqs() == [1]  # not bricked, junk invisible
+    # the full purge path still runs over the real snapshot
+    assert log.purge(spark.createDataFrame([(1,)], "id int")) > 0
+    assert log._snapshot_seqs() == [1]
+    assert spark.read.parquet(
+        _os.path.join(log._snap_dir, "seq=1")
+    ).filter("pk = '1'").count() == 0
