@@ -2,7 +2,9 @@
 
 Hypothesis generates random programs mixing DML (insert/update/delete),
 log maintenance (snapshot/compact/purge — the operations that REWRITE
-storage and force generation reseeds), and replication steps
+storage and force generation reseeds), CRASH-INJECTED maintenance
+(kill the rewrite protocol at a random os.rename, run admin.recover,
+re-run — purge's documented post-crash contract), and replication steps
 (ship/apply, sometimes skipped so applies batch up). The invariant: once
 the program ends with a final ship+apply, the replica's visible state —
 and, for purge, its full event history — equals the primary's. This is
@@ -18,10 +20,14 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from driftdb_spark import admin
 from driftdb_spark.replication import Replica, ReplicationPrimary
 from driftdb_spark.sql_frontend import DriftSession
 
-# ops over a small pk domain so update/delete/purge actually hit rows
+# ops over a small pk domain so update/delete/purge actually hit rows;
+# the *_crash variants kill the rewrite protocol at the Nth os.rename,
+# run crash recovery, and RE-RUN the op (the documented convergence
+# contract) — replication must still converge afterwards
 _op = st.one_of(
     st.tuples(st.just("ins"), st.integers(1, 6), st.integers(0, 99)),
     st.tuples(st.just("upd"), st.integers(1, 6), st.integers(0, 99)),
@@ -29,9 +35,41 @@ _op = st.one_of(
     st.tuples(st.just("snapshot")),
     st.tuples(st.just("compact")),
     st.tuples(st.just("purge"), st.integers(1, 6)),
+    st.tuples(st.just("purge_crash"), st.integers(1, 6), st.integers(0, 4)),
+    st.tuples(st.just("compact_crash"), st.integers(0, 3)),
     st.tuples(st.just("ship_apply")),
     st.tuples(st.just("ship_only")),
 )
+
+
+class _InjectedCrash(Exception):
+    pass
+
+
+def _crashing(fn, crash_at: int, calls: dict):
+    def wrapper(src, dst, **kw):
+        if calls["n"] == crash_at:
+            raise _InjectedCrash(f"rename #{crash_at}")
+        calls["n"] += 1
+        return fn(src, dst, **kw)
+
+    return wrapper
+
+
+def _run_with_crash(sess, action, crash_at: int) -> None:
+    """Run ``action`` with os.rename killed at its crash_at-th call, then
+    recover and re-run it for real (purge's post-crash contract)."""
+    real = os.rename
+    calls = {"n": 0}
+    os.rename = _crashing(real, crash_at, calls)
+    try:
+        action()
+    except _InjectedCrash:
+        pass
+    finally:
+        os.rename = real
+    admin.recover(sess, min_staging_age_sec=0.0)
+    action()
 
 
 @pytest.mark.usefixtures("spark")
@@ -77,6 +115,13 @@ def test_replica_converges_to_primary(spark, tmp_path_factory, program):
         elif kind == "purge":
             log.purge(spark.createDataFrame([(op[1],)], "id int"))
             purged.add(op[1])
+        elif kind == "purge_crash":
+            _k, pk, crash_at = op
+            keys = spark.createDataFrame([(pk,)], "id int")
+            _run_with_crash(sess, lambda: log.purge(keys), crash_at)
+            purged.add(pk)
+        elif kind == "compact_crash":
+            _run_with_crash(sess, log.compact, op[1])
         elif kind == "ship_apply":
             primary.ship()
             replica.apply_pending()
