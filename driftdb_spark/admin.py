@@ -25,6 +25,7 @@ never a driver loop over rows.
 
 from __future__ import annotations
 
+import fcntl
 import glob
 import json
 import os
@@ -427,74 +428,86 @@ def recover(
 
     for name in names:
         log, _cols = sess._tables[name]
-        ev_dir = log._events_dir
-        new_dir = ev_dir + ".new"
-        rewrite = ev_dir + ".rewrite"
-        olds = sorted(glob.glob(ev_dir + ".old-*"))
+        lk = None
+        if not dry_run:
+            # a LIVE rewrite's events.new is indistinguishable from
+            # crashed-rewrite scratch by inspection; the rewrite flock
+            # makes the distinction (compact/purge hold it for their full
+            # protocol, so once acquired every leftover here is dead)
+            lk = open(os.path.join(log.path, ".rewrite.lock"), "w")
+            fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            ev_dir = log._events_dir
+            new_dir = ev_dir + ".new"
+            rewrite = ev_dir + ".rewrite"
+            olds = sorted(glob.glob(ev_dir + ".old-*"))
 
-        if not os.path.exists(ev_dir) and olds and os.path.exists(new_dir):
-            act(name, "complete_swap", new_dir)
-            if not dry_run:
-                os.rename(new_dir, ev_dir)
-        if os.path.exists(ev_dir):
-            for o in olds:
-                if not os.path.exists(o):
-                    continue
-                stranded = [
-                    e for e in sorted(os.listdir(o)) if e.startswith("batch-")
-                ]
-                if stranded:
-                    row = log.events().agg(
-                        F.max("sequence").alias("s")
-                    ).first()
-                    max_seq = int(row["s"] or 0)
-                    for e in stranded:
-                        start = int(e.split("-", 1)[1])
-                        if start > max_seq and not os.path.exists(
-                            os.path.join(ev_dir, e)
-                        ):
-                            act(name, "rescue_batch", os.path.join(o, e),
-                                start_sequence=start)
-                            if not dry_run:
-                                os.rename(
-                                    os.path.join(o, e),
-                                    os.path.join(ev_dir, e),
-                                )
-                act(name, "remove_old_dir", o)
+            if not os.path.exists(ev_dir) and olds and os.path.exists(new_dir):
+                act(name, "complete_swap", new_dir)
                 if not dry_run:
-                    shutil.rmtree(o, ignore_errors=True)
-            for scratch in (rewrite, new_dir):
-                if os.path.exists(scratch):
-                    act(name, "remove_rewrite_scratch", scratch)
+                    os.rename(new_dir, ev_dir)
+            if os.path.exists(ev_dir):
+                for o in olds:
+                    if not os.path.exists(o):
+                        continue
+                    stranded = [
+                        e for e in sorted(os.listdir(o)) if e.startswith("batch-")
+                    ]
+                    if stranded:
+                        row = log.events().agg(
+                            F.max("sequence").alias("s")
+                        ).first()
+                        max_seq = int(row["s"] or 0)
+                        for e in stranded:
+                            start = int(e.split("-", 1)[1])
+                            if start > max_seq and not os.path.exists(
+                                os.path.join(ev_dir, e)
+                            ):
+                                act(name, "rescue_batch", os.path.join(o, e),
+                                    start_sequence=start)
+                                if not dry_run:
+                                    os.rename(
+                                        os.path.join(o, e),
+                                        os.path.join(ev_dir, e),
+                                    )
+                    act(name, "remove_old_dir", o)
                     if not dry_run:
-                        shutil.rmtree(scratch, ignore_errors=True)
-        for st in glob.glob(os.path.join(ev_dir, "_staging-*")):
-            try:
-                age = now - os.path.getmtime(st)
-            except OSError:
-                continue
-            if age >= min_staging_age_sec:
-                act(name, "remove_stale_staging", st, age_sec=round(age))
-                if not dry_run:
-                    shutil.rmtree(st, ignore_errors=True)
-        for snap in glob.glob(os.path.join(log._snap_dir, "seq=*")):
-            if not os.path.exists(os.path.join(snap, "_SUCCESS")):
-                act(name, "remove_torn_snapshot", snap)
-                if not dry_run:
-                    shutil.rmtree(snap, ignore_errors=True)
-        # snapshot-purge scratch (_purge-<seq>-<token>): a purge that
-        # crashed mid-snapshot-rewrite strands its staging dir; hidden
-        # from _snapshot_seqs, pure dead disk. Same age gate as append
-        # staging — a purge still in flight keeps its scratch.
-        for st in glob.glob(os.path.join(log._snap_dir, "_purge-*")):
-            try:
-                age = now - os.path.getmtime(st)
-            except OSError:
-                continue
-            if age >= min_staging_age_sec:
-                act(name, "remove_purge_scratch", st, age_sec=round(age))
-                if not dry_run:
-                    shutil.rmtree(st, ignore_errors=True)
+                        shutil.rmtree(o, ignore_errors=True)
+                for scratch in (rewrite, new_dir):
+                    if os.path.exists(scratch):
+                        act(name, "remove_rewrite_scratch", scratch)
+                        if not dry_run:
+                            shutil.rmtree(scratch, ignore_errors=True)
+            for st in glob.glob(os.path.join(ev_dir, "_staging-*")):
+                try:
+                    age = now - os.path.getmtime(st)
+                except OSError:
+                    continue
+                if age >= min_staging_age_sec:
+                    act(name, "remove_stale_staging", st, age_sec=round(age))
+                    if not dry_run:
+                        shutil.rmtree(st, ignore_errors=True)
+            for snap in glob.glob(os.path.join(log._snap_dir, "seq=*")):
+                if not os.path.exists(os.path.join(snap, "_SUCCESS")):
+                    act(name, "remove_torn_snapshot", snap)
+                    if not dry_run:
+                        shutil.rmtree(snap, ignore_errors=True)
+            # snapshot-purge scratch (_purge-<seq>-<token>): a purge that
+            # crashed mid-snapshot-rewrite strands its staging dir; hidden
+            # from _snapshot_seqs, pure dead disk. Same age gate as append
+            # staging — a purge still in flight keeps its scratch.
+            for st in glob.glob(os.path.join(log._snap_dir, "_purge-*")):
+                try:
+                    age = now - os.path.getmtime(st)
+                except OSError:
+                    continue
+                if age >= min_staging_age_sec:
+                    act(name, "remove_purge_scratch", st, age_sec=round(age))
+                    if not dry_run:
+                        shutil.rmtree(st, ignore_errors=True)
+        finally:
+            if lk is not None:
+                lk.close()
 
     # result-cache namespaces are in-process state (cache.py): a crashed
     # process strands its instance dir; the same age gate protects live

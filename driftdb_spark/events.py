@@ -38,6 +38,7 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+import contextlib
 import errno
 import fcntl
 import json
@@ -237,6 +238,24 @@ class EventLog:
             with open(tmp, "w") as fh:
                 json.dump(meta, fh, sort_keys=True)
             os.replace(tmp, self._meta_path())
+
+    @contextlib.contextmanager
+    def _rewrite_lock(self):
+        """Serialize log rewrites (compact/purge) CROSS-PROCESS. The
+        in-process write gate (the session/server exec_lock) doesn't
+        cover a CLI ``compact`` racing a server ``purge``: both would
+        stage under the same ``events.new`` and each treats the other's
+        in-flight staging as crashed-rewrite scratch. Held from entry
+        pinning through the swap (and purge's snapshot sweep), so the
+        second rewrite starts against the first's completed state.
+        Appends don't take it — they already have single-winner rename
+        semantics against a concurrent swap. Same flock discipline as
+        ``_bump_meta``; on a real cluster this is the table's commit
+        protocol (a Delta log transaction), not a local file lock."""
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, ".rewrite.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            yield
 
     # -- storage ------------------------------------------------------------
 
@@ -781,27 +800,30 @@ class EventLog:
         empty. Concurrent appends are preserved by the pinned-entries +
         rescue-sweep swap (``_swap_events_dir``)."""
         self._check_writable("compact")
-        entries = self._log_entries()
-        if not entries:
-            # empty log (CREATE TABLE, no writes yet — fuzz-found): there
-            # is nothing to rewrite and no events dir to swap
-            return
-        seq = self._snapshot_of(entries)
-        snap = self.spark.read.parquet(os.path.join(self._snap_dir, f"seq={seq}"))
-        tail = self._read_entries(entries).filter(F.col("sequence") > seq)
-        last_ts = (
-            F.col("last_ts")
-            if "last_ts" in snap.columns
-            else F.lit(None).cast("timestamp")
-        )
-        rebuilt = snap.select(
-            F.col("last_seq").alias("sequence"),
-            last_ts.alias("ts"),
-            F.lit(INSERT).alias("event_type"),
-            "pk",
-            F.col("row").alias("payload"),
-        ).unionByName(tail)
-        self._swap_events_dir(rebuilt, entries)
+        with self._rewrite_lock():
+            entries = self._log_entries()
+            if not entries:
+                # empty log (CREATE TABLE, no writes yet — fuzz-found):
+                # there is nothing to rewrite and no events dir to swap
+                return
+            seq = self._snapshot_of(entries)
+            snap = self.spark.read.parquet(
+                os.path.join(self._snap_dir, f"seq={seq}")
+            )
+            tail = self._read_entries(entries).filter(F.col("sequence") > seq)
+            last_ts = (
+                F.col("last_ts")
+                if "last_ts" in snap.columns
+                else F.lit(None).cast("timestamp")
+            )
+            rebuilt = snap.select(
+                F.col("last_seq").alias("sequence"),
+                last_ts.alias("ts"),
+                F.lit(INSERT).alias("event_type"),
+                "pk",
+                F.col("row").alias("payload"),
+            ).unionByName(tail)
+            self._swap_events_dir(rebuilt, entries)
 
     def purge(self, keys: DataFrame) -> int:
         """Hard-delete ("right to be forgotten"): physically rewrite the log
@@ -841,6 +863,10 @@ class EventLog:
         pk_list = keys.select(
             F.col(keys.columns[0]).cast("string").alias("pk")
         ).distinct()
+        with self._rewrite_lock():
+            return self._purge_locked(pk_list)
+
+    def _purge_locked(self, pk_list: DataFrame) -> int:
         entries = self._log_entries()
         if not entries and not self._snapshot_seqs():
             return 0  # empty log: nothing to purge, no dir to swap

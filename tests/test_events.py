@@ -739,3 +739,33 @@ def test_stray_snapshot_dir_entries_do_not_brick(spark, log):
     assert spark.read.parquet(
         _os.path.join(log._snap_dir, "seq=1")
     ).filter("pk = '1'").count() == 0
+
+def test_rewrite_lock_serializes_cross_process_rewrites(spark, log):
+    """compact/purge hold a cross-process flock for the whole rewrite
+    (entry pinning → swap → purge's snapshot sweep): the in-process
+    write gate does not cover a CLI compact racing a server purge, and
+    two concurrent rewrites would share events.new — each treating the
+    other's in-flight staging as crashed-rewrite scratch."""
+    import fcntl as _fcntl
+    import os as _os
+    import threading as _th
+    import time as _time
+
+    log.insert(_rows(spark, [(1, "a", 10)], "id int, name string, qty int"))
+    lk = open(_os.path.join(log.path, ".rewrite.lock"), "w")
+    _fcntl.flock(lk, _fcntl.LOCK_EX)  # simulate a rival process mid-rewrite
+    done = _th.Event()
+
+    def run_compact():
+        log.compact()
+        done.set()
+
+    t = _th.Thread(target=run_compact, daemon=True)
+    t.start()
+    assert not done.wait(1.0)  # blocked behind the rival's lock
+    _fcntl.flock(lk, _fcntl.LOCK_UN)
+    lk.close()
+    assert done.wait(30.0)  # proceeds once the rival finishes
+    t.join()
+    assert log.state_at().count() == 1
+    assert log.read_meta()["generation"] == 1
