@@ -105,45 +105,19 @@ class BackupManager:
             "checksums": {},
         }
         for name, (log, _cols) in sorted(self._session._tables.items()):
-            entries = log._log_entries()  # pinned published set
-            snaps = [f"seq={s}" for s in log._snapshot_seqs()]
-            cur_meta = log.read_meta()
-            already = chain_entries.get(name, set())
-            pmeta = parent_meta.get(name)
-            if parent and (
-                pmeta is None  # pre-meta parent backup: can't prove no rewrite
-                or (int(pmeta.get("generation", 0)), pmeta.get("rewrite_id", ""))
-                != (int(cur_meta.get("generation", 0)), cur_meta.get("rewrite_id", ""))
-            ):
-                already = set()  # rewrite since parent: re-copy wholesale
-            copied_entries = [e for e in entries if ("events", e) not in already]
-            copied_snaps = [s for s in snaps if ("snapshots", s) not in already]
-            for e in copied_entries:
-                _copy_entry(
-                    os.path.join(log._events_dir, e),
-                    os.path.join(dest, name, "events", e),
-                    manifest["checksums"],
-                    os.path.join(name, "events", e),
-                )
-            for s in copied_snaps:
-                _copy_entry(
-                    os.path.join(log._snap_dir, s),
-                    os.path.join(dest, name, "snapshots", s),
-                    manifest["checksums"],
-                    os.path.join(name, "snapshots", s),
-                )
-            manifest["tables"][name] = {
-                "pk": log.pk_col,
-                "entries_live": entries,
-                "snapshots_live": snaps,
-                "entries_copied": copied_entries,
-                "snapshots_copied": copied_snaps,
-                "last_sequence": log.last_sequence(),
-                # the persisted sequence floor / rewrite generation must
-                # survive a restore: without it, a restored post-purge
-                # store could hand out already-retired sequences
-                "meta": cur_meta,
-            }
+            # The per-table rewrite lock pins (entries, snapshots, meta,
+            # bytes) as ONE consistent cut. Lock-free, two races corrupt
+            # silently or crash: (a) a compact completing between the
+            # entry pin and the meta read records the NEW generation over
+            # OLD entry names/bytes — a child incremental then sees
+            # generation-equal, trusts the name chain, skips the aliased
+            # batch-<minseq> whose content changed, and restore serves
+            # stale bytes; (b) a rewrite swapping the dir mid-copy makes
+            # _copy_entry ENOENT. Appends stay concurrent (new batches
+            # simply land after the pin, caught by the next incremental).
+            with log._rewrite_lock():
+                self._backup_table(name, log, dest, parent, chain_entries,
+                                   parent_meta, manifest)
         cat = self._session._catalog_path()
         if os.path.exists(cat):
             _copy_entry(
@@ -152,6 +126,49 @@ class BackupManager:
         with open(os.path.join(dest, MANIFEST), "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         return manifest
+
+    def _backup_table(
+        self, name, log, dest, parent, chain_entries, parent_meta, manifest
+    ) -> None:
+        entries = log._log_entries()  # pinned published set
+        snaps = [f"seq={s}" for s in log._snapshot_seqs()]
+        cur_meta = log.read_meta()
+        already = chain_entries.get(name, set())
+        pmeta = parent_meta.get(name)
+        if parent and (
+            pmeta is None  # pre-meta parent backup: can't prove no rewrite
+            or (int(pmeta.get("generation", 0)), pmeta.get("rewrite_id", ""))
+            != (int(cur_meta.get("generation", 0)), cur_meta.get("rewrite_id", ""))
+        ):
+            already = set()  # rewrite since parent: re-copy wholesale
+        copied_entries = [e for e in entries if ("events", e) not in already]
+        copied_snaps = [s for s in snaps if ("snapshots", s) not in already]
+        for e in copied_entries:
+            _copy_entry(
+                os.path.join(log._events_dir, e),
+                os.path.join(dest, name, "events", e),
+                manifest["checksums"],
+                os.path.join(name, "events", e),
+            )
+        for s in copied_snaps:
+            _copy_entry(
+                os.path.join(log._snap_dir, s),
+                os.path.join(dest, name, "snapshots", s),
+                manifest["checksums"],
+                os.path.join(name, "snapshots", s),
+            )
+        manifest["tables"][name] = {
+            "pk": log.pk_col,
+            "entries_live": entries,
+            "snapshots_live": snaps,
+            "entries_copied": copied_entries,
+            "snapshots_copied": copied_snaps,
+            "last_sequence": log.last_sequence(),
+            # the persisted sequence floor / rewrite generation must
+            # survive a restore: without it, a restored post-purge
+            # store could hand out already-retired sequences
+            "meta": cur_meta,
+        }
 
     # -- chain walking --------------------------------------------------------
 

@@ -178,3 +178,35 @@ def test_incremental_reseeds_after_rewrite_reuses_entry_name(sess, spark, tmp_pa
     r = DriftSession(spark, target)
     assert _rows(r) == {(1, "bolt", 5), (3, "gear", 2)}
     assert r.table("products").events().filter("pk = '2'").count() == 0
+
+
+def test_backup_waits_out_a_live_rewrite(sess, tmp_path):
+    """Each table's backup cut (entries + snapshots + meta + bytes) is
+    taken under the rewrite lock: lock-free, a compact completing
+    between the entry pin and the meta read records the NEW generation
+    over OLD entry names/bytes — a child incremental then trusts the
+    name chain and skips an aliased batch whose content changed, and
+    restore serves stale bytes (a rewrite mid-copy also ENOENTs)."""
+    import fcntl
+    import threading
+
+    log, _cols = sess._tables["products"]
+    lk = open(os.path.join(log.path, ".rewrite.lock"), "w")
+    fcntl.flock(lk, fcntl.LOCK_EX)  # a rival rewrite holds the table
+    mgr = BackupManager(sess)
+    done = threading.Event()
+    result: dict = {}
+
+    def run_backup():
+        result["manifest"] = mgr.create_full_backup(str(tmp_path / "bk"))
+        done.set()
+
+    t = threading.Thread(target=run_backup, daemon=True)
+    t.start()
+    assert not done.wait(1.0)  # blocked behind the rewrite
+    fcntl.flock(lk, fcntl.LOCK_UN)
+    lk.close()
+    assert done.wait(30.0)
+    t.join()
+    m = result["manifest"]["tables"]["products"]
+    assert m["entries_copied"] and m["meta"]["generation"] == 0
