@@ -293,65 +293,72 @@ class ReplicationPrimary:
         shipped: dict[str, int] = {}
         hb_tables: dict[str, dict] = {}
         for name, (log, _cols) in sorted(self.session._tables.items()):
-            entries = log._log_entries()  # pinned published set
-            snaps = [f"seq={s}" for s in log._snapshot_seqs()]
-            meta = log.read_meta()
-            log_gen = (int(meta.get("generation", 0)), meta.get("rewrite_id", ""))
-            prev = manifest["tables"].get(
-                name, {"generation": 0, "entries": [], "snapshots": []}
-            )
-            gen = int(prev["generation"])
-            prev_log_gen = (
-                int(prev.get("log_generation", 0)),
-                prev.get("rewrite_id", ""),
-            )
-            # A rewrite (compact/purge) is detected by the log's PERSISTED
-            # generation (events.py meta), not only by diffing entry-name
-            # sets: a purge-to-empty used to reset the sequence clock, so
-            # the next append could REUSE a shipped batch name with
-            # different content and the name-set diff saw nothing — the
-            # replica silently kept the old rows (fuzz-found, r10). The
-            # name-set diff stays as a fallback for meta-less legacy logs.
-            rewritten = (
-                bool(set(prev["entries"]) - set(entries))
-                or log_gen != prev_log_gen
-            )
-            if gen == 0 or rewritten:
-                gen += 1  # fresh table or a compact/purge rewrite: reseed
-                prev_shipped_e: set[str] = set()
-                prev_shipped_s: set[str] = set()
-            else:
-                prev_shipped_e = set(prev["entries"])
-                prev_shipped_s = set(prev["snapshots"])
-            gen_dir = os.path.join(self.ship_dir, name, f"gen-{gen:06d}")
-            n = 0
-            for e in entries:
-                if e not in prev_shipped_e:
-                    _atomic_copy(
-                        os.path.join(log._events_dir, e),
-                        os.path.join(gen_dir, "events", e),
-                    )
-                    n += 1
-            for s in snaps:
-                if s not in prev_shipped_s:
-                    _atomic_copy(
-                        os.path.join(log._snap_dir, s),
-                        os.path.join(gen_dir, "snapshots", s),
-                    )
-            manifest["tables"][name] = {
-                "generation": gen,
-                "entries": entries,
-                "snapshots": snaps,
-                "pk": log.pk_col,
-                # shipped so replicas persist the same sequence floor /
-                # rewrite generation locally: a PROMOTED replica must not
-                # restart the clock below the primary's high-water mark
-                "log_generation": log_gen[0],
-                "rewrite_id": log_gen[1],
-                "seq_floor": int(meta.get("seq_floor", 0)),
-            }
-            hb_tables[name] = {"last_sequence": log.last_sequence()}
-            shipped[name] = n
+            # The per-table cut (entries, snapshots, meta, last_sequence,
+            # bytes) is taken under the table's rewrite lock: lock-free, a
+            # compact/purge swapping the log mid-copy ENOENTs the entry
+            # copy, and a torn (old entries, new meta) cut forces a
+            # spurious reseed crash-retry cycle. Appends stay concurrent —
+            # a batch landing after the pin ships next round.
+            with log._rewrite_lock():
+                entries = log._log_entries()  # pinned published set
+                snaps = [f"seq={s}" for s in log._snapshot_seqs()]
+                meta = log.read_meta()
+                log_gen = (int(meta.get("generation", 0)), meta.get("rewrite_id", ""))
+                prev = manifest["tables"].get(
+                    name, {"generation": 0, "entries": [], "snapshots": []}
+                )
+                gen = int(prev["generation"])
+                prev_log_gen = (
+                    int(prev.get("log_generation", 0)),
+                    prev.get("rewrite_id", ""),
+                )
+                # A rewrite (compact/purge) is detected by the log's PERSISTED
+                # generation (events.py meta), not only by diffing entry-name
+                # sets: a purge-to-empty used to reset the sequence clock, so
+                # the next append could REUSE a shipped batch name with
+                # different content and the name-set diff saw nothing — the
+                # replica silently kept the old rows (fuzz-found, r10). The
+                # name-set diff stays as a fallback for meta-less legacy logs.
+                rewritten = (
+                    bool(set(prev["entries"]) - set(entries))
+                    or log_gen != prev_log_gen
+                )
+                if gen == 0 or rewritten:
+                    gen += 1  # fresh table or a compact/purge rewrite: reseed
+                    prev_shipped_e: set[str] = set()
+                    prev_shipped_s: set[str] = set()
+                else:
+                    prev_shipped_e = set(prev["entries"])
+                    prev_shipped_s = set(prev["snapshots"])
+                gen_dir = os.path.join(self.ship_dir, name, f"gen-{gen:06d}")
+                n = 0
+                for e in entries:
+                    if e not in prev_shipped_e:
+                        _atomic_copy(
+                            os.path.join(log._events_dir, e),
+                            os.path.join(gen_dir, "events", e),
+                        )
+                        n += 1
+                for s in snaps:
+                    if s not in prev_shipped_s:
+                        _atomic_copy(
+                            os.path.join(log._snap_dir, s),
+                            os.path.join(gen_dir, "snapshots", s),
+                        )
+                manifest["tables"][name] = {
+                    "generation": gen,
+                    "entries": entries,
+                    "snapshots": snaps,
+                    "pk": log.pk_col,
+                    # shipped so replicas persist the same sequence floor /
+                    # rewrite generation locally: a PROMOTED replica must not
+                    # restart the clock below the primary's high-water mark
+                    "log_generation": log_gen[0],
+                    "rewrite_id": log_gen[1],
+                    "seq_floor": int(meta.get("seq_floor", 0)),
+                }
+                hb_tables[name] = {"last_sequence": log.last_sequence()}
+                shipped[name] = n
             # keep current + previous generation only: in-flight applies of
             # gen G-1 survive, older generations sweep (views.py pattern).
             # A table with no published entries yet (CREATE TABLE, no
