@@ -392,7 +392,18 @@ class IncrementalViewRegistry:
             pass
 
     def refresh(self, name: str) -> int:
-        """Incremental refresh; returns the number of groups recomputed."""
+        """Incremental refresh; returns the number of groups recomputed.
+
+        Runs under the base log's rewrite lock: the rewrite-token read
+        and the (lazy) event/state reads must come from ONE generation —
+        a compact/purge landing between them would slip under the old
+        token, keep purged contributions through this refresh, and only
+        heal on the next one. Locked, "an IMV fully recomputes on its
+        first refresh after a rewrite" is airtight."""
+        with self._logs[name]._rewrite_lock():
+            return self._refresh_locked(name)
+
+    def _refresh_locked(self, name: str) -> int:
         from functools import reduce
 
         from pyspark.sql import functions as F
