@@ -113,10 +113,14 @@ def main() -> None:
             shutil.rmtree(new, ignore_errors=True)
 
     # context: the shipped purge() end-to-end (anti-join + write-once +
-    # swap + meta bump + before/after counts)
+    # swap + meta bump + before/after counts + the snapshot sweep, which
+    # since r11 also materializes ONCE into hidden scratch outside the
+    # seq= namespace instead of the legacy tmp -> re-read -> .new double)
+    log.snapshot()
     t0 = time.perf_counter()
     removed = log.purge(purge_keys)
     purge_sec = time.perf_counter() - t0
+    snapshots_rewritten = len(log._snapshot_seqs())
 
     w_once = statistics.median(once)
     w_twice = statistics.median(twice)
@@ -134,6 +138,7 @@ def main() -> None:
                 "twice_runs": [round(x, 3) for x in twice],
                 "purge_end_to_end_sec": round(purge_sec, 3),
                 "purge_removed": removed,
+                "snapshots_rewritten": snapshots_rewritten,
                 "unit": "sec",
             }
         )
