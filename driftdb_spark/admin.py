@@ -68,11 +68,17 @@ def _table_dirs(log) -> dict:
     staging = glob.glob(os.path.join(events_dir, "_staging-*"))
     swap_leftovers = glob.glob(events_dir + ".old-*")
     snaps = log._snapshot_seqs()
+    # the persisted sequence meta is the operator's first question after
+    # an incident ("did the clock move? did a rewrite happen?") — surface
+    # it in the cheap scrape (one local JSON read, no Spark job)
+    meta = log.read_meta()
     return {
         "batch_dirs": len(batches),
         "staging_orphans": len(staging),
         "swap_leftovers": len(swap_leftovers),
         "snapshots": snaps,
+        "seq_floor": int(meta.get("seq_floor", 0)),
+        "rewrite_generation": int(meta.get("generation", 0)),
     }
 
 

@@ -37,6 +37,9 @@ def test_admin_status_and_counts(spark, tmp_path):
     t = st["tables"]["items"]
     assert t["pk"] == "iid" and t["columns"] == 3
     assert t["batch_dirs"] == 2 and t["staging_orphans"] == 0
+    # persisted sequence meta is in the cheap scrape (one JSON read):
+    # 3 inserts + 1 update advanced the floor to 4, no rewrite has run
+    assert t["seq_floor"] == 4 and t["rewrite_generation"] == 0
     assert "events" not in t  # cheap scrape runs no jobs
     st = admin.status(sess, counts=True)
     t = st["tables"]["items"]
