@@ -25,7 +25,6 @@ never a driver loop over rows.
 
 from __future__ import annotations
 
-import fcntl
 import glob
 import json
 import os
@@ -434,15 +433,17 @@ def recover(
 
     for name in names:
         log, _cols = sess._tables[name]
-        lk = None
-        if not dry_run:
-            # a LIVE rewrite's events.new is indistinguishable from
-            # crashed-rewrite scratch by inspection; the rewrite flock
-            # makes the distinction (compact/purge hold it for their full
-            # protocol, so once acquired every leftover here is dead)
-            lk = open(os.path.join(log.path, ".rewrite.lock"), "w")
-            fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
+        # a LIVE rewrite's events.new is indistinguishable from
+        # crashed-rewrite scratch by inspection; the rewrite flock makes
+        # the distinction (compact/purge hold it for their full protocol,
+        # so once acquired every leftover here is dead). Held for dry_run
+        # too — it is read-only and brief, and without it the dry-run plan
+        # could report a LIVE rewrite's staging as removable scratch, a
+        # plan the locked real run would never execute. _rewrite_lock also
+        # creates the table directory, so a never-written table (CREATE
+        # TABLE persists only catalog JSON) recovers as a no-op instead of
+        # aborting the repair of every table with FileNotFoundError.
+        with log._rewrite_lock():
             ev_dir = log._events_dir
             new_dir = ev_dir + ".new"
             rewrite = ev_dir + ".rewrite"
@@ -511,9 +512,6 @@ def recover(
                     act(name, "remove_purge_scratch", st, age_sec=round(age))
                     if not dry_run:
                         shutil.rmtree(st, ignore_errors=True)
-        finally:
-            if lk is not None:
-                lk.close()
 
     # result-cache namespaces are in-process state (cache.py): a crashed
     # process strands its instance dir; the same age gate protects live

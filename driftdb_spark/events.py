@@ -251,10 +251,29 @@ class EventLog:
         Appends don't take it — they already have single-winner rename
         semantics against a concurrent swap. Same flock discipline as
         ``_bump_meta``; on a real cluster this is the table's commit
-        protocol (a Delta log transaction), not a local file lock."""
+        protocol (a Delta log transaction), not a local file lock.
+
+        EXPECTED BLOCKING (operator-facing): holders include backup's
+        per-table byte copy and IMV refresh's Spark recompute, so a
+        purge/compact/ship/recover arriving mid-backup waits for the full
+        copy — correctness over availability (a torn cut silently
+        corrupts incrementals/replicas). Acquisition tries LOCK_NB first
+        and logs one warning before blocking, so a "hung purge" is
+        diagnosable from the log rather than a mystery."""
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, ".rewrite.lock"), "w") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                fcntl.flock(lk, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                import logging
+
+                logging.getLogger("driftdb_spark.events").warning(
+                    "waiting for rewrite lock on %s (held by a concurrent "
+                    "compact/purge/backup/ship/refresh/recover; blocking "
+                    "until it completes)",
+                    self.path,
+                )
+                fcntl.flock(lk, fcntl.LOCK_EX)
             yield
 
     # -- storage ------------------------------------------------------------
@@ -667,12 +686,20 @@ class EventLog:
         ``state_at()``) closes a race: a batch appended between the
         sequence read and the state write would otherwise leak events newer
         than the snapshot's labeled sequence into the snapshot, making
-        ``AS OF`` through that snapshot serve future state."""
+        ``AS OF`` through that snapshot serve future state.
+
+        Held under the rewrite flock: a cross-process snapshot racing a
+        purge could otherwise pin pre-purge entries and materialize
+        PURGED rows into a ``seq=`` snapshot written after the purge's
+        snapshot sweep (or hit ENOENT mid-read) — the same compliance
+        hole the lock closes for backup/ship/IMV refresh. compact's
+        internal ``_snapshot_of`` is already inside the lock."""
         self._check_writable("snapshot")
-        entries = self._log_entries()
-        if not entries and not self._snapshot_seqs():
-            return 0  # nothing has ever been published (fuzz-found)
-        return self._snapshot_of(entries)
+        with self._rewrite_lock():
+            entries = self._log_entries()
+            if not entries and not self._snapshot_seqs():
+                return 0  # nothing has ever been published (fuzz-found)
+            return self._snapshot_of(entries)
 
     def _snapshot_of(self, entries: list[str]) -> int:
         ev = self._read_entries(entries)

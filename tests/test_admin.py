@@ -418,3 +418,57 @@ def test_purge_crash_injection_every_rename_step(spark, tmp_path, monkeypatch):
     snapshot scratch swap, plus one index past the end = no crash)."""
     for crash_at in range(5):
         _chaos_purge(spark, tmp_path, monkeypatch, crash_at)
+
+
+def test_recover_never_written_table(spark, tmp_path):
+    """CREATE TABLE persists only catalog JSON — no table directory
+    exists until the first write. recover() must treat such a table as a
+    no-op (the rewrite lock creates the dir), not abort the repair of
+    EVERY table with FileNotFoundError (advisor-found regression)."""
+    data = str(tmp_path / "recempty")
+    sess = DriftSession(spark, data)
+    sess.sql("CREATE TABLE ghost (gid INT PRIMARY KEY, v STRING)")
+    log = sess.table("ghost")
+    assert not os.path.exists(os.path.join(log.path, "events"))
+    rep = admin.recover(sess)  # non-dry-run: used to raise
+    assert rep["actions_total"] == 0
+    rep = admin.recover(sess, dry_run=True)
+    assert rep["dry_run"] and rep["actions_total"] == 0
+    # and a mixed catalog (one real table, one ghost) repairs the real one
+    sess.sql("CREATE TABLE real (rid INT PRIMARY KEY, v STRING)")
+    sess.sql("INSERT INTO real VALUES (1, 'x')")
+    rlog = sess.table("real")
+    os.makedirs(os.path.join(rlog._events_dir, "_staging-dead"))
+    rep = admin.recover(sess, min_staging_age_sec=0.0)
+    acts = [a["action"] for a in rep["tables"].get("real", [])]
+    assert "remove_stale_staging" in acts
+
+
+def test_recover_dry_run_blocks_on_live_rewrite(spark, tmp_path):
+    """dry_run recover takes the rewrite flock too: lock-free it could
+    report a LIVE rewrite's events.new as remove_rewrite_scratch — a plan
+    the locked real run would never execute (advisor-found)."""
+    import threading
+    import time
+
+    _data, sess = _mkdb(spark, tmp_path, "recdry")
+    log = sess.table("items")
+    done = threading.Event()
+    result: dict = {}
+
+    def run_dry():
+        result["rep"] = admin.recover(sess, dry_run=True)
+        done.set()
+
+    with log._rewrite_lock():
+        # simulate a live rewrite's staging while the lock is held
+        os.makedirs(log._events_dir + ".new", exist_ok=True)
+        t = threading.Thread(target=run_dry, daemon=True)
+        t.start()
+        assert not done.wait(1.0), "dry_run recover ran during a live rewrite"
+        # rewrite 'completes': staging cleaned up, lock released
+        shutil.rmtree(log._events_dir + ".new")
+    t.join(timeout=30)
+    assert done.is_set()
+    # post-rewrite plan sees no scratch at all
+    assert result["rep"]["actions_total"] == 0

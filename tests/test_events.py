@@ -769,3 +769,37 @@ def test_rewrite_lock_serializes_cross_process_rewrites(spark, log):
     t.join()
     assert log.state_at().count() == 1
     assert log.read_meta()["generation"] == 1
+
+
+def test_snapshot_blocks_behind_live_rewrite(spark, log, caplog):
+    """snapshot() takes the rewrite flock: lock-free, a cross-process
+    snapshot racing a purge could pin pre-purge entries and materialize
+    PURGED rows into a seq= snapshot written AFTER the purge's snapshot
+    sweep — the compliance hole the lock closes for backup/ship/refresh
+    (advisor-found). Also pins the slow-acquisition diagnostic."""
+    import fcntl as _fcntl
+    import logging as _logging
+    import os as _os
+    import threading as _th
+
+    log.insert(_rows(spark, [(1, "a", 10), (2, "b", 20)],
+                     "id int, name string, qty int"))
+    lk = open(_os.path.join(log.path, ".rewrite.lock"), "w")
+    _fcntl.flock(lk, _fcntl.LOCK_EX)  # rival process mid-purge
+    done = _th.Event()
+    seqs: list[int] = []
+
+    def run_snapshot():
+        seqs.append(log.snapshot())
+        done.set()
+
+    with caplog.at_level(_logging.WARNING, logger="driftdb_spark.events"):
+        t = _th.Thread(target=run_snapshot, daemon=True)
+        t.start()
+        assert not done.wait(1.0)  # blocked behind the rival's lock
+        _fcntl.flock(lk, _fcntl.LOCK_UN)
+        lk.close()
+        assert done.wait(30.0)
+        t.join()
+    assert seqs == [2]
+    assert any("waiting for rewrite lock" in r.message for r in caplog.records)
