@@ -150,6 +150,48 @@ def fold_events(ev: DataFrame) -> DataFrame:
     )
 
 
+class JsonFileMetaStore:
+    """Default persisted-meta backend: one flock'd JSON file per table.
+
+    Advances under a read-modify-write (two publishers racing a plain
+    replace could persist the smaller floor); ``seq_floor`` only ever
+    rises; a rewrite bumps the generation and stamps a fresh rewrite_id.
+    Atomic tmp+rename so a reader never sees a torn file. On a real
+    cluster this per-table counter lives in the commit protocol (Delta
+    log version) instead of a local file — SCALE.md §6; the executable
+    proof of that mapping is ``commitlog.CommitLogMetaStore``, which
+    implements this same two-method interface."""
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.table_path, "meta.json")
+
+    def read(self) -> dict:
+        try:
+            with open(self._meta_path()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return {"seq_floor": 0, "generation": 0, "rewrite_id": ""}
+
+    def bump(self, seq_floor: int, rewrite: bool = False) -> dict:
+        os.makedirs(self.table_path, exist_ok=True)
+        lock_path = os.path.join(self.table_path, ".meta.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            meta = self.read()
+            meta["seq_floor"] = max(int(meta.get("seq_floor", 0)), int(seq_floor))
+            if rewrite:
+                meta["generation"] = int(meta.get("generation", 0)) + 1
+                meta["rewrite_id"] = uuid.uuid4().hex[:12]
+            tmp = self._meta_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh, sort_keys=True)
+            os.replace(tmp, self._meta_path())
+            return meta
+
+
 class EventLog:
     """Append-only event log for one logical table."""
 
@@ -160,6 +202,7 @@ class EventLog:
         pk_col: str = "id",
         validate_fn=None,
         post_commit_fn=None,
+        meta_store=None,
     ):
         """``validate_fn(batch: DataFrame, event_type: str) -> DataFrame``
         is the BEFORE-trigger analog (reference triggers.rs:30-145): it may
@@ -182,6 +225,8 @@ class EventLog:
         self.post_commit_fn = post_commit_fn
         self._events_dir = os.path.join(path, "events")
         self._snap_dir = os.path.join(path, "snapshots")
+        # pluggable sequence-clock/rewrite-generation backend (SCALE.md §6)
+        self.meta_store = meta_store or JsonFileMetaStore(path)
         # Replica logs are read-only: every mutation path (append, txn
         # publish, snapshot, compact, purge) refuses with SQLSTATE 25006.
         # Set by replication.Replica; cleared by promote().
@@ -210,34 +255,16 @@ class EventLog:
         ``AS OF @SEQ:N`` identities at new rows). ``generation`` counts
         log rewrites (compact/purge) and ``rewrite_id`` is a fresh token
         per rewrite, so replication's ship() detects rewrites explicitly
-        instead of inferring them from entry-name sets."""
-        try:
-            with open(self._meta_path()) as fh:
-                return json.load(fh)
-        except (FileNotFoundError, ValueError):
-            return {"seq_floor": 0, "generation": 0, "rewrite_id": ""}
+        instead of inferring them from entry-name sets.
+
+        Delegates to the pluggable ``meta_store`` — the default is the
+        flock'd JSON file; :class:`driftdb_spark.commitlog.
+        CommitLogMetaStore` is the Delta-commit-protocol shape proving
+        the SCALE.md §6 collapse claim executable."""
+        return self.meta_store.read()
 
     def _bump_meta(self, seq_floor: int, rewrite: bool = False) -> None:
-        """Advance the persisted meta under an flock'd read-modify-write
-        (two publishers racing a plain replace could persist the smaller
-        floor). ``seq_floor`` only ever rises; a rewrite bumps the
-        generation and stamps a fresh rewrite_id. Atomic tmp+rename so a
-        reader never sees a torn file. On a real cluster this per-table
-        counter lives in the commit protocol (Delta log version) instead
-        of a local file — documented in SCALE.md."""
-        os.makedirs(self.path, exist_ok=True)
-        lock_path = os.path.join(self.path, ".meta.lock")
-        with open(lock_path, "w") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
-            meta = self.read_meta()
-            meta["seq_floor"] = max(int(meta.get("seq_floor", 0)), int(seq_floor))
-            if rewrite:
-                meta["generation"] = int(meta.get("generation", 0)) + 1
-                meta["rewrite_id"] = uuid.uuid4().hex[:12]
-            tmp = self._meta_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                json.dump(meta, fh, sort_keys=True)
-            os.replace(tmp, self._meta_path())
+        self.meta_store.bump(seq_floor=seq_floor, rewrite=rewrite)
 
     @contextlib.contextmanager
     def _rewrite_lock(self):
