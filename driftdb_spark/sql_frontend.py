@@ -1241,7 +1241,9 @@ class DriftSession:
             # PostgreSQL convention, reference sql_bridge.rs:279-289:
             # VACUUM <table> → COMPACT.
             if self._active_txn is not None:
-                raise RuntimeError("VACUUM cannot run inside a transaction block")
+                err = RuntimeError("VACUUM cannot run inside a transaction block")
+                err.sqlstate = "25001"  # active_sql_transaction
+                raise err
             log = self._tables[m.group(1)][0]
             log.compact()
             return log.last_sequence()
@@ -2150,10 +2152,15 @@ class DriftSession:
             # munging); an attached audit trail is scrubbed in the same
             # statement. Returns the number of events removed.
             if self._active_txn is not None:
-                raise ValueError(
+                # SQLSTATE 25001 active_sql_transaction — PostgreSQL's
+                # code for VACUUM-style statements inside a txn block;
+                # carried over the wire so clients see the real class
+                err = ValueError(
                     "PURGE is a log-rewriting maintenance statement and "
                     "cannot run inside a transaction"
                 )
+                err.sqlstate = "25001"
+                raise err
             log = self._tables[m.group(1)][0]
             keys_df = self.spark.sql(
                 f"SELECT explode(array({m.group(2)})) AS k"
@@ -2428,11 +2435,17 @@ class DriftSession:
                     # registration — refuse rather than risk writing
                     # through the wrong relation (PostgreSQL shadows; the
                     # conservative refusal is the row-sound choice here).
-                    raise ValueError(
+                    err = ValueError(
                         f"CTE name {name!r} shadows an existing catalog "
                         "object; rename the CTE in a data-modifying "
                         "statement"
                     )
+                    # deliberate feature refusal (PostgreSQL shadows);
+                    # 0A000 feature_not_supported, same as the repo's
+                    # other reasoned refusals, so wire clients can tell
+                    # it from an internal error
+                    err.sqlstate = "0A000"
+                    raise err
                 # CTE bodies evaluate through the INTERNAL path: the
                 # statement-level RBAC gate already ran on the full
                 # WITH-DML text (rbac.statement_permissions classifies on

@@ -59,6 +59,8 @@ class TransactionAborted(RuntimeError):
     COMMIT-as-rollback (reference aborted-transaction gate,
     sql_bridge.rs:335-346)."""
 
+    sqlstate = "25P02"  # in_failed_sql_transaction (PostgreSQL's code)
+
 
 class Transaction:
     """Buffered per-table transaction. Use via ``EventLog.begin()``."""

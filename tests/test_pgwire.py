@@ -1403,3 +1403,49 @@ def test_cte_dml_executes_over_wire_under_exec_lock(server):
     finally:
         server._tcp.exec_lock = lock.inner
     c.close()
+
+
+def test_cte_shadow_and_purge_in_txn_sqlstates_over_wire(server):
+    """The r11 statement forms' refusal states carry REAL SQLSTATEs over
+    the wire (not XX000 internal_error): a CTE shadowing a catalog object
+    in WITH-DML is a deliberate feature refusal (0A000 — PostgreSQL would
+    shadow; we refuse rather than risk writing through the wrong
+    relation), and PURGE inside a transaction block is 25001
+    active_sql_transaction (the VACUUM class). Both leave the connection
+    usable and, for the txn case, the transaction intact."""
+    host, port = server.address
+    c = Client(host, port)
+    c.ssl_probe()
+    c.startup()
+    _c, _r, _t, err = c.query("CREATE TABLE shadowed (id INT PRIMARY KEY, v INT)")
+    assert err is None
+    _c, _r, _t, err = c.query("INSERT INTO shadowed VALUES (1, 10)")
+    assert err is None
+
+    # CTE name collides with the catalog table -> 0A000 feature refusal
+    _c, _r, _t, err = c.query(
+        "WITH shadowed AS (SELECT 2 AS id, 20 AS v) "
+        "INSERT INTO shadowed SELECT * FROM shadowed"
+    )
+    assert err is not None and b"0A000" in err and b"shadows" in err
+    # nothing was written, connection stays usable
+    _c, rows, _t, err = c.query("SELECT count(*) AS n FROM shadowed")
+    assert err is None and rows == [["1"]]
+
+    # PURGE inside a txn block -> 25001 active_sql_transaction, and the
+    # failure poisons the txn like any other error (PostgreSQL abort
+    # gate): the next command reports 25P02 until ROLLBACK
+    _c, _r, _t, err = c.query("BEGIN")
+    assert err is None
+    _c, _r, _t, err = c.query("PURGE FROM shadowed KEYS (1)")
+    assert err is not None and b"25001" in err
+    _c, _r, _t, err = c.query("INSERT INTO shadowed VALUES (3, 30)")
+    assert err is not None and b"25P02" in err
+    _c, _r, _t, err = c.query("ROLLBACK")
+    assert err is None
+    # and outside a txn the same PURGE executes (history gone for key 1)
+    _c, _r, _t, err = c.query("PURGE FROM shadowed KEYS (1)")
+    assert err is None
+    _c, rows, _t, err = c.query("SELECT count(*) AS n FROM shadowed")
+    assert err is None and rows == [["0"]]
+    c.close()
