@@ -25,6 +25,8 @@ never a driver loop over rows.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import glob
 import json
 import os
@@ -233,9 +235,11 @@ def verify_integrity(
         )
         def _floor_check():
             ev_max = int(ev.agg(F.max("sequence")).first()[0] or 0)
-            if not os.path.exists(log._meta_path()):
+            if not log.meta_store.exists():
                 # warn-only: pre-meta stores can't be checked, and failing
-                # them would make verify useless on every legacy log
+                # them would make verify useless on every legacy log.
+                # Asked of the STORE (not os.path.exists(meta.json)) so a
+                # commit-log-backed table is verified, not skipped.
                 return "missing meta (legacy log)"
             floor = int(log.read_meta().get("seq_floor", 0))
             if ev_max > floor:
@@ -433,17 +437,35 @@ def recover(
 
     for name in names:
         log, _cols = sess._tables[name]
+        # A never-written table (CREATE TABLE persists only catalog JSON)
+        # has no directory and therefore nothing to repair: skip it
+        # outright rather than abort the repair of every table with
+        # FileNotFoundError — and rather than create its directory as a
+        # side effect, which a dry run especially must not do.
+        if not os.path.isdir(log.path):
+            continue
         # a LIVE rewrite's events.new is indistinguishable from
         # crashed-rewrite scratch by inspection; the rewrite flock makes
         # the distinction (compact/purge hold it for their full protocol,
         # so once acquired every leftover here is dead). Held for dry_run
-        # too — it is read-only and brief, and without it the dry-run plan
-        # could report a LIVE rewrite's staging as removable scratch, a
-        # plan the locked real run would never execute. _rewrite_lock also
-        # creates the table directory, so a never-written table (CREATE
-        # TABLE persists only catalog JSON) recovers as a no-op instead of
-        # aborting the repair of every table with FileNotFoundError.
-        with log._rewrite_lock():
+        # too — without it the dry-run plan could report a LIVE rewrite's
+        # staging as removable scratch, a plan the locked real run would
+        # never execute. The dry-run variant stays MUTATION-FREE (usable
+        # on a read-only mount): it flocks the existing lock file opened
+        # read-only, and if no lock file exists then no rewrite has ever
+        # run on this table (every rewrite holder creates it) — nothing
+        # live to race, proceed lock-free.
+        with contextlib.ExitStack() as stack:
+            if not dry_run:
+                stack.enter_context(log._rewrite_lock())
+            else:
+                try:
+                    lk = stack.enter_context(
+                        open(os.path.join(log.path, ".rewrite.lock"))
+                    )
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                except FileNotFoundError:
+                    pass
             ev_dir = log._events_dir
             new_dir = ev_dir + ".new"
             rewrite = ev_dir + ".rewrite"

@@ -168,6 +168,13 @@ class JsonFileMetaStore:
     def _meta_path(self) -> str:
         return os.path.join(self.table_path, "meta.json")
 
+    def exists(self) -> bool:
+        """Whether this table has EVER persisted meta — `admin verify`
+        uses this to distinguish a checkable store from a pre-meta legacy
+        log (which warns instead of failing). Store-specific because the
+        probe must match the backend, not assume meta.json."""
+        return os.path.exists(self._meta_path())
+
     def read(self) -> dict:
         try:
             with open(self._meta_path()) as fh:
@@ -291,7 +298,11 @@ class EventLog:
         with open(os.path.join(self.path, ".rewrite.lock"), "w") as lk:
             try:
                 fcntl.flock(lk, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
+            except BlockingIOError:
+                # only real contention gets the "waiting" diagnostic —
+                # a non-contention flock failure (ENOLCK on NFS, EIO)
+                # must surface as itself from the blocking call below,
+                # not masquerade as a rival rewrite
                 import logging
 
                 logging.getLogger("driftdb_spark.events").warning(

@@ -472,3 +472,55 @@ def test_recover_dry_run_blocks_on_live_rewrite(spark, tmp_path):
     assert done.is_set()
     # post-rewrite plan sees no scratch at all
     assert result["rep"]["actions_total"] == 0
+
+
+def test_recover_dry_run_is_mutation_free(spark, tmp_path):
+    """dry_run must be usable on a read-only mount: it creates no table
+    directories (ghost tables are skipped in both modes) and no lock
+    files (it flocks the EXISTING lock file read-only; absence proves no
+    rewrite ever ran, so lock-free is safe)."""
+    data = str(tmp_path / "recro")
+    sess = DriftSession(spark, data)
+    sess.sql("CREATE TABLE ghost (gid INT PRIMARY KEY, v STRING)")
+    sess.sql("CREATE TABLE real (rid INT PRIMARY KEY, v STRING)")
+    sess.sql("INSERT INTO real VALUES (1, 'x')")
+    glog = sess.table("ghost")
+    rlog = sess.table("real")
+    # the 'real' table has never run a rewrite: no .rewrite.lock exists
+    lock_path = os.path.join(rlog.path, ".rewrite.lock")
+    assert not os.path.exists(lock_path)
+    rep = admin.recover(sess, dry_run=True)
+    assert rep["dry_run"] and rep["actions_total"] == 0
+    assert not os.path.exists(glog.path)      # ghost dir NOT created
+    assert not os.path.exists(lock_path)      # lock file NOT created
+
+
+def test_admin_verify_floor_check_on_commitlog_store(spark, tmp_path):
+    """verify's sequence-floor probe asks the META STORE, not
+    os.path.exists(meta.json): a commit-log-backed table is CHECKED (and
+    a forged past-the-floor batch still trips VIOLATION), not skipped as
+    a legacy log (review-found: the probe was hardwired to the JSON
+    file)."""
+    import pyspark.sql.functions as F
+
+    from driftdb_spark.commitlog import CommitLogMetaStore
+
+    data = str(tmp_path / "admclfloor")
+    sess = DriftSession(spark, data)
+    sess.sql("CREATE TABLE items (iid INT PRIMARY KEY, name STRING, qty INT)")
+    log = sess.table("items")
+    log.meta_store = CommitLogMetaStore(log.path)
+    sess.sql("INSERT INTO items VALUES (1, 'bolt', 5), (2, 'nut', 9)")
+    assert not os.path.exists(log._meta_path())  # no meta.json anywhere
+    rep = admin.verify_integrity(sess, table="items")
+    assert rep["ok"]
+    assert rep["tables"]["items"]["sequence_floor"] == "ok"  # checked, not skipped
+    # forged batch past the commit-log floor still trips the violation
+    hi = log.last_sequence() + 7
+    forged = log.events().limit(1).withColumn(
+        "sequence", F.lit(hi).cast("long")
+    )
+    forged.write.parquet(os.path.join(log._events_dir, f"batch-{hi:020d}"))
+    rep = admin.verify_integrity(sess, table="items")
+    assert not rep["ok"]
+    assert str(rep["tables"]["items"]["sequence_floor"]).startswith("VIOLATION")
