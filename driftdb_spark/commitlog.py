@@ -8,7 +8,8 @@ commit version IS the monotonic clock, rewrites are new commits rather
 than directory swaps, and "did a rewrite happen since X" is a
 version-range scan of the commit log. delta-spark is not in this
 container, so this module proves the mapping with the same on-disk
-protocol Delta itself uses (delta.io PROTOCOL.md, "Delta Log Entries"):
+protocol Delta itself uses (delta.io PROTOCOL.md, "Delta Log Entries" +
+"Checkpoints"):
 
 - ``_commit_log/00000000000000000001.json`` … — one immutable file per
   commit, named by zero-padded version, exactly Delta's ``_delta_log/``
@@ -21,7 +22,14 @@ protocol Delta itself uses (delta.io PROTOCOL.md, "Delta Log Entries"):
   winner's state — Delta's optimistic-concurrency commit loop, and the
   same monotonic role as the reference's persisted per-table AtomicU64
   (driftdb-core/src/storage/table_storage.rs:212-261).
-- ``read()`` FOLDS the commit log: ``seq_floor`` = max over commits,
+- Every ``CHECKPOINT_INTERVAL`` commits the winner also writes
+  ``<version>.checkpoint.json`` — the folded state as of that version —
+  so ``read()`` opens at most one checkpoint plus the commits after it,
+  exactly Delta's checkpoint mechanism (without it, per-read work grows
+  with table lifetime: O(n) files per read, O(n²) over a table's life).
+  Checkpoints are pure acceleration: losing one only means folding more
+  commits.
+- ``read()`` folds checkpoint + tail: ``seq_floor`` = max over commits,
   ``generation`` = count of rewrite-kind commits, ``rewrite_id`` = the
   last rewrite's id, ``version`` = latest version. The clock cannot
   regress BY CONSTRUCTION: commits are append-only, so a purge-to-empty
@@ -34,10 +42,10 @@ protocol Delta itself uses (delta.io PROTOCOL.md, "Delta Log Entries"):
   per-version files.
 
 Interface-compatible with ``events.JsonFileMetaStore`` (``read()`` /
-``bump()``), so ``EventLog(meta_store=CommitLogMetaStore(path))`` runs
-the ENTIRE engine — append, purge, replication ship — on the
-commit-protocol clock; tests/test_commitlog.py replays the r10
-falsifying program on it.
+``bump()`` / ``exists()``), so
+``EventLog(meta_store=CommitLogMetaStore(path))`` runs the ENTIRE engine
+— append, purge, replication ship — on the commit-protocol clock;
+tests/test_commitlog.py replays the r10 falsifying program on it.
 """
 
 from __future__ import annotations
@@ -49,6 +57,11 @@ import uuid
 __all__ = ["CommitLogMetaStore"]
 
 _VERSION_WIDTH = 20  # Delta zero-pads commit versions to 20 digits
+
+#: write a checkpoint every N commits (Delta's default cadence is 10)
+CHECKPOINT_INTERVAL = 10
+
+_EMPTY = {"seq_floor": 0, "generation": 0, "rewrite_id": "", "version": 0}
 
 
 class CommitLogMetaStore:
@@ -62,12 +75,21 @@ class CommitLogMetaStore:
 
     # -- commit-log primitives ------------------------------------------
 
-    def _commit_files(self) -> list[str]:
+    def _list(self) -> list[str]:
         try:
-            names = os.listdir(self.log_dir)
+            return sorted(os.listdir(self.log_dir))
         except FileNotFoundError:
             return []
-        return sorted(n for n in names if n.endswith(".json"))
+
+    def _commit_files(self) -> list[str]:
+        return [
+            n
+            for n in self._list()
+            if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        ]
+
+    def _checkpoint_files(self) -> list[str]:
+        return [n for n in self._list() if n.endswith(".checkpoint.json")]
 
     def _read_commit(self, name: str) -> dict:
         with open(os.path.join(self.log_dir, name)) as fh:
@@ -78,6 +100,12 @@ class CommitLogMetaStore:
     def commits(self) -> list[dict]:
         """Every commit, version-ordered — the full commit log."""
         return [self._read_commit(n) for n in self._commit_files()]
+
+    def exists(self) -> bool:
+        """Whether any commit has ever landed — `admin verify`'s probe
+        for 'is this table's clock checkable' (the JSON store's
+        equivalent is meta.json existing)."""
+        return bool(self._commit_files())
 
     def version(self) -> int:
         """Latest committed version (0 = nothing ever committed) — the
@@ -90,47 +118,91 @@ class CommitLogMetaStore:
         The body lands in scratch first; ``os.link`` publishes it only if
         the version is unclaimed — a loser gets EEXIST and retries, and a
         crash before the link leaves only invisible scratch (Delta's
-        uncommitted files), never a torn commit."""
+        uncommitted files), never a torn commit. Scratch is reclaimed on
+        EVERY exit, including a failed body write (ENOSPC)."""
         os.makedirs(self.log_dir, exist_ok=True)
         name = f"{version:0{_VERSION_WIDTH}d}.json"
         scratch = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex[:12]}")
-        with open(scratch, "w") as fh:
-            json.dump(body, fh, sort_keys=True)
         try:
+            with open(scratch, "w") as fh:
+                json.dump(body, fh, sort_keys=True)
             os.link(scratch, os.path.join(self.log_dir, name))
             return True
         except FileExistsError:
             return False  # lost the race; caller re-reads and retries
         finally:
-            os.remove(scratch)
+            try:
+                os.remove(scratch)
+            except FileNotFoundError:
+                pass
+
+    def _write_checkpoint(self, version: int, folded: dict) -> None:
+        """Persist the folded state as of ``version``. Best-effort pure
+        acceleration (same role as Delta checkpoint parquet): written via
+        the same scratch+link so readers never see a torn checkpoint; a
+        lost race or failure just means readers fold more commits."""
+        name = f"{version:0{_VERSION_WIDTH}d}.checkpoint.json"
+        scratch = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex[:12]}")
+        try:
+            with open(scratch, "w") as fh:
+                json.dump(folded, fh, sort_keys=True)
+            os.link(scratch, os.path.join(self.log_dir, name))
+        except FileExistsError:
+            pass
+        finally:
+            try:
+                os.remove(scratch)
+            except FileNotFoundError:
+                pass
 
     # -- the JsonFileMetaStore interface --------------------------------
 
-    def read(self) -> dict:
-        """Fold the commit log into the meta dict consumers expect. Same
-        keys as JsonFileMetaStore.read(), plus ``version``."""
-        seq_floor, generation, rewrite_id, version = 0, 0, "", 0
-        for c in self.commits():
-            seq_floor = max(seq_floor, int(c.get("seq_floor", 0)))
+    def read(self, max_version: int | None = None) -> dict:
+        """Fold the commit log into the meta dict consumers expect —
+        latest checkpoint at-or-below the bound plus the commit tail
+        after it, so per-read file opens are bounded by
+        CHECKPOINT_INTERVAL instead of table lifetime. Same keys as
+        JsonFileMetaStore.read(), plus ``version``. ``max_version`` caps
+        the fold (used by bump() to report exactly the state as of ITS
+        commit, not a rival's later one)."""
+        base = dict(_EMPTY)
+        start_after = 0
+        cps = self._checkpoint_files()
+        if max_version is not None:
+            cps = [
+                n
+                for n in cps
+                if int(n[: -len(".checkpoint.json")]) <= max_version
+            ]
+        if cps:
+            with open(os.path.join(self.log_dir, cps[-1])) as fh:
+                base.update(json.load(fh))
+            start_after = int(cps[-1][: -len(".checkpoint.json")])
+            base["version"] = start_after
+        for name in self._commit_files():
+            v = int(name[: -len(".json")])
+            if v <= start_after or (max_version is not None and v > max_version):
+                continue
+            c = self._read_commit(name)
+            base["seq_floor"] = max(base["seq_floor"], int(c.get("seq_floor", 0)))
             if c.get("kind") == "rewrite":
-                generation += 1
-                rewrite_id = c.get("rewrite_id", "")
-            version = c["version"]
-        return {
-            "seq_floor": seq_floor,
-            "generation": generation,
-            "rewrite_id": rewrite_id,
-            "version": version,
-        }
+                base["generation"] += 1
+                base["rewrite_id"] = c.get("rewrite_id", "")
+            base["version"] = v
+        return base
 
     def bump(self, seq_floor: int, rewrite: bool = False) -> dict:
         """Advance the clock by APPENDING a commit — the optimistic-
         concurrency loop: read the log, claim version+1, retry on loss.
         No flock anywhere; mutual exclusion is the put-if-absent claim,
         which is exactly what Delta relies on (and why the local rewrite
-        flock collapses into this protocol at cluster scale)."""
+        flock collapses into this protocol at cluster scale). Returns the
+        folded state AS OF the commit this call won (a rival's later
+        commit is not reported as ours — parity with JsonFileMetaStore,
+        which returns exactly what it wrote under its lock)."""
         while True:
             cur = self.read()
+            claim = cur["version"] + 1
             body = {
                 "kind": "rewrite" if rewrite else "append",
                 # monotone by construction, but fold defensively anyway
@@ -138,8 +210,11 @@ class CommitLogMetaStore:
             }
             if rewrite:
                 body["rewrite_id"] = uuid.uuid4().hex[:12]
-            if self._try_commit(cur["version"] + 1, body):
-                return self.read()
+            if self._try_commit(claim, body):
+                mine = self.read(max_version=claim)
+                if claim % CHECKPOINT_INTERVAL == 0:
+                    self._write_checkpoint(claim, mine)
+                return mine
 
     # -- consumer-side rewrite detection --------------------------------
 
@@ -147,8 +222,9 @@ class CommitLogMetaStore:
         """Rewrite commits in ``(version, latest]`` — the version-range
         scan replication ship / incremental backup / IMV refresh / the
         result cache run instead of comparing generation integers."""
-        return [
-            c
-            for c in self.commits()
-            if c["version"] > version and c.get("kind") == "rewrite"
+        tail = [
+            self._read_commit(n)
+            for n in self._commit_files()
+            if int(n[: -len(".json")]) > version
         ]
+        return [c for c in tail if c.get("kind") == "rewrite"]

@@ -52,10 +52,17 @@ def main() -> int:
                          '{"a": [bench.json…], "b": [bench.json…]}')
     args = ap.parse_args()
 
+    if args.rounds < 1 and not args.preloaded:
+        print("--rounds must be >= 1", file=sys.stderr)
+        return 2
     if args.preloaded:
         with open(args.preloaded) as fh:
             pre = json.load(fh)
         runs_a, runs_b = pre["a"], pre["b"]
+        if not runs_a or not runs_b:
+            print("--preloaded must contain at least one run per arm",
+                  file=sys.stderr)
+            return 2
     else:
         runs_a, runs_b = [], []
         for i in range(args.rounds):
@@ -76,6 +83,7 @@ def main() -> int:
             "b_sec": round(b, 4),
             "b_over_a": round(b / a, 3) if a else None,
         }
+    # an all-zero arm yields no ratios: report nulls, don't crash post-run
     ratios = [v["b_over_a"] for v in per_query.values() if v["b_over_a"]]
     result = {
         "metric": "cross_commit_bench_ab",
@@ -83,9 +91,9 @@ def main() -> int:
         "common_queries": len(queries),
         "total_a_sec": round(statistics.median(r["value"] for r in runs_a), 3),
         "total_b_sec": round(statistics.median(r["value"] for r in runs_b), 3),
-        "median_b_over_a": round(statistics.median(ratios), 3),
-        "max_b_over_a": round(max(ratios), 3),
-        "min_b_over_a": round(min(ratios), 3),
+        "median_b_over_a": round(statistics.median(ratios), 3) if ratios else None,
+        "max_b_over_a": round(max(ratios), 3) if ratios else None,
+        "min_b_over_a": round(min(ratios), 3) if ratios else None,
         "per_query": per_query,
         "raw_totals_a": [r["value"] for r in runs_a],
         "raw_totals_b": [r["value"] for r in runs_b],

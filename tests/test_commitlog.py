@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 import threading
 
+import pytest
+
 from driftdb_spark.commitlog import CommitLogMetaStore
 from driftdb_spark.events import EventLog, JsonFileMetaStore
 from driftdb_spark.replication import Replica, ReplicationPrimary
@@ -139,3 +141,80 @@ def test_eventlog_append_compact_on_commit_protocol(spark, tmp_path):
     assert log.last_sequence() == 3  # rewrite never lowers the clock
     state = {r["pk"]: r["row"]["v"] for r in log.state_at().collect()}
     assert state == {"1": "11", "2": "20"}
+
+
+def test_checkpoints_bound_read_cost_and_fold_identically(tmp_path):
+    """Every CHECKPOINT_INTERVAL commits the winner writes
+    <version>.checkpoint.json (Delta's checkpoint mechanism); read()
+    then opens the latest checkpoint plus the tail, so per-read file
+    opens are bounded by the interval instead of growing with table
+    lifetime (review-found O(n^2)). A checkpointed fold must equal the
+    from-scratch fold."""
+    store = CommitLogMetaStore(str(tmp_path / "t"))
+    for i in range(1, 26):
+        store.bump(seq_floor=i, rewrite=(i % 7 == 0))
+    cps = store._checkpoint_files()
+    assert len(cps) == 2  # versions 10 and 20
+    fast = store.read()
+    # from-scratch fold (checkpoints ignored) must agree exactly
+    slow = {"seq_floor": 0, "generation": 0, "rewrite_id": "", "version": 0}
+    for c in store.commits():
+        slow["seq_floor"] = max(slow["seq_floor"], c["seq_floor"])
+        if c.get("kind") == "rewrite":
+            slow["generation"] += 1
+            slow["rewrite_id"] = c["rewrite_id"]
+        slow["version"] = c["version"]
+    assert fast == slow
+    assert fast["version"] == 25 and fast["generation"] == 3  # 7,14,21
+    # and the read path provably uses the checkpoint: folding only the
+    # tail after v20 with the checkpoint base is what read() returns even
+    # if every pre-checkpoint commit file disappears
+    for n in store._commit_files():
+        if int(n[: -len(".json")]) <= 20:
+            os.remove(os.path.join(store.log_dir, n))
+    assert store.read() == fast
+
+
+def test_bump_reports_its_own_commit_not_a_rivals(tmp_path):
+    """bump() returns the folded state AS OF the commit it won: a rival
+    landing a later rewrite between our claim and our read must not leak
+    its rewrite_id/generation into our return value (parity with
+    JsonFileMetaStore, which returns exactly what it wrote under its
+    lock)."""
+    store = CommitLogMetaStore(str(tmp_path / "t"))
+    orig_try = store._try_commit
+    rival = CommitLogMetaStore(str(tmp_path / "t"))
+
+    def race_after_win(version, body):
+        won = orig_try(version, body)
+        if won and body["kind"] == "rewrite":
+            rival.bump(seq_floor=99, rewrite=True)  # lands at version+1
+        return won
+
+    store._try_commit = race_after_win
+    mine = store.bump(seq_floor=5, rewrite=True)
+    assert mine["version"] == 1 and mine["generation"] == 1
+    assert mine["seq_floor"] == 5  # not the rival's 99
+    full = store.read()
+    assert full["version"] == 2 and full["generation"] == 2
+    assert full["rewrite_id"] != mine["rewrite_id"]
+
+
+def test_scratch_reclaimed_even_when_body_write_fails(tmp_path, monkeypatch):
+    """A failed body write (ENOSPC shape) must not strand _tmp-* scratch
+    in _commit_log (review-found leak: the dump ran before the
+    try/finally)."""
+    import json as _json
+
+    store = CommitLogMetaStore(str(tmp_path / "t"))
+    store.bump(seq_floor=1)
+
+    def boom(*a, **k):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(_json, "dump", boom)
+    with pytest.raises(OSError):
+        store.bump(seq_floor=2)
+    monkeypatch.undo()
+    assert not [n for n in os.listdir(store.log_dir) if n.startswith("_tmp-")]
+    assert store.bump(seq_floor=2)["seq_floor"] == 2  # store still healthy
