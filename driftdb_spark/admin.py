@@ -453,19 +453,36 @@ def recover(
         # never execute. The dry-run variant stays MUTATION-FREE (usable
         # on a read-only mount): it flocks the existing lock file opened
         # read-only, and if no lock file exists then no rewrite has ever
-        # run on this table (every rewrite holder creates it) — nothing
-        # live to race, proceed lock-free.
+        # run on this table (every rewrite holder creates it) — proceed
+        # lock-free, with a post-scan recheck closing the race where a
+        # FIRST-ever rewrite starts mid-scan (it must create the lock
+        # file before staging anything, so staging visible to our scan
+        # implies the file exists by the time we recheck).
+        lock_file = os.path.join(log.path, ".rewrite.lock")
+        dry_lockfree = False
         with contextlib.ExitStack() as stack:
             if not dry_run:
                 stack.enter_context(log._rewrite_lock())
             else:
                 try:
-                    lk = stack.enter_context(
-                        open(os.path.join(log.path, ".rewrite.lock"))
-                    )
-                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    lk = stack.enter_context(open(lock_file))
+                    try:
+                        fcntl.flock(lk, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    except BlockingIOError:
+                        # same diagnosability as the locked path
+                        # (events._rewrite_lock): a dry run stalled
+                        # behind a slow backup/refresh says so
+                        import logging
+
+                        logging.getLogger("driftdb_spark.admin").warning(
+                            "dry-run recover waiting for rewrite lock on "
+                            "%s (held by a concurrent rewrite holder; "
+                            "blocking until it completes)",
+                            log.path,
+                        )
+                        fcntl.flock(lk, fcntl.LOCK_EX)
                 except FileNotFoundError:
-                    pass
+                    dry_lockfree = True
             ev_dir = log._events_dir
             new_dir = ev_dir + ".new"
             rewrite = ev_dir + ".rewrite"
@@ -534,6 +551,20 @@ def recover(
                     act(name, "remove_purge_scratch", st, age_sec=round(age))
                     if not dry_run:
                         shutil.rmtree(st, ignore_errors=True)
+        if dry_lockfree and os.path.exists(lock_file):
+            # a first-ever rewrite created the lock mid-scan: our
+            # lock-free plan may list its LIVE staging as scratch.
+            # Discard and rescan this table — the lock file exists now,
+            # so the rescan serializes behind the rewrite.
+            report.pop(name, None)
+            sub = recover(
+                sess,
+                table=name,
+                min_staging_age_sec=min_staging_age_sec,
+                dry_run=True,
+            )
+            if sub["tables"].get(name):
+                report[name] = sub["tables"][name]
 
     # result-cache namespaces are in-process state (cache.py): a crashed
     # process strands its instance dir; the same age gate protects live

@@ -81,15 +81,19 @@ class CommitLogMetaStore:
         except FileNotFoundError:
             return []
 
-    def _commit_files(self) -> list[str]:
+    def _commit_files(self, names: list[str] | None = None) -> list[str]:
         return [
             n
-            for n in self._list()
+            for n in (self._list() if names is None else names)
             if n.endswith(".json") and not n.endswith(".checkpoint.json")
         ]
 
-    def _checkpoint_files(self) -> list[str]:
-        return [n for n in self._list() if n.endswith(".checkpoint.json")]
+    def _checkpoint_files(self, names: list[str] | None = None) -> list[str]:
+        return [
+            n
+            for n in (self._list() if names is None else names)
+            if n.endswith(".checkpoint.json")
+        ]
 
     def _read_commit(self, name: str) -> dict:
         with open(os.path.join(self.log_dir, name)) as fh:
@@ -104,14 +108,26 @@ class CommitLogMetaStore:
     def exists(self) -> bool:
         """Whether any commit has ever landed — `admin verify`'s probe
         for 'is this table's clock checkable' (the JSON store's
-        equivalent is meta.json existing)."""
-        return bool(self._commit_files())
+        equivalent is meta.json existing). Checkpoint-aware: a log whose
+        pre-checkpoint commits were pruned still HAS a checkable clock
+        (the checkpoint holds the floor) and must not be skipped as a
+        legacy log."""
+        names = self._list()
+        return bool(self._commit_files(names)) or bool(
+            self._checkpoint_files(names)
+        )
 
     def version(self) -> int:
         """Latest committed version (0 = nothing ever committed) — the
-        monotonic clock a Delta table exposes natively."""
-        files = self._commit_files()
-        return int(files[-1][: -len(".json")]) if files else 0
+        monotonic clock a Delta table exposes natively. Checkpoint-aware
+        so pruning pre-checkpoint commits can never regress it."""
+        names = self._list()
+        commits = self._commit_files(names)
+        cps = self._checkpoint_files(names)
+        return max(
+            int(commits[-1][: -len(".json")]) if commits else 0,
+            int(cps[-1][: -len(".checkpoint.json")]) if cps else 0,
+        )
 
     def _try_commit(self, version: int, body: dict) -> bool:
         """Claim ``version`` with its content atomically (put-if-absent).
@@ -140,19 +156,22 @@ class CommitLogMetaStore:
         """Persist the folded state as of ``version``. Best-effort pure
         acceleration (same role as Delta checkpoint parquet): written via
         the same scratch+link so readers never see a torn checkpoint; a
-        lost race or failure just means readers fold more commits."""
+        lost race or ANY OSError (ENOSPC) just means readers fold more
+        commits — it must never propagate, because the caller's commit
+        has already durably landed and a raise would make the caller
+        retry an operation that succeeded (review-found)."""
         name = f"{version:0{_VERSION_WIDTH}d}.checkpoint.json"
         scratch = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex[:12]}")
         try:
             with open(scratch, "w") as fh:
                 json.dump(folded, fh, sort_keys=True)
             os.link(scratch, os.path.join(self.log_dir, name))
-        except FileExistsError:
-            pass
+        except OSError:
+            pass  # includes FileExistsError (lost the checkpoint race)
         finally:
             try:
                 os.remove(scratch)
-            except FileNotFoundError:
+            except OSError:
                 pass
 
     # -- the JsonFileMetaStore interface --------------------------------
@@ -167,7 +186,8 @@ class CommitLogMetaStore:
         commit, not a rival's later one)."""
         base = dict(_EMPTY)
         start_after = 0
-        cps = self._checkpoint_files()
+        names = self._list()  # one directory listing serves both filters
+        cps = self._checkpoint_files(names)
         if max_version is not None:
             cps = [
                 n
@@ -179,7 +199,7 @@ class CommitLogMetaStore:
                 base.update(json.load(fh))
             start_after = int(cps[-1][: -len(".checkpoint.json")])
             base["version"] = start_after
-        for name in self._commit_files():
+        for name in self._commit_files(names):
             v = int(name[: -len(".json")])
             if v <= start_after or (max_version is not None and v > max_version):
                 continue
@@ -221,10 +241,46 @@ class CommitLogMetaStore:
     def rewrites_since(self, version: int) -> list[dict]:
         """Rewrite commits in ``(version, latest]`` — the version-range
         scan replication ship / incremental backup / IMV refresh / the
-        result cache run instead of comparing generation integers."""
+        result cache run instead of comparing generation integers.
+
+        Pruned history is handled the way Delta handles queries beyond
+        the log retention window — CONSERVATIVELY: if commits in
+        ``(version, …]`` were pruned behind a checkpoint (the caller's
+        watermark predates the oldest surviving commit file) and the
+        checkpoint has ever seen a rewrite, a synthetic
+        ``kind='rewrite', conservative=True`` entry is returned, because
+        whether a rewrite landed inside the pruned gap is unknowable —
+        consumers reseed, which is safe; silently dropping pruned
+        rewrites is the r10 divergence family (review-found)."""
+        names = self._list()
+        commit_names = self._commit_files(names)
         tail = [
             self._read_commit(n)
-            for n in self._commit_files()
+            for n in commit_names
             if int(n[: -len(".json")]) > version
         ]
-        return [c for c in tail if c.get("kind") == "rewrite"]
+        hits = [c for c in tail if c.get("kind") == "rewrite"]
+        cps = self._checkpoint_files(names)
+        if cps:
+            cp_v = int(cps[-1][: -len(".checkpoint.json")])
+            oldest = min(
+                (int(n[: -len(".json")]) for n in commit_names), default=None
+            )
+            gap_pruned = version < cp_v and (
+                oldest is None or oldest > version + 1
+            )
+            if gap_pruned:
+                with open(os.path.join(self.log_dir, cps[-1])) as fh:
+                    folded = json.load(fh)
+                if int(folded.get("generation", 0)) > 0:
+                    hits.insert(
+                        0,
+                        {
+                            "kind": "rewrite",
+                            "version": cp_v,
+                            "rewrite_id": folded.get("rewrite_id", ""),
+                            "seq_floor": int(folded.get("seq_floor", 0)),
+                            "conservative": True,
+                        },
+                    )
+        return hits

@@ -247,9 +247,10 @@ class EventLog:
             )
 
     # -- persisted meta (sequence high-water + rewrite generation) -----------
-
-    def _meta_path(self) -> str:
-        return os.path.join(self.path, "meta.json")
+    # NOTE: there is deliberately no EventLog-level meta path — the
+    # on-disk shape belongs to the STORE (meta.json is a JsonFileMetaStore
+    # detail; the commit-log store has none). Probe via meta_store.exists()
+    # / read(); a path probe here caused the r12 verify bypass.
 
     def read_meta(self) -> dict:
         """Persisted per-table meta: ``seq_floor`` is the monotonic

@@ -344,7 +344,7 @@ def test_admin_verify_detects_sequence_clock_regression(spark, tmp_path):
     assert str(r["sequence_floor"]).startswith("VIOLATION")
 
     # a legacy log with no meta at all warns but does not fail
-    os.remove(log._meta_path())
+    os.remove(log.meta_store._meta_path())
     shutil.rmtree(os.path.join(log._events_dir, f"batch-{hi:020d}"))
     rep2 = admin.verify_integrity(sess, table="items")
     assert rep2["ok"]
@@ -511,7 +511,9 @@ def test_admin_verify_floor_check_on_commitlog_store(spark, tmp_path):
     log = sess.table("items")
     log.meta_store = CommitLogMetaStore(log.path)
     sess.sql("INSERT INTO items VALUES (1, 'bolt', 5), (2, 'nut', 9)")
-    assert not os.path.exists(log._meta_path())  # no meta.json anywhere
+    assert not os.path.exists(
+        os.path.join(log.path, "meta.json")
+    )  # no meta.json anywhere
     rep = admin.verify_integrity(sess, table="items")
     assert rep["ok"]
     assert rep["tables"]["items"]["sequence_floor"] == "ok"  # checked, not skipped
@@ -524,3 +526,55 @@ def test_admin_verify_floor_check_on_commitlog_store(spark, tmp_path):
     rep = admin.verify_integrity(sess, table="items")
     assert not rep["ok"]
     assert str(rep["tables"]["items"]["sequence_floor"]).startswith("VIOLATION")
+
+
+def test_recover_dry_run_recheck_closes_first_rewrite_race(
+    spark, tmp_path, monkeypatch
+):
+    """The lock-free dry-run path (no .rewrite.lock has ever existed)
+    rechecks after the scan: if a FIRST-ever rewrite started mid-scan,
+    its live events.new staging must not survive into the plan as
+    remove_rewrite_scratch — the plan is discarded and rescanned behind
+    the now-existing lock (review-found TOCTOU)."""
+    import fcntl
+    import threading
+
+    data = str(tmp_path / "rectoctou")
+    sess = DriftSession(spark, data)
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    sess.sql("INSERT INTO t VALUES (1, 0)")
+    log = sess.table("t")
+    lock_file = os.path.join(log.path, ".rewrite.lock")
+    assert not os.path.exists(lock_file)  # first-ever rewrite scenario
+    new_dir = log._events_dir + ".new"
+
+    release = threading.Event()
+    staged = threading.Event()
+
+    def fake_rewrite():
+        lk = open(lock_file, "w")
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        os.makedirs(new_dir)
+        staged.set()
+        release.wait(30)
+        shutil.rmtree(new_dir)
+        fcntl.flock(lk, fcntl.LOCK_UN)
+        lk.close()
+
+    t = threading.Thread(target=fake_rewrite, daemon=True)
+    real_glob = admin.glob.glob
+    fired = []
+
+    def start_rewrite_mid_scan(pattern, *a, **k):
+        if pattern == log._events_dir + ".old-*" and not fired:
+            fired.append(1)
+            t.start()
+            staged.wait(30)  # the scan now sees LIVE staging
+        return real_glob(pattern, *a, **k)
+
+    monkeypatch.setattr(admin.glob, "glob", start_rewrite_mid_scan)
+    threading.Timer(1.0, release.set).start()
+    rep = admin.recover(sess, dry_run=True)
+    t.join(30)
+    acts = [a["action"] for a in rep["tables"].get("t", [])]
+    assert "remove_rewrite_scratch" not in acts, acts

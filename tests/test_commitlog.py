@@ -218,3 +218,53 @@ def test_scratch_reclaimed_even_when_body_write_fails(tmp_path, monkeypatch):
     monkeypatch.undo()
     assert not [n for n in os.listdir(store.log_dir) if n.startswith("_tmp-")]
     assert store.bump(seq_floor=2)["seq_floor"] == 2  # store still healthy
+
+
+def test_checkpoint_write_failure_never_propagates(tmp_path, monkeypatch):
+    """A checkpoint is pure acceleration: if its write fails (ENOSPC
+    shape) AFTER the commit durably landed, bump() must still return
+    success — raising would make the caller retry an operation that
+    succeeded, double-advancing the clock (review-found)."""
+    store = CommitLogMetaStore(str(tmp_path / "t"))
+    real_link = os.link
+
+    def no_space_for_checkpoints(src, dst):
+        if dst.endswith(".checkpoint.json"):
+            raise OSError(28, "No space left on device")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", no_space_for_checkpoints)
+    for i in range(1, 12):  # crosses the version-10 checkpoint boundary
+        assert store.bump(seq_floor=i)["seq_floor"] == i
+    assert store.version() == 11
+    assert store._checkpoint_files() == []  # checkpoint lost, commits fine
+    assert store.read()["seq_floor"] == 11  # readers just fold more commits
+
+
+def test_pruned_history_is_conservative_not_silent(tmp_path):
+    """Pruning commits behind a checkpoint (Delta retention) must not
+    make the clock invisible or silently drop rewrites (review-found):
+    exists()/version() consult checkpoints, and rewrites_since() with a
+    watermark inside the pruned gap returns a conservative synthetic
+    rewrite (consumers reseed — safe) instead of [] (the r10 divergence
+    family)."""
+    store = CommitLogMetaStore(str(tmp_path / "t"))
+    for i in range(1, 13):
+        store.bump(seq_floor=i, rewrite=(i == 5))
+    for n in store._commit_files():
+        if int(n[: -len(".json")]) <= 10:
+            os.remove(os.path.join(store.log_dir, n))
+    assert store.exists()  # checkpoint alone keeps the clock checkable
+    assert store.version() == 12
+    assert store.read()["seq_floor"] == 12
+    hits = store.rewrites_since(3)  # watermark inside the pruned gap
+    assert hits and hits[0]["kind"] == "rewrite" and hits[0]["conservative"]
+    assert store.rewrites_since(10) == []  # at the checkpoint: exact
+    # appends-only history stays exact too: no false-positive reseed
+    quiet = CommitLogMetaStore(str(tmp_path / "q"))
+    for i in range(1, 13):
+        quiet.bump(seq_floor=i)
+    for n in quiet._commit_files():
+        if int(n[: -len(".json")]) <= 10:
+            os.remove(os.path.join(quiet.log_dir, n))
+    assert quiet.rewrites_since(3) == []
