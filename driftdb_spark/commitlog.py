@@ -22,24 +22,38 @@ protocol Delta itself uses (delta.io PROTOCOL.md, "Delta Log Entries" +
   winner's state — Delta's optimistic-concurrency commit loop, and the
   same monotonic role as the reference's persisted per-table AtomicU64
   (driftdb-core/src/storage/table_storage.rs:212-261).
+- A commit body may carry Delta-style FILE ACTIONS: ``adds`` (batch
+  entries this commit published) and ``removes`` (entries a rewrite
+  retired). ``entries_at(v)`` folds them, answering "what published
+  entries existed at version V" from the log alone — Delta's
+  add-file/remove-file reconstruction.
 - Every ``CHECKPOINT_INTERVAL`` commits the winner also writes
-  ``<version>.checkpoint.json`` — the folded state as of that version —
-  so ``read()`` opens at most one checkpoint plus the commits after it,
-  exactly Delta's checkpoint mechanism (without it, per-read work grows
-  with table lifetime: O(n) files per read, O(n²) over a table's life).
-  Checkpoints are pure acceleration: losing one only means folding more
-  commits.
+  ``<version>.checkpoint.json`` — the folded state as of that version
+  (clock AND entry set) — so ``read()`` opens at most one checkpoint
+  plus the commits after it, exactly Delta's checkpoint mechanism
+  (without it, per-read work grows with table lifetime: O(n) files per
+  read, O(n²) over a table's life). Checkpoints are pure acceleration:
+  losing one only means folding more commits.
+- ``prune()`` is the retention lifecycle (Delta's metadata cleanup,
+  ``delta.logRetentionDuration``; the reference's analogous lifecycle is
+  segment rotation, table_storage.rs:212-261): commit files at-or-below
+  the latest checkpoint are folded into it and can be removed, which
+  keeps ``read()``'s directory listing bounded instead of growing one
+  dirent per commit forever. Pruning never creates an UNCOVERED gap —
+  with no checkpoint it removes nothing.
 - ``read()`` folds checkpoint + tail: ``seq_floor`` = max over commits,
   ``generation`` = count of rewrite-kind commits, ``rewrite_id`` = the
-  last rewrite's id, ``version`` = latest version. The clock cannot
-  regress BY CONSTRUCTION: commits are append-only, so a purge-to-empty
-  ADDS a rewrite commit — it never removes history from the clock (the
-  r10 fuzz-found replica divergence is unrepresentable here).
+  last rewrite's id, ``version`` = latest version, ``entries`` = the
+  add/remove fold. The clock cannot regress BY CONSTRUCTION: commits are
+  append-only, so a purge-to-empty ADDS a rewrite commit — it never
+  removes history from the clock (the r10 fuzz-found replica divergence
+  is unrepresentable here).
 - ``rewrites_since(v)`` is the consumer-side mapping: replication ship,
   incremental backup, IMV refresh, and the result cache ask "did a
   rewrite land since the version I last saw" — against real Delta that
   is a version-range scan of the commit log; here it reads the same
-  per-version files.
+  per-version files. History gaps (retention pruning, manual deletion)
+  are answered CONSERVATIVELY, never silently.
 
 Interface-compatible with ``events.JsonFileMetaStore`` (``read()`` /
 ``bump()`` / ``exists()``), so
@@ -181,10 +195,23 @@ class CommitLogMetaStore:
         latest checkpoint at-or-below the bound plus the commit tail
         after it, so per-read file opens are bounded by
         CHECKPOINT_INTERVAL instead of table lifetime. Same keys as
-        JsonFileMetaStore.read(), plus ``version``. ``max_version`` caps
-        the fold (used by bump() to report exactly the state as of ITS
-        commit, not a rival's later one)."""
+        JsonFileMetaStore.read(), plus ``version`` and ``entries`` (the
+        add/remove-file fold). ``max_version`` caps the fold (used by
+        bump() to report exactly the state as of ITS commit, not a
+        rival's later one).
+
+        Retries once on FileNotFoundError: a concurrent ``prune()`` may
+        remove a listed commit between our directory listing and the
+        open; the fresh listing sees the checkpoint that covers whatever
+        was pruned (prune only ever removes checkpoint-covered files)."""
+        try:
+            return self._fold(max_version)
+        except FileNotFoundError:
+            return self._fold(max_version)
+
+    def _fold(self, max_version: int | None = None) -> dict:
         base = dict(_EMPTY)
+        entries: set[str] = set()
         start_after = 0
         names = self._list()  # one directory listing serves both filters
         cps = self._checkpoint_files(names)
@@ -197,6 +224,7 @@ class CommitLogMetaStore:
         if cps:
             with open(os.path.join(self.log_dir, cps[-1])) as fh:
                 base.update(json.load(fh))
+            entries = set(base.get("entries") or [])
             start_after = int(cps[-1][: -len(".checkpoint.json")])
             base["version"] = start_after
         for name in self._commit_files(names):
@@ -208,10 +236,25 @@ class CommitLogMetaStore:
             if c.get("kind") == "rewrite":
                 base["generation"] += 1
                 base["rewrite_id"] = c.get("rewrite_id", "")
+            # removes before adds WITHIN a commit: a rewrite may re-add
+            # an entry under the SAME name it removes (compact keeps the
+            # min sequence, so the rebuilt batch-<minseq> can alias the
+            # first retired batch)
+            for r in c.get("removes") or []:
+                entries.discard(r)
+            for a in c.get("adds") or []:
+                entries.add(a)
             base["version"] = v
+        base["entries"] = sorted(entries)
         return base
 
-    def bump(self, seq_floor: int, rewrite: bool = False) -> dict:
+    def bump(
+        self,
+        seq_floor: int,
+        rewrite: bool = False,
+        adds: list[str] | None = None,
+        removes: list[str] | None = None,
+    ) -> dict:
         """Advance the clock by APPENDING a commit — the optimistic-
         concurrency loop: read the log, claim version+1, retry on loss.
         No flock anywhere; mutual exclusion is the put-if-absent claim,
@@ -219,7 +262,12 @@ class CommitLogMetaStore:
         flock collapses into this protocol at cluster scale). Returns the
         folded state AS OF the commit this call won (a rival's later
         commit is not reported as ours — parity with JsonFileMetaStore,
-        which returns exactly what it wrote under its lock)."""
+        which returns exactly what it wrote under its lock).
+
+        ``adds``/``removes`` are Delta-style file actions recorded in
+        the commit body: an append records the batch entry it published,
+        a rewrite records the pinned entry set it retired plus the
+        rebuilt entry (events.py wires both)."""
         while True:
             cur = self.read()
             claim = cur["version"] + 1
@@ -230,11 +278,105 @@ class CommitLogMetaStore:
             }
             if rewrite:
                 body["rewrite_id"] = uuid.uuid4().hex[:12]
+            if adds:
+                body["adds"] = sorted(adds)
+            if removes:
+                body["removes"] = sorted(removes)
             if self._try_commit(claim, body):
                 mine = self.read(max_version=claim)
                 if claim % CHECKPOINT_INTERVAL == 0:
                     self._write_checkpoint(claim, mine)
                 return mine
+
+    # -- file-action fold (Delta add/remove reconstruction) -------------
+
+    def entries_at(self, version: int | None = None) -> list[str]:
+        """The published log entries as of ``version`` (default: latest)
+        — Delta's "which files make up the table at version V",
+        reconstructed from add/remove actions alone, no directory
+        listing of the events dir. Raises ValueError when the answer
+        would need pruned commits (no checkpoint at-or-below ``version``
+        covers them) — the same contract as Delta time travel beyond the
+        log retention window, which fails rather than answering from
+        partial history."""
+        if version is not None:
+            names = self._list()
+            cps = [
+                int(n[: -len(".checkpoint.json")])
+                for n in self._checkpoint_files(names)
+            ]
+            cp_le = max((v for v in cps if v <= version), default=0)
+            have = {
+                int(n[: -len(".json")]) for n in self._commit_files(names)
+            }
+            missing = [
+                v for v in range(cp_le + 1, version + 1) if v not in have
+            ]
+            if missing:
+                gap = ", ".join(str(v) for v in missing[:3])
+                more = "…" if len(missing) > 3 else ""
+                raise ValueError(
+                    f"cannot reconstruct entries at version {version}: "
+                    f"commit(s) {gap}{more} were pruned behind a newer "
+                    "checkpoint (history beyond log retention)"
+                )
+        return list(self.read(max_version=version)["entries"])
+
+    # -- retention lifecycle ---------------------------------------------
+
+    def prune(self, keep_commits: int = 0) -> dict:
+        """Log-retention cleanup — Delta's metadata cleanup
+        (``delta.logRetentionDuration``): remove commit files at-or-below
+        the latest checkpoint (their fold is IN the checkpoint, so no
+        reader at-or-after it ever opens them) plus superseded older
+        checkpoints, keeping ``read()``'s directory listing bounded
+        instead of growing one dirent per commit for the table's life.
+        The reference's analogous lifecycle is segment rotation
+        (table_storage.rs:212-261).
+
+        ``keep_commits`` retains that many of the newest prunable commit
+        files — headroom for consumers whose watermark trails the
+        checkpoint by a few versions (they keep getting EXACT
+        ``rewrites_since`` answers instead of the conservative reseed).
+
+        Safety: with no checkpoint, prunes NOTHING — removal must never
+        create an uncovered gap (an append-only log with no checkpoint
+        would otherwise lose clock state entirely). Consumers whose
+        watermark predates the surviving history get the conservative
+        synthetic rewrite from ``rewrites_since`` (they reseed — safe);
+        ``entries_at`` below the checkpoint refuses explicitly. A crash
+        mid-prune leaves a partial (still checkpoint-covered) gap, which
+        the same conservative path answers; re-running prune completes
+        it. Concurrent ``read()``s retry against the fresh listing."""
+        names = self._list()
+        cps = self._checkpoint_files(names)
+        report: dict = {
+            "checkpoint_version": None,
+            "pruned_commits": 0,
+            "pruned_checkpoints": 0,
+        }
+        if not cps:
+            return report  # nothing covers history: refuse to prune
+        cp_v = int(cps[-1][: -len(".checkpoint.json")])
+        report["checkpoint_version"] = cp_v
+        prunable = [
+            n for n in self._commit_files(names) if int(n[: -len(".json")]) <= cp_v
+        ]
+        if keep_commits > 0:
+            prunable = prunable[:-keep_commits] if keep_commits < len(prunable) else []
+        for n in prunable:
+            try:
+                os.remove(os.path.join(self.log_dir, n))
+                report["pruned_commits"] += 1
+            except FileNotFoundError:
+                pass  # a concurrent pruner already removed it
+        for n in cps[:-1]:
+            try:
+                os.remove(os.path.join(self.log_dir, n))
+                report["pruned_checkpoints"] += 1
+            except FileNotFoundError:
+                pass
+        return report
 
     # -- consumer-side rewrite detection --------------------------------
 
@@ -243,17 +385,31 @@ class CommitLogMetaStore:
         scan replication ship / incremental backup / IMV refresh / the
         result cache run instead of comparing generation integers.
 
-        Pruned history is handled the way Delta handles queries beyond
-        the log retention window — CONSERVATIVELY: if commits in
-        ``(version, …]`` were pruned behind a checkpoint (the caller's
-        watermark predates the oldest surviving commit file) and the
-        checkpoint has ever seen a rewrite, a synthetic
-        ``kind='rewrite', conservative=True`` entry is returned, because
-        whether a rewrite landed inside the pruned gap is unknowable —
-        consumers reseed, which is safe; silently dropping pruned
-        rewrites is the r10 divergence family (review-found)."""
+        History gaps are answered the way Delta answers queries beyond
+        the log retention window — CONSERVATIVELY, never silently (the
+        r10 divergence family was a silent drop):
+
+        - a gap COVERED by a checkpoint (the normal ``prune()`` state)
+          returns a synthetic ``kind='rewrite', conservative=True``
+          entry iff the checkpoint has ever seen a rewrite — whether one
+          landed inside the pruned range is unknowable, so consumers
+          reseed; an append-only history stays exact (generation 0 in
+          the checkpoint proves no rewrite could be hiding).
+        - a gap NOT covered by any checkpoint (manual deletion,
+          non-contiguous loss — states no in-engine operation produces)
+          returns the conservative entry UNCONDITIONALLY, because
+          without a checkpoint fold even "were there any rewrites at
+          all" is unknowable (advisor-found: the contiguous-prefix
+          assumption made this case silently return [])."""
+        try:
+            return self._rewrites_since(version)
+        except FileNotFoundError:
+            return self._rewrites_since(version)  # concurrent prune; re-list
+
+    def _rewrites_since(self, version: int) -> list[dict]:
         names = self._list()
         commit_names = self._commit_files(names)
+        versions = sorted(int(n[: -len(".json")]) for n in commit_names)
         tail = [
             self._read_commit(n)
             for n in commit_names
@@ -261,26 +417,46 @@ class CommitLogMetaStore:
         ]
         hits = [c for c in tail if c.get("kind") == "rewrite"]
         cps = self._checkpoint_files(names)
-        if cps:
-            cp_v = int(cps[-1][: -len(".checkpoint.json")])
-            oldest = min(
-                (int(n[: -len(".json")]) for n in commit_names), default=None
-            )
-            gap_pruned = version < cp_v and (
-                oldest is None or oldest > version + 1
-            )
-            if gap_pruned:
-                with open(os.path.join(self.log_dir, cps[-1])) as fh:
-                    folded = json.load(fh)
-                if int(folded.get("generation", 0)) > 0:
-                    hits.insert(
-                        0,
-                        {
-                            "kind": "rewrite",
-                            "version": cp_v,
-                            "rewrite_id": folded.get("rewrite_id", ""),
-                            "seq_floor": int(folded.get("seq_floor", 0)),
-                            "conservative": True,
-                        },
-                    )
+        cp_v = int(cps[-1][: -len(".checkpoint.json")]) if cps else 0
+        latest = max(versions[-1] if versions else 0, cp_v)
+        if latest <= version:
+            return hits  # nothing after the watermark; nothing to scan
+
+        # Versions in (version, latest] must each be witnessed by a
+        # surviving commit file or covered by the checkpoint. Commits are
+        # claimed contiguously (put-if-absent on version+1), so coverage
+        # reduces to two count checks — no range materialization.
+        span_lo = max(version, cp_v)
+        above = [v for v in versions if v > span_lo]
+        uncovered_gap = bool(above) and (
+            above[0] != span_lo + 1 or len(above) != above[-1] - above[0] + 1
+        )
+        in_cp_span = [v for v in versions if version < v <= cp_v]
+        covered_gap = version < cp_v and len(in_cp_span) < cp_v - version
+
+        conservative = None
+        if uncovered_gap:
+            # no checkpoint fold covers the hole: even the aggregate
+            # rewrite count is unknowable — reseed unconditionally
+            conservative = {
+                "kind": "rewrite",
+                "version": latest,
+                "rewrite_id": "",
+                "seq_floor": 0,
+                "conservative": True,
+                "uncovered": True,
+            }
+        elif covered_gap:
+            with open(os.path.join(self.log_dir, cps[-1])) as fh:
+                folded = json.load(fh)
+            if int(folded.get("generation", 0)) > 0:
+                conservative = {
+                    "kind": "rewrite",
+                    "version": cp_v,
+                    "rewrite_id": folded.get("rewrite_id", ""),
+                    "seq_floor": int(folded.get("seq_floor", 0)),
+                    "conservative": True,
+                }
+        if conservative is not None:
+            hits.insert(0, conservative)
         return hits

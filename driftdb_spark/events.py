@@ -182,7 +182,18 @@ class JsonFileMetaStore:
         except (FileNotFoundError, ValueError):
             return {"seq_floor": 0, "generation": 0, "rewrite_id": ""}
 
-    def bump(self, seq_floor: int, rewrite: bool = False) -> dict:
+    def bump(
+        self,
+        seq_floor: int,
+        rewrite: bool = False,
+        adds: list[str] | None = None,
+        removes: list[str] | None = None,
+    ) -> dict:
+        # adds/removes (Delta-style file actions) are accepted for
+        # interface parity and ignored: the JSON store keeps no entry
+        # manifest — the events directory is authoritative; the
+        # commit-log store records them (commitlog.entries_at).
+        del adds, removes
         os.makedirs(self.table_path, exist_ok=True)
         lock_path = os.path.join(self.table_path, ".meta.lock")
         with open(lock_path, "w") as lk:
@@ -271,8 +282,16 @@ class EventLog:
         the SCALE.md §6 collapse claim executable."""
         return self.meta_store.read()
 
-    def _bump_meta(self, seq_floor: int, rewrite: bool = False) -> None:
-        self.meta_store.bump(seq_floor=seq_floor, rewrite=rewrite)
+    def _bump_meta(
+        self,
+        seq_floor: int,
+        rewrite: bool = False,
+        adds: list[str] | None = None,
+        removes: list[str] | None = None,
+    ) -> None:
+        self.meta_store.bump(
+            seq_floor=seq_floor, rewrite=rewrite, adds=adds, removes=removes
+        )
 
     @contextlib.contextmanager
     def _rewrite_lock(self):
@@ -486,8 +505,14 @@ class EventLog:
             # a crash in between leaves the floor stale, which the
             # log-derived max covers (last_sequence takes the max of all
             # three sources). The floor is what survives a future
-            # purge-to-empty rewrite.
-            self._bump_meta(seq_floor=base + total)
+            # purge-to-empty rewrite. The published entry name rides the
+            # commit as a Delta add-file action (commitlog.entries_at);
+            # the same crash window leaves it unrecorded — locally the
+            # directory stays authoritative (on real Delta the commit IS
+            # the publish, so the window does not exist — SCALE.md §6).
+            self._bump_meta(
+                seq_floor=base + total, adds=[os.path.basename(final)]
+            )
         finally:
             src.unpersist()
         if self.post_commit_fn is not None:
@@ -762,12 +787,15 @@ class EventLog:
         whose staging dir was still in flight when the live dir moved
         aside fails its rename with ENOENT and surfaces as
         :class:`ConcurrentAppendError` — never a silent loss.
-        Before any rename, the persisted meta advances: ``seq_floor`` to
-        the pre-swap high-water mark (so a rewrite that drops trailing —
-        or ALL — events can never reset the sequence clock; see
-        :meth:`read_meta`) and ``generation``/``rewrite_id`` (so
-        replication's ship() reseeds replicas on the persisted signal,
-        not by diffing entry-name sets a clock reset could alias).
+        Before any rename touches the LIVE directory, the persisted meta
+        advances: ``seq_floor`` to the pre-swap high-water mark (so a
+        rewrite that drops trailing — or ALL — events can never reset
+        the sequence clock; see :meth:`read_meta`) and
+        ``generation``/``rewrite_id`` (so replication's ship() reseeds
+        replicas on the persisted signal, not by diffing entry-name sets
+        a clock reset could alias). The bump also records the rewrite's
+        file actions — retired pinned entries, rebuilt entry — which the
+        commit-log store folds into its manifest (``entries_at``).
 
         The rebuilt log is materialized ONCE, directly under
         ``events.new`` as a hidden staging dir, then renamed to a uniform
@@ -799,10 +827,6 @@ class EventLog:
             # or its stale batch-* entries would swap in beside the fresh
             # rebuild (resurrecting purged rows) or collide on rename.
             shutil.rmtree(new_dir)
-        # Floor first: a crash after this write leaves the floor equal to
-        # the current high-water mark (harmless) and the generation bump
-        # at worst forces one spurious replica reseed (safe, idempotent).
-        self._bump_meta(seq_floor=self.last_sequence(), rewrite=True)
         staging = os.path.join(new_dir, "_staging-rewrite")
         rebuilt.write.mode("overwrite").parquet(staging)
         row = (
@@ -811,14 +835,36 @@ class EventLog:
             .agg(F.min("sequence").alias("lo"))
             .first()
         )
+        adds: list[str] = []
         if row["lo"] is None:
             # the rebuild removed every event (purge-to-empty): the new
             # log is an empty dir with no batch entry
             shutil.rmtree(staging)
         else:
-            os.rename(
-                staging, os.path.join(new_dir, f"batch-{int(row['lo']):020d}")
-            )
+            entry = f"batch-{int(row['lo']):020d}"
+            os.rename(staging, os.path.join(new_dir, entry))
+            adds.append(entry)
+        # The clock commit lands AFTER the rebuild is staged and named —
+        # so its body can carry Delta-style file actions: the pinned
+        # entry set this rewrite retires (removes) and the rebuilt entry
+        # (adds), making commitlog.entries_at answerable from the log
+        # alone — but BEFORE any rename touches the live directory: the
+        # crash invariant is bump-before-swap, not bump-before-write
+        # (staging is invisible, and a crash up to here leaves only
+        # reclaimable scratch with NO meta change — the old floor-first
+        # order paid a spurious replica reseed for a crash during the
+        # Spark write; this order doesn't). A crash between this bump and
+        # the renames below still costs at worst one spurious reseed
+        # (safe, idempotent), during which the recorded manifest runs
+        # ahead of the directory until recover reclaims the scratch —
+        # locally the directory stays authoritative (on real Delta the
+        # commit IS the publish, so that window does not exist).
+        self._bump_meta(
+            seq_floor=self.last_sequence(),
+            rewrite=True,
+            adds=adds,
+            removes=list(known_entries),
+        )
         old_dir = self._events_dir + f".old-{uuid.uuid4().hex[:8]}"
         # an absent live dir is a valid (never-written or fully-purged)
         # log: rewrite it as empty rather than crash (fuzz-found)
