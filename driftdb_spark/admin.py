@@ -466,8 +466,14 @@ def recover(
             else:
                 try:
                     lk = stack.enter_context(open(lock_file))
+                    # SHARED mode (advisor-found): LOCK_SH still excludes
+                    # every LOCK_EX rewrite holder — the only writers —
+                    # while letting concurrent read-only dry-run scans
+                    # coexist instead of serializing behind each other
+                    # (and behind nothing else: a dry run mutates nothing,
+                    # so two of them scanning the same table is safe).
                     try:
-                        fcntl.flock(lk, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        fcntl.flock(lk, fcntl.LOCK_SH | fcntl.LOCK_NB)
                     except BlockingIOError:
                         # same diagnosability as the locked path
                         # (events._rewrite_lock): a dry run stalled
@@ -480,7 +486,7 @@ def recover(
                             "blocking until it completes)",
                             log.path,
                         )
-                        fcntl.flock(lk, fcntl.LOCK_EX)
+                        fcntl.flock(lk, fcntl.LOCK_SH)
                 except FileNotFoundError:
                     dry_lockfree = True
             ev_dir = log._events_dir
@@ -551,6 +557,23 @@ def recover(
                     act(name, "remove_purge_scratch", st, age_sec=round(age))
                     if not dry_run:
                         shutil.rmtree(st, ignore_errors=True)
+            # commit-log scratch (_commit_log/_tmp-*): a crash between the
+            # commit body's scratch write and its os.link publish strands
+            # the scratch file forever — invisible to every reader (the
+            # put-if-absent protocol only opens *.json), pure dead disk
+            # accumulating one file per crash (advisor-found: every other
+            # scratch family was swept, this one wasn't). Files, not dirs;
+            # same age gate — an in-flight commit keeps its scratch.
+            for st in glob.glob(os.path.join(log.path, "_commit_log", "_tmp-*")):
+                try:
+                    age = now - os.path.getmtime(st)
+                except OSError:
+                    continue
+                if age >= min_staging_age_sec:
+                    act(name, "remove_commitlog_scratch", st, age_sec=round(age))
+                    if not dry_run:
+                        with contextlib.suppress(OSError):
+                            os.remove(st)
         if dry_lockfree and os.path.exists(lock_file):
             # a first-ever rewrite created the lock mid-scan: our
             # lock-free plan may list its LIVE staging as scratch.

@@ -83,8 +83,13 @@ def main() -> int:
             "b_sec": round(b, 4),
             "b_over_a": round(b / a, 3) if a else None,
         }
-    # an all-zero arm yields no ratios: report nulls, don't crash post-run
-    ratios = [v["b_over_a"] for v in per_query.values() if v["b_over_a"]]
+    # an all-zero arm yields no ratios: report nulls, don't crash post-run.
+    # `is not None`, not truthiness (advisor-found): a legitimate 0.0
+    # ratio (b==0, a>0 on a degenerate run) must count toward the
+    # median/min, not be discarded like a missing value.
+    ratios = [
+        v["b_over_a"] for v in per_query.values() if v["b_over_a"] is not None
+    ]
     result = {
         "metric": "cross_commit_bench_ab",
         "rounds": len(runs_a),
