@@ -63,6 +63,47 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _rewrite_lock_state(log) -> dict:
+    """Operator-facing rewrite-lock telemetry: is the table's rewrite
+    flock held right now, and by whom. flock exposes no holder identity,
+    so held-ness is a non-blocking LOCK_SH probe (shared: conflicts with
+    a LOCK_EX holder, coexists with other read-only probes) and identity
+    comes from the ``(pid, op, acquired_unix)`` record every holder
+    writes into the lock file after acquiring (events._rewrite_lock) —
+    a stalled purge is diagnosable from ``admin status`` without log
+    access: the holder op, its pid, and how long it has held the lock."""
+    import time as _time
+
+    lock_file = os.path.join(log.path, ".rewrite.lock")
+    try:
+        lk = open(lock_file)
+    except (FileNotFoundError, OSError):
+        return {"held": False}  # no rewrite has ever run on this table
+    with lk:
+        try:
+            fcntl.flock(lk, fcntl.LOCK_SH | fcntl.LOCK_NB)
+            fcntl.flock(lk, fcntl.LOCK_UN)
+            return {"held": False}
+        except BlockingIOError:
+            pass
+        out: dict = {"held": True}
+        try:
+            raw = lk.read(4096)
+            info = json.loads(raw) if raw.strip() else {}
+        except (OSError, ValueError):
+            info = {}  # racing holder mid-write: held-ness still reported
+        holder = {
+            k: info[k] for k in ("pid", "op", "acquired_unix") if k in info
+        }
+        if "acquired_unix" in holder:
+            holder["held_sec"] = round(
+                _time.time() - float(holder["acquired_unix"]), 1
+            )
+        if holder:
+            out["holder"] = holder
+        return out
+
+
 def _table_dirs(log) -> dict:
     events_dir = log._events_dir
     batches = sorted(glob.glob(os.path.join(events_dir, "batch-*")))
@@ -80,6 +121,7 @@ def _table_dirs(log) -> dict:
         "snapshots": snaps,
         "seq_floor": int(meta.get("seq_floor", 0)),
         "rewrite_generation": int(meta.get("generation", 0)),
+        "rewrite_lock": _rewrite_lock_state(log),
     }
 
 
@@ -462,7 +504,7 @@ def recover(
         dry_lockfree = False
         with contextlib.ExitStack() as stack:
             if not dry_run:
-                stack.enter_context(log._rewrite_lock())
+                stack.enter_context(log._rewrite_lock("recover"))
             else:
                 try:
                     lk = stack.enter_context(open(lock_file))

@@ -115,7 +115,7 @@ class BackupManager:
             # stale bytes; (b) a rewrite swapping the dir mid-copy makes
             # _copy_entry ENOENT. Appends stay concurrent (new batches
             # simply land after the pin, caught by the next incremental).
-            with log._rewrite_lock():
+            with log._rewrite_lock("backup"):
                 self._backup_table(name, log, dest, parent, chain_entries,
                                    parent_meta, manifest)
         cat = self._session._catalog_path()

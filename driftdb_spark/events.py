@@ -294,7 +294,7 @@ class EventLog:
         )
 
     @contextlib.contextmanager
-    def _rewrite_lock(self):
+    def _rewrite_lock(self, op: str = "rewrite"):
         """Serialize log rewrites (compact/purge) CROSS-PROCESS. The
         in-process write gate (the session/server exec_lock) doesn't
         cover a CLI ``compact`` racing a server ``purge``: both would
@@ -313,9 +313,16 @@ class EventLog:
         copy — correctness over availability (a torn cut silently
         corrupts incrementals/replicas). Acquisition tries LOCK_NB first
         and logs one warning before blocking, so a "hung purge" is
-        diagnosable from the log rather than a mystery."""
+        diagnosable from the log rather than a mystery; the holder also
+        records ``(pid, op, acquired_unix)`` INTO the lock file after
+        acquiring, so ``admin status`` can name who holds a contended
+        lock without log access (flock itself exposes no holder
+        identity). Opened append-mode — a waiter must not truncate the
+        live holder's record."""
+        import time as _time
+
         os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, ".rewrite.lock"), "w") as lk:
+        with open(os.path.join(self.path, ".rewrite.lock"), "a+") as lk:
             try:
                 fcntl.flock(lk, fcntl.LOCK_EX | fcntl.LOCK_NB)
             except BlockingIOError:
@@ -326,12 +333,27 @@ class EventLog:
                 import logging
 
                 logging.getLogger("driftdb_spark.events").warning(
-                    "waiting for rewrite lock on %s (held by a concurrent "
-                    "compact/purge/backup/ship/refresh/recover; blocking "
-                    "until it completes)",
+                    "%s waiting for rewrite lock on %s (held by a "
+                    "concurrent compact/purge/backup/ship/refresh/recover;"
+                    " blocking until it completes)",
+                    op,
                     self.path,
                 )
                 fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                lk.seek(0)
+                lk.truncate()
+                json.dump(
+                    {
+                        "pid": os.getpid(),
+                        "op": op,
+                        "acquired_unix": round(_time.time(), 3),
+                    },
+                    lk,
+                )
+                lk.flush()
+            except OSError:
+                pass  # telemetry only — never fail the rewrite over it
             yield
 
     # -- storage ------------------------------------------------------------
@@ -759,7 +781,7 @@ class EventLog:
         hole the lock closes for backup/ship/IMV refresh. compact's
         internal ``_snapshot_of`` is already inside the lock."""
         self._check_writable("snapshot")
-        with self._rewrite_lock():
+        with self._rewrite_lock("snapshot"):
             entries = self._log_entries()
             if not entries and not self._snapshot_seqs():
                 return 0  # nothing has ever been published (fuzz-found)
@@ -912,7 +934,7 @@ class EventLog:
         empty. Concurrent appends are preserved by the pinned-entries +
         rescue-sweep swap (``_swap_events_dir``)."""
         self._check_writable("compact")
-        with self._rewrite_lock():
+        with self._rewrite_lock("compact"):
             entries = self._log_entries()
             if not entries:
                 # empty log (CREATE TABLE, no writes yet — fuzz-found):
@@ -975,7 +997,7 @@ class EventLog:
         pk_list = keys.select(
             F.col(keys.columns[0]).cast("string").alias("pk")
         ).distinct()
-        with self._rewrite_lock():
+        with self._rewrite_lock("purge"):
             return self._purge_locked(pk_list)
 
     def _purge_locked(self, pk_list: DataFrame) -> int:

@@ -299,7 +299,7 @@ class ReplicationPrimary:
             # copy, and a torn (old entries, new meta) cut forces a
             # spurious reseed crash-retry cycle. Appends stay concurrent —
             # a batch landing after the pin ships next round.
-            with log._rewrite_lock():
+            with log._rewrite_lock("ship"):
                 entries = log._log_entries()  # pinned published set
                 snaps = [f"seq={s}" for s in log._snapshot_seqs()]
                 meta = log.read_meta()

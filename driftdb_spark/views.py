@@ -400,7 +400,7 @@ class IncrementalViewRegistry:
         token, keep purged contributions through this refresh, and only
         heal on the next one. Locked, "an IMV fully recomputes on its
         first refresh after a rewrite" is airtight."""
-        with self._logs[name]._rewrite_lock():
+        with self._logs[name]._rewrite_lock("imv_refresh"):
             return self._refresh_locked(name)
 
     def _refresh_locked(self, name: str) -> int:
