@@ -77,6 +77,92 @@ HEADLINE = [
 N_WARMUP = 2
 N_REPEATS = 3
 
+# ---------------------------------------------------------------------------
+# Machine-drift control arm (r12 judge ask #3). BENCH_r11-vs-r10 measured a
+# uniform 1.31x "regression" that a cross-commit A/B (BENCH_drift_ab_r12)
+# proved was the MACHINE drifting 1.37x between rounds with code held
+# constant. This block makes every future BENCH_r*.json carry its own drift
+# divisor: a FROZEN workload — pure-Spark queries written inline here, no
+# driftdb_spark code on the path, bit-identical across rounds as long as
+# this block is never edited (control_rev guards that) — timed alongside
+# the suite and compared to the reference medians recorded when the block
+# was introduced. "drift" = median(control_now / control_ref); divide two
+# rounds' totals by their drift factors before comparing them.
+# DO NOT EDIT the control queries; bump control_rev and re-pin CONTROL_REF
+# if they ever must change.
+CONTROL_REV = 1
+CONTROL_REF_ROUND = 13  # machine state the reference medians were pinned at
+CONTROL_REF = {  # pinned r13: midpoint of two back-to-back runs
+    "ctl_scan_agg": 0.1371,
+    "ctl_join_agg": 0.1316,
+    "ctl_window_topk": 0.2743,
+}
+CONTROL_WARMUP = 1
+CONTROL_REPEATS = 5
+
+
+def _control_queries(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    scan_agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.avg("l_extendedprice").alias("ap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    join_agg = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    window_topk = (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+    )
+    return {
+        "ctl_scan_agg": scan_agg,
+        "ctl_join_agg": join_agg,
+        "ctl_window_topk": window_topk,
+    }
+
+
+def _run_control(spark, sf_dir: str) -> dict:
+    dfs = _control_queries(spark, sf_dir)
+    runs: dict[str, list[float]] = {name: [] for name in dfs}
+    for pass_no in range(CONTROL_WARMUP + CONTROL_REPEATS):
+        for name, df in dfs.items():
+            t0 = time.perf_counter()
+            _materialize(df)
+            if pass_no >= CONTROL_WARMUP:
+                runs[name].append(round(time.perf_counter() - t0, 4))
+    medians = {n: round(statistics.median(ts), 4) for n, ts in runs.items()}
+    ratios = [
+        medians[n] / CONTROL_REF[n]
+        for n in CONTROL_REF
+        if n in medians and CONTROL_REF[n] > 0
+    ]
+    drift = round(statistics.median(ratios), 4) if ratios else None
+    return {
+        "control_rev": CONTROL_REV,
+        "ref_round": CONTROL_REF_ROUND,
+        "queries": medians,
+        "ref": CONTROL_REF,
+        "runs": runs,
+        # >1.0: this machine is SLOWER than at pin time; divide the suite
+        # total by this before comparing across rounds
+        "machine_drift": drift,
+    }
+
 # Queries whose fn() runs a driver-side fixpoint loop and RETURNS a
 # persisted result: under build-once these would do all their work in the
 # untimed build and the timed pass would just read cache (measured
@@ -127,6 +213,9 @@ def main() -> None:
             if pass_no >= N_WARMUP:
                 runs[name].append(round(time.perf_counter() - t0, 4))
     spark.catalog.clearCache()
+    # drift-control arm LAST: its numbers must not absorb the suite's
+    # JVM warm-up, and the suite must not inherit its cache state
+    control = _run_control(spark, sf_dir)
 
     times = {name: round(statistics.median(ts), 4) for name, ts in runs.items()}
     out = {
@@ -144,7 +233,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": N_REPEATS,
         "runs": runs,
+        "control": control,
     }
+    if control["machine_drift"]:
+        out["value_drift_normalized"] = round(
+            out["value"] / control["machine_drift"], 4
+        )
     print(json.dumps(out))
 
 
