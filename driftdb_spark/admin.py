@@ -332,6 +332,31 @@ def verify_integrity(
                 return n
 
             r["checksum_rows"] = _safe(_full_read)
+
+        # manifest agreement — commit-log stores only: the store's
+        # add/remove file-action fold (commitlog.entries_at) must name
+        # exactly the directory's published entries. A mismatch means a
+        # crash landed in the bump-to-swap window (the one documented
+        # divergence, events._swap_events_dir) or someone moved batch
+        # dirs by hand — either way the log can no longer answer "what
+        # entries exist at version V" truthfully and the operator should
+        # know. The JSON store keeps no manifest: check skipped.
+        if hasattr(log.meta_store, "entries_at"):
+
+            def _manifest_check():
+                want = log._log_entries()
+                got = log.meta_store.entries_at()
+                if got == want:
+                    return "ok"
+                extra = sorted(set(got) - set(want))
+                missing = sorted(set(want) - set(got))
+                return (
+                    f"MISMATCH: manifest-only={extra[:3]} "
+                    f"dir-only={missing[:3]} — commit-log file actions "
+                    "disagree with the published directory"
+                )
+
+            r["manifest"] = _safe(_manifest_check)
         r["ok"] = (
             r["sequence_duplicates"] == 0
             and r["batch_misaligned"] == 0
@@ -339,6 +364,7 @@ def verify_integrity(
             and r["pk_duplicates"] == 0
             and r["constraints"] in ("ok", "none declared")
             and r["snapshots"] == "ok"
+            and r.get("manifest", "ok") == "ok"
             and not str(r.get("checksum_rows", "")).startswith("error")
         )
         out[name] = r

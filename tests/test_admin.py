@@ -676,3 +676,34 @@ def test_status_reports_rewrite_lock_holder(spark, tmp_path):
     sess.sql("COMPACT items")
     with open(os.path.join(log.path, ".rewrite.lock")) as fh:
         assert json.loads(fh.read())["op"] == "compact"
+
+
+def test_verify_checks_commitlog_manifest(spark, tmp_path):
+    """On a commit-log-backed table, `admin verify` cross-checks the
+    store's add/remove file-action fold (entries_at) against the
+    published directory — the one documented divergence window (a crash
+    between the rewrite's clock commit and its swap) becomes
+    operator-detectable instead of silent. JSON-store tables skip the
+    check (they keep no manifest)."""
+    from driftdb_spark.commitlog import CommitLogMetaStore
+
+    _data, sess = _mkdb(spark, tmp_path, "manifest")
+    log = sess.table("items")
+
+    # JSON store: no manifest check in the report
+    rep = admin.verify_integrity(sess, "items")
+    assert "manifest" not in rep["tables"]["items"] and rep["ok"]
+
+    # commit-log store: agreement after appends AND a rewrite
+    log.meta_store = CommitLogMetaStore(log.path)
+    sess.sql("INSERT INTO items VALUES (7, 'rivet', 4)")
+    sess.sql("COMPACT items")
+    rep = admin.verify_integrity(sess, "items")
+    assert rep["tables"]["items"]["manifest"] == "ok" and rep["ok"]
+
+    # forge a divergence (the crash-window shape): a recorded add whose
+    # directory entry never materialized
+    log.meta_store.bump(seq_floor=log.last_sequence(), adds=["batch-bogus"])
+    rep = admin.verify_integrity(sess, "items")
+    assert rep["tables"]["items"]["manifest"].startswith("MISMATCH")
+    assert not rep["ok"]
