@@ -24,7 +24,7 @@ import os
 
 import pytest
 from conftest import fuzz_examples
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from driftdb_spark.backup import BackupManager
@@ -48,6 +48,14 @@ _op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(program=st.lists(_op, min_size=3, max_size=8))
+# fuzz-found at FUZZ_SCALE=10 (r13): purge, then RE-INSERT the same key,
+# then soft-delete it — the key is absent from current state but its
+# post-purge insert+delete events are NEW legitimate history (soft
+# delete keeps history by design; the purge erased only PRIOR events).
+# The model bug was "ever purged" ⇒ "no history forever"; temporal fuzz
+# fixed the same model in r11 (purged.discard on re-insert), this suite
+# and replication fuzz had kept the stale model.
+@example(program=[("purge", 5), ("ins", 5, 0), ("del", 5)])
 def test_restored_chain_matches_primary(spark, tmp_path_factory, program):
     root = tmp_path_factory.mktemp("bkfuzz")
     sess = DriftSession(spark, str(root / "primary"))
@@ -76,6 +84,10 @@ def test_restored_chain_matches_primary(spark, tmp_path_factory, program):
                 sess.sql(f"UPDATE t SET v = {v} WHERE id = {pk}")
             else:
                 sess.sql(f"INSERT INTO t VALUES ({pk}, {v})")
+            # a re-insert after a purge creates NEW legitimate history
+            # (the purge erased only the prior events) — the key leaves
+            # the erased set, mirroring test_temporal_fuzz's r11 model
+            purged.discard(pk)
         elif kind == "upd":
             _k, pk, v = op
             sess.sql(f"UPDATE t SET v = {v} WHERE id = {pk}")

@@ -103,6 +103,11 @@ def test_replica_converges_to_primary(spark, tmp_path_factory, program):
                 sess.sql(f"UPDATE t SET v = {v} WHERE id = {pk}")
             else:
                 sess.sql(f"INSERT INTO t VALUES ({pk}, {v})")
+            # a re-insert after a purge creates NEW legitimate history
+            # (the purge erased only the prior events) — the key leaves
+            # the erased set, mirroring test_temporal_fuzz's r11 model
+            # (fuzz-found in the backup twin of this suite, r13)
+            purged.discard(pk)
         elif kind == "upd":
             _k, pk, v = op
             sess.sql(f"UPDATE t SET v = {v} WHERE id = {pk}")
