@@ -301,6 +301,13 @@ class CommitLogMetaStore:
         partial history."""
         if version is not None:
             names = self._list()
+            head = self.version()
+            if version > head:
+                # Delta: time travel to a version past the head is "version
+                # does not exist", not a retention problem
+                raise ValueError(
+                    f"version {version} does not exist (latest is {head})"
+                )
             cps = [
                 int(n[: -len(".checkpoint.json")])
                 for n in self._checkpoint_files(names)

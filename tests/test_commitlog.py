@@ -450,3 +450,13 @@ def test_entries_manifest_answers_historical_versions(spark, tmp_path):
         store.entries_at(pruned_v)
     # the LATEST manifest still answers exactly after the prune
     assert store.entries_at() == log._log_entries()
+
+
+def test_entries_at_beyond_head_is_version_not_exist(tmp_path):
+    """entries_at past the head must say 'version does not exist'
+    (Delta's error), not misreport it as pruned retention."""
+    store = CommitLogMetaStore(str(tmp_path / "t"))
+    store.bump(seq_floor=1, adds=["batch-a"])
+    with pytest.raises(ValueError, match="does not exist"):
+        store.entries_at(99)
+    assert store.entries_at(1) == ["batch-a"]
