@@ -92,6 +92,7 @@ N_REPEATS = 3
 # if they ever must change.
 CONTROL_REV = 1
 CONTROL_REF_ROUND = 13  # machine state the reference medians were pinned at
+CONTROL_REF_SF = "0.1"  # data scale the medians were pinned at
 CONTROL_REF = {  # pinned r13: midpoint of two back-to-back runs
     "ctl_scan_agg": 0.1371,
     "ctl_join_agg": 0.1316,
@@ -137,6 +138,21 @@ def _control_queries(spark, sf_dir: str) -> dict:
 
 
 def _run_control(spark, sf_dir: str) -> dict:
+    # the pinned medians are only meaningful at the pinned data scale
+    # (review-found): at any other SPARK_GRAFT_SF_DIR the frozen queries
+    # run against different data volumes and the ratio is garbage —
+    # report the control timings but null the drift factor
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if sf != CONTROL_REF_SF:
+        return {
+            "control_rev": CONTROL_REV,
+            "ref_round": CONTROL_REF_ROUND,
+            "queries": {},
+            "ref": CONTROL_REF,
+            "runs": {},
+            "machine_drift": None,
+            "note": f"sf {sf} != pinned sf {CONTROL_REF_SF}: drift not comparable",
+        }
     dfs = _control_queries(spark, sf_dir)
     runs: dict[str, list[float]] = {name: [] for name in dfs}
     for pass_no in range(CONTROL_WARMUP + CONTROL_REPEATS):

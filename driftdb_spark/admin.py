@@ -335,25 +335,51 @@ def verify_integrity(
 
         # manifest agreement — commit-log stores only: the store's
         # add/remove file-action fold (commitlog.entries_at) must name
-        # exactly the directory's published entries. A mismatch means a
-        # crash landed in the bump-to-swap window (the one documented
-        # divergence, events._swap_events_dir) or someone moved batch
-        # dirs by hand — either way the log can no longer answer "what
-        # entries exist at version V" truthfully and the operator should
-        # know. The JSON store keeps no manifest: check skipped.
+        # exactly the published entries; a STABLE mismatch means the log
+        # can no longer answer "what entries exist at version V"
+        # truthfully. The JSON store keeps no manifest: check skipped.
         if hasattr(log.meta_store, "entries_at"):
 
             def _manifest_check():
-                want = log._log_entries()
-                got = log.meta_store.entries_at()
-                if got == want:
-                    return "ok"
+                import time as _t
+
+                # recheck-on-mismatch (review-found): verify runs against
+                # a LIVE table, and an append renaming its batch into the
+                # dir before recording its add (or the manifest read
+                # landing between the two) is a benign in-flight state,
+                # not corruption — only a mismatch stable across
+                # re-reads is reported
+                for _attempt in range(3):
+                    want = log._log_entries()
+                    got = log.meta_store.entries_at()
+                    if got == want:
+                        return "ok"
+                    _t.sleep(0.05)
+                # pre-manifest carve-out (review-found): a log written
+                # before file actions existed has real batches but zero
+                # recorded actions — warn, don't fail (same contract as
+                # the 'missing meta (legacy log)' floor check); `admin
+                # recover` seeds the manifest
+                if (
+                    not got
+                    and want
+                    and not any(
+                        "adds" in c or "removes" in c
+                        for c in log.meta_store.commits()
+                    )
+                ):
+                    return (
+                        "no file actions recorded (pre-manifest commit "
+                        "log); run `admin recover` to seed the manifest"
+                    )
                 extra = sorted(set(got) - set(want))
                 missing = sorted(set(want) - set(got))
                 return (
                     f"MISMATCH: manifest-only={extra[:3]} "
-                    f"dir-only={missing[:3]} — commit-log file actions "
-                    "disagree with the published directory"
+                    f"dir-only={missing[:3]} — a crash between an "
+                    "append's publish and its commit, a crash between a "
+                    "rewrite's commit and its swap, or hand-moved batch "
+                    "dirs; `admin recover` reconciles the manifest"
                 )
 
             r["manifest"] = _safe(_manifest_check)
@@ -364,7 +390,10 @@ def verify_integrity(
             and r["pk_duplicates"] == 0
             and r["constraints"] in ("ok", "none declared")
             and r["snapshots"] == "ok"
-            and r.get("manifest", "ok") == "ok"
+            and (
+                r.get("manifest", "ok") == "ok"
+                or str(r.get("manifest", "")).startswith("no file actions")
+            )
             and not str(r.get("checksum_rows", "")).startswith("error")
         )
         out[name] = r
@@ -642,6 +671,44 @@ def recover(
                     if not dry_run:
                         with contextlib.suppress(OSError):
                             os.remove(st)
+            # manifest reconciliation (commit-log stores only,
+            # review-found): a crash between a rewrite's clock commit and
+            # its swap leaves the recorded file actions AHEAD of the
+            # directory (phantom adds/removes), and a crash between an
+            # append's publish and its commit leaves them BEHIND (a live
+            # batch with no recorded add). Neither heals on its own — a
+            # later rewrite's removes are always the pinned DIRECTORY
+            # set, so a phantom entry is never removed and `admin verify`
+            # stays red forever. Under the rewrite lock the directory is
+            # rewrite-quiescent (a racing APPEND is add-only, and
+            # re-recording an add is idempotent in the set fold), so
+            # repair = ONE commit whose actions are exactly the diff.
+            if hasattr(log.meta_store, "entries_at"):
+                try:
+                    want = set(log._log_entries())
+                    got = set(log.meta_store.entries_at())
+                except (OSError, ValueError):
+                    want = got = set()  # unreadable manifest: nothing provable
+                if want != got:
+                    act(
+                        name,
+                        "reconcile_manifest",
+                        log.path,
+                        adds=sorted(want - got),
+                        removes=sorted(got - want),
+                    )
+                    if not dry_run:
+                        # carry the real high-water mark: when this seeds
+                        # a FRESH commit-log store (migration from the
+                        # JSON store), the floor must land at-or-above
+                        # every assigned sequence or verify's floor check
+                        # would flag the seeded table; bump folds max, so
+                        # an already-correct clock is unchanged
+                        log.meta_store.bump(
+                            seq_floor=log.last_sequence(),
+                            adds=sorted(want - got),
+                            removes=sorted(got - want),
+                        )
         if dry_lockfree and os.path.exists(lock_file):
             # a first-ever rewrite created the lock mid-scan: our
             # lock-free plan may list its LIVE staging as scratch.

@@ -878,7 +878,10 @@ class EventLog:
         # Spark write; this order doesn't). A crash between this bump and
         # the renames below still costs at worst one spurious reseed
         # (safe, idempotent), during which the recorded manifest runs
-        # ahead of the directory until recover reclaims the scratch —
+        # ahead of the directory — `admin recover` repairs it with a
+        # reconciling commit (recover's reconcile_manifest action;
+        # without that the phantom actions would NEVER heal, because a
+        # later rewrite's removes are always the pinned directory set) —
         # locally the directory stays authoritative (on real Delta the
         # commit IS the publish, so that window does not exist).
         self._bump_meta(

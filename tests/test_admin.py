@@ -707,3 +707,70 @@ def test_verify_checks_commitlog_manifest(spark, tmp_path):
     rep = admin.verify_integrity(sess, "items")
     assert rep["tables"]["items"]["manifest"].startswith("MISMATCH")
     assert not rep["ok"]
+
+
+def test_recover_reconciles_manifest_after_rewrite_crash(spark, tmp_path, monkeypatch):
+    """Review-found: a crash between a rewrite's clock commit and its
+    swap leaves phantom file actions in the commit-log manifest that NO
+    later operation removes (a rewrite's removes are always the pinned
+    directory set) — verify would stay red forever. recover now repairs
+    it with one reconciling commit; also covers the pre-manifest legacy
+    carve-out (a commit-log table whose batches predate file actions
+    warns instead of failing, and recover seeds the manifest with the
+    real high-water floor)."""
+    from driftdb_spark.commitlog import CommitLogMetaStore
+
+    _data, sess = _mkdb(spark, tmp_path, "manrec")
+    log = sess.table("items")
+    log.meta_store = CommitLogMetaStore(log.path)
+
+    # pre-manifest state: real batches, zero recorded actions -> warn,
+    # not fail (same contract as the legacy floor check)
+    rep = admin.verify_integrity(sess, "items")
+    assert rep["tables"]["items"]["manifest"].startswith("no file actions")
+    assert rep["ok"]
+
+    # recover seeds the manifest AND the floor (>= every sequence)
+    r = admin.recover(sess, min_staging_age_sec=0.0)
+    acts = {a["action"] for a in r["tables"]["items"]}
+    assert "reconcile_manifest" in acts
+    rep = admin.verify_integrity(sess, "items")
+    t = rep["tables"]["items"]
+    assert t["manifest"] == "ok" and t["sequence_floor"] == "ok" and rep["ok"]
+
+    # crash a purge between its clock commit and the live-dir rename:
+    # the manifest now runs AHEAD of the directory (phantom rewrite)
+    calls = {"n": 0}
+    real_rename = os.rename
+
+    def crashing_rename(src, dst, **kw):
+        if calls["n"] == 1:  # 0 = staging->batch in new_dir; 1 = live->old
+            raise RuntimeError("injected crash before the swap")
+        calls["n"] += 1
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        log.purge(spark.createDataFrame([(1,)], "iid int"))
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    rep = admin.verify_integrity(sess, "items")
+    assert rep["tables"]["items"]["manifest"].startswith("MISMATCH")
+    assert not rep["ok"]
+
+    # recover: scratch reclaimed AND manifest reconciled, idempotently
+    r = admin.recover(sess, min_staging_age_sec=0.0)
+    acts = {a["action"] for a in r["tables"]["items"]}
+    assert "reconcile_manifest" in acts
+    assert admin.recover(sess, min_staging_age_sec=0.0)["actions_total"] == 0
+    rep = admin.verify_integrity(sess, "items")
+    assert rep["tables"]["items"]["manifest"] == "ok" and rep["ok"]
+
+    # and the purge contract still holds: the re-run converges with the
+    # manifest tracking the rewrite for real this time
+    log.purge(spark.createDataFrame([(1,)], "iid int"))
+    assert log.events().filter("pk = '1'").count() == 0
+    rep = admin.verify_integrity(sess, "items")
+    assert rep["tables"]["items"]["manifest"] == "ok" and rep["ok"]

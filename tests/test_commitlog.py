@@ -520,5 +520,6 @@ def test_concurrent_prune_never_yields_wrong_answers(tmp_path):
     assert not failures, failures[:5]
     # post-race: the final fold is exact and the directory is bounded
     assert store.read()["entries"] == recorded[-1][1]
-    assert store.prune()["pruned_commits"] == 0 or True  # idempotent close
+    store.prune()  # close out retention...
+    assert store.prune()["pruned_commits"] == 0  # ...and it is idempotent
     assert len(store._commit_files()) <= 2 * CHECKPOINT_INTERVAL + 2
