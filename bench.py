@@ -137,22 +137,7 @@ def _control_queries(spark, sf_dir: str) -> dict:
     }
 
 
-def _run_control(spark, sf_dir: str) -> dict:
-    # the pinned medians are only meaningful at the pinned data scale
-    # (review-found): at any other SPARK_GRAFT_SF_DIR the frozen queries
-    # run against different data volumes and the ratio is garbage —
-    # report the control timings but null the drift factor
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    if sf != CONTROL_REF_SF:
-        return {
-            "control_rev": CONTROL_REV,
-            "ref_round": CONTROL_REF_ROUND,
-            "queries": {},
-            "ref": CONTROL_REF,
-            "runs": {},
-            "machine_drift": None,
-            "note": f"sf {sf} != pinned sf {CONTROL_REF_SF}: drift not comparable",
-        }
+def _run_control(spark, sf_dir: str, sf: str) -> dict:
     dfs = _control_queries(spark, sf_dir)
     runs: dict[str, list[float]] = {name: [] for name in dfs}
     for pass_no in range(CONTROL_WARMUP + CONTROL_REPEATS):
@@ -162,22 +147,32 @@ def _run_control(spark, sf_dir: str) -> dict:
             if pass_no >= CONTROL_WARMUP:
                 runs[name].append(round(time.perf_counter() - t0, 4))
     medians = {n: round(statistics.median(ts), 4) for n, ts in runs.items()}
-    ratios = [
-        medians[n] / CONTROL_REF[n]
-        for n in CONTROL_REF
-        if n in medians and CONTROL_REF[n] > 0
-    ]
-    drift = round(statistics.median(ratios), 4) if ratios else None
-    return {
+    out = {
         "control_rev": CONTROL_REV,
         "ref_round": CONTROL_REF_ROUND,
         "queries": medians,
         "ref": CONTROL_REF,
         "runs": runs,
-        # >1.0: this machine is SLOWER than at pin time; divide the suite
-        # total by this before comparing across rounds
-        "machine_drift": drift,
     }
+    # the pinned medians are only meaningful at the pinned data scale
+    # (review-found): at any other SPARK_GRAFT_SF_DIR the frozen queries
+    # run against different data volumes and the ratio is garbage. The
+    # controls are still TIMED and reported — those timings are what a
+    # later analyst needs to re-pin CONTROL_REF at a new scale — but the
+    # drift factor is nulled rather than ~10x wrong.
+    if sf != CONTROL_REF_SF:
+        out["machine_drift"] = None
+        out["note"] = f"sf {sf} != pinned sf {CONTROL_REF_SF}: drift not comparable"
+        return out
+    ratios = [
+        medians[n] / CONTROL_REF[n]
+        for n in CONTROL_REF
+        if n in medians and CONTROL_REF[n] > 0
+    ]
+    # >1.0: this machine is SLOWER than at pin time; divide the suite
+    # total by this before comparing across rounds
+    out["machine_drift"] = round(statistics.median(ratios), 4) if ratios else None
+    return out
 
 # Queries whose fn() runs a driver-side fixpoint loop and RETURNS a
 # persisted result: under build-once these would do all their work in the
@@ -231,7 +226,7 @@ def main() -> None:
     spark.catalog.clearCache()
     # drift-control arm LAST: its numbers must not absorb the suite's
     # JVM warm-up, and the suite must not inherit its cache state
-    control = _run_control(spark, sf_dir)
+    control = _run_control(spark, sf_dir, sf)
 
     times = {name: round(statistics.median(ts), 4) for name, ts in runs.items()}
     out = {

@@ -345,13 +345,19 @@ def verify_integrity(
 
                 # recheck-on-mismatch (review-found): verify runs against
                 # a LIVE table, and an append renaming its batch into the
-                # dir before recording its add (or the manifest read
-                # landing between the two) is a benign in-flight state,
-                # not corruption — only a mismatch stable across
-                # re-reads is reported
+                # dir before recording its add is a benign in-flight
+                # state, not corruption — only a mismatch stable across
+                # re-reads is reported. Manifest BEFORE directory
+                # (review-found): appends publish-then-commit, so an
+                # entry the manifest names is already in the dir at any
+                # later read — reading the dir first let a whole append
+                # land between the reads and show up as a spurious
+                # manifest-only entry, one more transient shape for the
+                # retry loop to absorb; in this order a manifest-only
+                # entry is a reliable phantom (rewrite-crash) signal.
                 for _attempt in range(3):
-                    want = log._log_entries()
                     got = log.meta_store.entries_at()
+                    want = log._log_entries()
                     if got == want:
                         return "ok"
                     _t.sleep(0.05)
@@ -359,14 +365,18 @@ def verify_integrity(
                 # before file actions existed has real batches but zero
                 # recorded actions — warn, don't fail (same contract as
                 # the 'missing meta (legacy log)' floor check); `admin
-                # recover` seeds the manifest
+                # recover` seeds the manifest. Keyed off the fold's
+                # actions_seen flag, which checkpoints persist — NOT off
+                # scanning surviving commit files (review-found: after a
+                # retention prune() removes the action-carrying tail,
+                # the scan misclassified a real divergence — e.g. an
+                # append crash after purge-to-empty+prune — as
+                # pre-manifest and verify passed on a corrupted
+                # manifest).
                 if (
                     not got
                     and want
-                    and not any(
-                        "adds" in c or "removes" in c
-                        for c in log.meta_store.commits()
-                    )
+                    and not log.meta_store.read().get("actions_seen")
                 ):
                     return (
                         "no file actions recorded (pre-manifest commit "
@@ -685,8 +695,18 @@ def recover(
             # repair = ONE commit whose actions are exactly the diff.
             if hasattr(log.meta_store, "entries_at"):
                 try:
-                    want = set(log._log_entries())
+                    # manifest BEFORE directory (review-found): the
+                    # rewrite lock held here excludes rewrites but NOT
+                    # appends, and appends publish-then-commit. Reading
+                    # the dir first let an append land between the two
+                    # reads and get its LIVE batch recorded as a
+                    # manifest REMOVE — recover manufacturing the exact
+                    # corruption it repairs. In this order a racing
+                    # append can only surface as a directory-only entry,
+                    # which is re-recorded as an add (idempotent in the
+                    # set fold).
                     got = set(log.meta_store.entries_at())
+                    want = set(log._log_entries())
                 except (OSError, ValueError):
                     want = got = set()  # unreadable manifest: nothing provable
                 if want != got:

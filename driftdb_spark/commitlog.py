@@ -77,6 +77,12 @@ CHECKPOINT_INTERVAL = 10
 
 _EMPTY = {"seq_floor": 0, "generation": 0, "rewrite_id": "", "version": 0}
 
+#: how many times a fold re-lists the directory when a concurrent
+#: prune() removes a listed file mid-read. Each retry only loses to
+#: ANOTHER prune landing inside the retry window, so consecutive losses
+#: are geometrically unlikely; the bound exists to guarantee termination.
+_LIST_RETRIES = 6
+
 
 class CommitLogMetaStore:
     """Sequence-clock/rewrite-generation backend shaped like a Delta
@@ -200,14 +206,21 @@ class CommitLogMetaStore:
         bump() to report exactly the state as of ITS commit, not a
         rival's later one).
 
-        Retries once on FileNotFoundError: a concurrent ``prune()`` may
+        Retries on FileNotFoundError: a concurrent ``prune()`` may
         remove a listed commit between our directory listing and the
         open; the fresh listing sees the checkpoint that covers whatever
-        was pruned (prune only ever removes checkpoint-covered files)."""
-        try:
-            return self._fold(max_version)
-        except FileNotFoundError:
-            return self._fold(max_version)
+        was pruned (prune only ever removes checkpoint-covered files).
+        Bounded retry, not retry-once (review-found): under a busy
+        writer + looping pruner, back-to-back prunes can each invalidate
+        one listing, and a single retry re-raised a raw
+        FileNotFoundError from a healthy log."""
+        for attempt in range(_LIST_RETRIES):
+            try:
+                return self._fold(max_version)
+            except FileNotFoundError:
+                if attempt == _LIST_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
 
     def _fold(
         self, max_version: int | None = None, names: list[str] | None = None
@@ -236,6 +249,7 @@ class CommitLogMetaStore:
             entries = set(base.get("entries") or [])
             start_after = int(cps[-1][: -len(".checkpoint.json")])
             base["version"] = start_after
+        actions_seen = bool(base.get("actions_seen"))
         for name in self._commit_files(names):
             v = int(name[: -len(".json")])
             if v <= start_after or (max_version is not None and v > max_version):
@@ -245,6 +259,8 @@ class CommitLogMetaStore:
             if c.get("kind") == "rewrite":
                 base["generation"] += 1
                 base["rewrite_id"] = c.get("rewrite_id", "")
+            if "adds" in c or "removes" in c:
+                actions_seen = True
             # removes before adds WITHIN a commit: a rewrite may re-add
             # an entry under the SAME name it removes (compact keeps the
             # min sequence, so the rebuilt batch-<minseq> can alias the
@@ -255,6 +271,35 @@ class CommitLogMetaStore:
                 entries.add(a)
             base["version"] = v
         base["entries"] = sorted(entries)
+        # "has this log EVER recorded a file action" — persisted through
+        # checkpoints (the checkpoint body IS a fold result), so it
+        # survives retention pruning. admin verify's pre-manifest
+        # carve-out keys off this, NOT off scanning surviving commit
+        # files (review-found: after prune() removes the action-carrying
+        # tail, a scan would misclassify a real manifest divergence as
+        # 'pre-manifest' and verify would pass on a corrupted manifest).
+        base["actions_seen"] = actions_seen
+        if base["version"] == 0 and not self._commit_files(names):
+            # empty commit log: fold a surviving legacy meta.json floor
+            # in (review-found). A table migrated from JsonFileMetaStore
+            # keeps its old floor on disk; without this, the first
+            # append after migration restarts sequences at 1 and reuses
+            # purged sequence numbers (the r10/r11 aliased-sequence
+            # family) — last_sequence(), recover's manifest seeding, and
+            # verify's floor check all route through this read. The
+            # fallback applies only while the log is empty; commit 1
+            # persists the folded floor and the legacy file is ignored
+            # thereafter. Generation/rewrite_id watermarks deliberately
+            # do NOT cross the migration: commit-store consumers are
+            # version-watermarked and reseed from version 0.
+            legacy = os.path.join(self.table_path, "meta.json")
+            try:
+                with open(legacy) as fh:
+                    base["seq_floor"] = max(
+                        base["seq_floor"], int(json.load(fh).get("seq_floor", 0))
+                    )
+            except (OSError, ValueError):
+                pass  # no legacy store (the common case) or unreadable
         return base
 
     def bump(
@@ -312,8 +357,9 @@ class CommitLogMetaStore:
         The guard and the fold share ONE directory listing (and retry
         together on a concurrent prune), so the answer is always either
         exact or the explicit error — never a fold over files the guard
-        didn't see."""
-        for attempt in (0, 1):
+        didn't see. The retry is bounded, not single (review-found):
+        back-to-back prunes can each invalidate one listing."""
+        for attempt in range(_LIST_RETRIES):
             names = self._list()
             commits = self._commit_files(names)
             cps_all = self._checkpoint_files(names)
@@ -345,7 +391,7 @@ class CommitLogMetaStore:
             try:
                 return list(self._fold(version, names)["entries"])
             except FileNotFoundError:
-                if attempt:
+                if attempt == _LIST_RETRIES - 1:
                     raise
                 # concurrent prune removed a listed file: re-list, so the
                 # guard re-checks coverage against the post-prune log
@@ -430,10 +476,15 @@ class CommitLogMetaStore:
           without a checkpoint fold even "were there any rewrites at
           all" is unknowable (advisor-found: the contiguous-prefix
           assumption made this case silently return [])."""
-        try:
-            return self._rewrites_since(version)
-        except FileNotFoundError:
-            return self._rewrites_since(version)  # concurrent prune; re-list
+        for attempt in range(_LIST_RETRIES):
+            try:
+                return self._rewrites_since(version)
+            except FileNotFoundError:
+                # concurrent prune removed a listed file; re-list
+                # (bounded, not retry-once — review-found)
+                if attempt == _LIST_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
 
     def _rewrites_since(self, version: int) -> list[dict]:
         names = self._list()

@@ -774,3 +774,111 @@ def test_recover_reconciles_manifest_after_rewrite_crash(spark, tmp_path, monkey
     assert log.events().filter("pk = '1'").count() == 0
     rep = admin.verify_integrity(sess, "items")
     assert rep["tables"]["items"]["manifest"] == "ok" and rep["ok"]
+
+
+def test_recover_reconcile_never_removes_live_batch_under_append_race(
+    spark, tmp_path
+):
+    """Review-found: recover's reconcile read the DIRECTORY before the
+    MANIFEST, so an append landing between the two reads (the rewrite
+    lock excludes rewrites, not appends) got its LIVE batch recorded as
+    a manifest REMOVE — recover manufacturing the exact corruption it
+    repairs. The reads are now manifest-first: this test fires a real
+    append right after whichever of the two reads runs first, and
+    asserts the reconcile records no removes (manifest-first turns the
+    race into an idempotent re-add) and verify stays green."""
+    from driftdb_spark.commitlog import CommitLogMetaStore
+
+    _data, sess = _mkdb(spark, tmp_path, "mrord")
+    log = sess.table("items")
+    log.meta_store = CommitLogMetaStore(log.path)
+    admin.recover(sess, min_staging_age_sec=0.0)  # seed the manifest
+    assert admin.verify_integrity(sess, "items")["ok"]
+
+    state = {"fired": False}
+    orig_ea = log.meta_store.entries_at
+    orig_le = log._log_entries
+
+    def fire():
+        # one real append, injected between recover's two reads
+        if not state["fired"]:
+            state["fired"] = True
+            sess.sql("INSERT INTO items VALUES (7, 'race', 1)")
+
+    def ea(*a, **kw):
+        out = orig_ea(*a, **kw)
+        fire()
+        return out
+
+    def le(*a, **kw):
+        out = orig_le(*a, **kw)
+        fire()
+        return out
+
+    log.meta_store.entries_at = ea
+    log._log_entries = le
+    try:
+        r = admin.recover(sess, min_staging_age_sec=0.0)
+    finally:
+        log.meta_store.entries_at = orig_ea
+        del log.__dict__["_log_entries"]
+    assert state["fired"], "race was never injected"
+
+    for a in r["tables"].get("items", []):
+        if a["action"] == "reconcile_manifest":
+            assert not a.get("removes"), (
+                "a LIVE batch was recorded as a manifest remove: "
+                f"{a['removes']}"
+            )
+    rep = admin.verify_integrity(sess, "items")
+    assert rep["tables"]["items"]["manifest"] == "ok" and rep["ok"]
+    # the raced row is durably present
+    assert sess.sql("SELECT name FROM items WHERE iid = 7").collect()[0][0] == "race"
+
+
+def test_verify_manifest_mismatch_not_masked_as_premanifest_after_prune(
+    spark, tmp_path
+):
+    """Review-found: the pre-manifest carve-out scanned SURVIVING commit
+    files for adds/removes, so after a retention prune() removed the
+    action-carrying tail, a real divergence (append crash after
+    purge-to-empty) folded to got=[] and was misclassified as
+    'pre-manifest' — verify passed on a corrupted manifest. The
+    carve-out now keys off the fold's checkpoint-persisted actions_seen
+    flag."""
+    from driftdb_spark.commitlog import CommitLogMetaStore
+
+    _data, sess = _mkdb(spark, tmp_path, "manprune")
+    log = sess.table("items")
+    log.meta_store = CommitLogMetaStore(log.path)
+    admin.recover(sess, min_staging_age_sec=0.0)  # seed the manifest
+
+    # purge every pk: the manifest folds to [] via recorded removes
+    log.purge(spark.createDataFrame([(1,), (2,), (3,)], "iid int"))
+    store = log.meta_store
+    assert store.entries_at() == []
+    # retention: checkpoint at head, prune the action-carrying tail
+    store._write_checkpoint(store.version(), store.read())
+    assert store.prune()["pruned_commits"] > 0
+    assert not any(
+        "adds" in c or "removes" in c for c in store.commits()
+    ), "premise: no surviving commit carries file actions"
+    assert admin.verify_integrity(sess, "items")["ok"]  # healthy so far
+
+    # append crash: batch published, add never committed
+    log._bump_meta = lambda **kw: None
+    try:
+        sess.sql("INSERT INTO items VALUES (9, 'washer', 1)")
+    finally:
+        del log.__dict__["_bump_meta"]
+
+    rep = admin.verify_integrity(sess, "items")
+    assert rep["tables"]["items"]["manifest"].startswith("MISMATCH")
+    assert not rep["ok"]
+
+    # recover heals it; verify green again and the row is live
+    r = admin.recover(sess, min_staging_age_sec=0.0)
+    assert "reconcile_manifest" in {a["action"] for a in r["tables"]["items"]}
+    rep = admin.verify_integrity(sess, "items")
+    assert rep["tables"]["items"]["manifest"] == "ok" and rep["ok"]
+    assert sess.sql("SELECT qty FROM items WHERE iid = 9").collect()[0][0] == 1

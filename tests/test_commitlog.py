@@ -159,17 +159,20 @@ def test_checkpoints_bound_read_cost_and_fold_identically(tmp_path):
     # from-scratch fold (checkpoints ignored) must agree exactly
     slow = {"seq_floor": 0, "generation": 0, "rewrite_id": "", "version": 0}
     ent: set[str] = set()
+    actions_seen = False
     for c in store.commits():
         slow["seq_floor"] = max(slow["seq_floor"], c["seq_floor"])
         if c.get("kind") == "rewrite":
             slow["generation"] += 1
             slow["rewrite_id"] = c["rewrite_id"]
+        actions_seen = actions_seen or "adds" in c or "removes" in c
         for r in c.get("removes") or []:
             ent.discard(r)
         for a in c.get("adds") or []:
             ent.add(a)
         slow["version"] = c["version"]
     slow["entries"] = sorted(ent)
+    slow["actions_seen"] = actions_seen
     assert fast == slow
     assert fast["version"] == 25 and fast["generation"] == 3  # 7,14,21
     # and the read path provably uses the checkpoint: folding only the
@@ -509,17 +512,106 @@ def test_concurrent_prune_never_yields_wrong_answers(tmp_path):
             if stop.is_set():
                 break
 
+    def guarded(fn):
+        # ANY escaped exception is a contract violation (review-found:
+        # catching only ValueError let a raw FileNotFoundError — the
+        # exact non-exact-non-explicit outcome this test exists to
+        # catch — kill the thread silently and the test pass vacuously)
+        def run():
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001
+                failures.append(f"{fn.__name__} died: {exc!r}")
+                stop.set()
+
+        return run
+
     ts = [
-        threading.Thread(target=writer),
-        threading.Thread(target=pruner),
-        threading.Thread(target=reader),
-        threading.Thread(target=reader),
+        threading.Thread(target=guarded(fn))
+        for fn in (writer, pruner, reader, reader)
     ]
     [t.start() for t in ts]
     [t.join(timeout=120) for t in ts]
+    assert not any(t.is_alive() for t in ts), "thread hung past join timeout"
     assert not failures, failures[:5]
     # post-race: the final fold is exact and the directory is bounded
     assert store.read()["entries"] == recorded[-1][1]
     store.prune()  # close out retention...
     assert store.prune()["pruned_commits"] == 0  # ...and it is idempotent
     assert len(store._commit_files()) <= 2 * CHECKPOINT_INTERVAL + 2
+
+
+def test_empty_log_folds_legacy_json_floor(tmp_path):
+    """Review-found migration hazard: a table that ran on
+    JsonFileMetaStore keeps its floor in meta.json; pointing the table at
+    a fresh CommitLogMetaStore made last_sequence() restart at 0, so the
+    first post-migration append reused purged sequence numbers (the
+    r10/r11 aliased-sequence family). While the commit log is EMPTY,
+    read() now folds a surviving meta.json floor in; commit 1 persists it
+    and the legacy file is ignored thereafter."""
+    import json
+
+    path = tmp_path / "t"
+    path.mkdir()
+    (path / "meta.json").write_text(
+        json.dumps({"seq_floor": 41, "generation": 3, "rewrite_id": "xyz"})
+    )
+    store = CommitLogMetaStore(str(path))
+    m = store.read()
+    assert m["seq_floor"] == 41
+    # generation/rewrite_id watermarks deliberately do NOT migrate:
+    # commit-store consumers are version-watermarked and reseed from 0
+    assert m["generation"] == 0 and m["version"] == 0
+    # the first commit folds the legacy floor (bump folds max) ...
+    m = store.bump(seq_floor=2, adds=["batch-a"])
+    assert m["seq_floor"] == 41
+    # ... and once the log is non-empty the legacy file is dead weight
+    (path / "meta.json").write_text(json.dumps({"seq_floor": 99}))
+    assert store.read()["seq_floor"] == 41
+    assert store.entries_at() == ["batch-a"]
+
+
+def test_folds_retry_past_consecutive_prune_races(tmp_path, monkeypatch):
+    """Review-found: read()/entries_at()/rewrites_since() retried ONCE on
+    FileNotFoundError, so two back-to-back prunes invalidating two
+    consecutive listings re-raised a raw FileNotFoundError from a healthy
+    log. The retry is now bounded at _LIST_RETRIES; three consecutive
+    losses must still converge."""
+    from driftdb_spark import commitlog as cl
+
+    store = CommitLogMetaStore(str(tmp_path / "t"))
+    for i in range(1, 4):
+        store.bump(seq_floor=i, adds=[f"b{i}"])
+
+    orig_fold = cl.CommitLogMetaStore._fold
+    calls = {"n": 0}
+
+    def flaky_fold(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise FileNotFoundError("simulated concurrent prune")
+        return orig_fold(self, *a, **kw)
+
+    monkeypatch.setattr(cl.CommitLogMetaStore, "_fold", flaky_fold)
+    assert store.read()["seq_floor"] == 3
+    calls["n"] = 0
+    assert store.entries_at() == ["b1", "b2", "b3"]
+    monkeypatch.setattr(cl.CommitLogMetaStore, "_fold", orig_fold)
+
+    orig_rs = cl.CommitLogMetaStore._rewrites_since
+    calls["n"] = 0
+
+    def flaky_rs(self, v):
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise FileNotFoundError("simulated concurrent prune")
+        return orig_rs(self, v)
+
+    monkeypatch.setattr(cl.CommitLogMetaStore, "_rewrites_since", flaky_rs)
+    assert store.rewrites_since(0) == []
+
+    # past the bound the error still propagates (termination guarantee)
+    calls["n"] = -cl._LIST_RETRIES - 10
+    monkeypatch.setattr(cl.CommitLogMetaStore, "_fold", flaky_fold)
+    with pytest.raises(FileNotFoundError):
+        store.read()
