@@ -38,6 +38,7 @@ __all__ = [
     "status",
     "health_check",
     "verify_integrity",
+    "prune_commit_log",
     "index_stats",
     "config_dump",
     "migration_status",
@@ -408,6 +409,42 @@ def verify_integrity(
         )
         out[name] = r
     return {"ok": all(r["ok"] for r in out.values()), "tables": out}
+
+
+def prune_commit_log(
+    sess, table: str | None = None, keep_commits: int | None = None
+) -> dict:
+    """Retention cleanup of commit-log metadata — the operator entry
+    point for ``CommitLogMetaStore.prune()`` (Delta's metadata cleanup,
+    ``delta.logRetentionDuration``; the reference's analogous lifecycle
+    is segment rotation, table_storage.rs:212-261). Without this the
+    lifecycle is Python-only and ``read()``'s directory listing grows
+    one dirent per commit for the table's life.
+
+    Lock-free by design: prune only removes commit files whose fold is
+    inside the latest checkpoint, writers claim versions put-if-absent,
+    and readers retry their listing on a concurrent removal — the
+    concurrency stress in tests/test_commitlog.py pins this, so no
+    rewrite lock is taken here. ``keep_commits`` (default one
+    checkpoint interval) retains headroom so consumers whose watermark
+    trails the checkpoint by a few versions keep getting exact
+    ``rewrites_since`` answers instead of the conservative reseed.
+    Tables on the JSON meta store keep no commit log and are reported
+    as skipped."""
+    from driftdb_spark.commitlog import CHECKPOINT_INTERVAL
+
+    if keep_commits is None:
+        keep_commits = CHECKPOINT_INTERVAL
+    names = [table] if table else sorted(sess._tables)
+    out: dict = {}
+    for name in names:
+        log, _cols = sess._tables[name]
+        store = log.meta_store
+        if not hasattr(store, "prune"):
+            out[name] = {"skipped": "json meta store keeps no commit log"}
+            continue
+        out[name] = store.prune(keep_commits=keep_commits)
+    return {"tables": out}
 
 
 def index_stats(sess, table: str | None = None) -> list[dict]:

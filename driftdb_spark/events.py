@@ -243,8 +243,24 @@ class EventLog:
         self.post_commit_fn = post_commit_fn
         self._events_dir = os.path.join(path, "events")
         self._snap_dir = os.path.join(path, "snapshots")
-        # pluggable sequence-clock/rewrite-generation backend (SCALE.md §6)
-        self.meta_store = meta_store or JsonFileMetaStore(path)
+        # pluggable sequence-clock/rewrite-generation backend (SCALE.md §6).
+        # When the caller doesn't inject one, the ON-DISK format decides:
+        # a table with a _commit_log/ directory runs on the commit-log
+        # store, the same way a _delta_log/ directory IS what makes a
+        # directory a Delta table. Without this, a commit-store table
+        # re-opened by a fresh session (the CLI constructs sessions from
+        # --data) silently fell back to meta.json — which after a
+        # purge-to-empty holds NO floor, so the next append would reuse
+        # purged sequence numbers (the reverse-migration twin of the
+        # aliased-sequence family; review-found).
+        if meta_store is None:
+            if os.path.isdir(os.path.join(path, "_commit_log")):
+                from driftdb_spark.commitlog import CommitLogMetaStore
+
+                meta_store = CommitLogMetaStore(path)
+            else:
+                meta_store = JsonFileMetaStore(path)
+        self.meta_store = meta_store
         # Replica logs are read-only: every mutation path (append, txn
         # publish, snapshot, compact, purge) refuses with SQLSTATE 25006.
         # Set by replication.Replica; cleared by promote().

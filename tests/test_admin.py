@@ -882,3 +882,50 @@ def test_verify_manifest_mismatch_not_masked_as_premanifest_after_prune(
     rep = admin.verify_integrity(sess, "items")
     assert rep["tables"]["items"]["manifest"] == "ok" and rep["ok"]
     assert sess.sql("SELECT qty FROM items WHERE iid = 9").collect()[0][0] == 1
+
+
+def test_admin_prune_log_lifecycle(spark, tmp_path, capsys):
+    """Operator entry point for commit-log retention (admin prune-log):
+    JSON-store tables are reported skipped; commit-store tables get
+    their checkpoint-covered commit files removed with keep_commits
+    headroom, stay verify-green, and the verb works end-to-end through
+    the CLI (the backend is auto-detected when the CLI re-opens the
+    table from --data)."""
+    from driftdb_spark.commitlog import CHECKPOINT_INTERVAL, CommitLogMetaStore
+
+    data, sess = _mkdb(spark, tmp_path, "prlog")
+    # json-store table: skipped, nothing touched
+    rep = admin.prune_commit_log(sess)
+    assert rep["tables"]["items"] == {
+        "skipped": "json meta store keeps no commit log"
+    }
+
+    log = sess.table("items")
+    log.meta_store = CommitLogMetaStore(log.path)
+    admin.recover(sess, min_staging_age_sec=0.0)  # seed the manifest
+    store = log.meta_store
+    while store.version() < CHECKPOINT_INTERVAL:
+        store.bump(seq_floor=log.last_sequence())
+    ncommits = len(store._commit_files())
+    assert ncommits == CHECKPOINT_INTERVAL
+
+    # default keep = one checkpoint interval: headroom honored, no-op here
+    rep = admin.prune_commit_log(sess)
+    assert rep["tables"]["items"]["pruned_commits"] == 0
+    assert len(store._commit_files()) == ncommits
+
+    # keep=0 clears everything folded into the checkpoint
+    rep = admin.prune_commit_log(sess, keep_commits=0)
+    r = rep["tables"]["items"]
+    assert r["checkpoint_version"] == CHECKPOINT_INTERVAL
+    assert r["pruned_commits"] == ncommits
+    assert store._commit_files() == []
+    assert admin.verify_integrity(sess, "items")["ok"]
+    assert log.last_sequence() >= 4  # clock survives in the checkpoint
+
+    # CLI surface: fresh session from --data auto-detects the backend
+    sess.sql("INSERT INTO items VALUES (9, 'cli', 1)")
+    out = _run(capsys, spark, "--data", data, "admin", "prune-log", "--keep", "0")[0]
+    assert "pruned_commits" in out["tables"]["items"]
+    out = _run(capsys, spark, "--data", data, "admin", "verify")[0]
+    assert out["ok"]

@@ -615,3 +615,34 @@ def test_folds_retry_past_consecutive_prune_races(tmp_path, monkeypatch):
     monkeypatch.setattr(cl.CommitLogMetaStore, "_fold", flaky_fold)
     with pytest.raises(FileNotFoundError):
         store.read()
+
+
+def test_commit_log_backend_sticks_across_sessions(spark, tmp_path):
+    """The on-disk format decides the clock backend (a _commit_log/
+    directory IS the marker, the way _delta_log/ makes a Delta table):
+    a commit-store table re-opened by a FRESH session (the CLI builds
+    sessions from --data) must come back on the commit store.
+    Review-found reverse-migration hazard: the fresh session used to
+    fall back to meta.json, which after purge-to-empty holds no floor —
+    the next append reused purged sequence numbers."""
+    data = str(tmp_path / "db")
+    sess = DriftSession(spark, data)
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    log, _cols = sess._tables["t"]
+    log.meta_store = CommitLogMetaStore(log.path)
+    sess.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    log.purge(spark.createDataFrame([(1,), (2,)], "id int"))  # log EMPTY
+    assert log._log_entries() == []
+    floor = log.last_sequence()
+    assert floor >= 2
+
+    # fresh session over the same storage: backend auto-detected
+    sess2 = DriftSession(spark, data)
+    log2, _c = sess2._tables["t"]
+    assert isinstance(log2.meta_store, CommitLogMetaStore)
+    assert log2.last_sequence() == floor
+    sess2.sql("INSERT INTO t VALUES (3, 30)")
+    # the new batch claims a sequence ABOVE the purged history
+    assert log2._log_entries() == [f"batch-{floor + 1:020d}"]
+    # and the manifest tracked it (verify-grade agreement)
+    assert log2.meta_store.entries_at() == log2._log_entries()
