@@ -646,3 +646,32 @@ def test_commit_log_backend_sticks_across_sessions(spark, tmp_path):
     assert log2._log_entries() == [f"batch-{floor + 1:020d}"]
     # and the manifest tracked it (verify-grade agreement)
     assert log2.meta_store.entries_at() == log2._log_entries()
+
+
+def test_empty_commit_log_dir_crash_window_keeps_legacy_floor(spark, tmp_path):
+    """Crash window for the migration hand-off: a writer that created
+    _commit_log/ (makedirs in _try_commit) but crashed before publishing
+    commit 1 leaves an EMPTY marker directory beside the live meta.json.
+    A fresh session must still auto-select the commit store (the marker
+    exists) AND keep the legacy floor (the empty-log fold reads
+    meta.json) — falling back to floor 0 here would reuse sequences."""
+    data = str(tmp_path / "db")
+    sess = DriftSession(spark, data)
+    sess.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    sess.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    log, _cols = sess._tables["t"]
+    floor = log.last_sequence()
+    assert floor >= 2
+    # the crash: marker dir created, no commit ever published (plus the
+    # stranded scratch a real crash leaves behind)
+    os.makedirs(os.path.join(log.path, "_commit_log"))
+    open(os.path.join(log.path, "_commit_log", "_tmp-dead"), "w").write("{")
+
+    sess2 = DriftSession(spark, data)
+    log2, _c = sess2._tables["t"]
+    assert isinstance(log2.meta_store, CommitLogMetaStore)
+    assert log2.last_sequence() == floor  # legacy floor carried
+    sess2.sql("INSERT INTO t VALUES (3, 30)")
+    assert f"batch-{floor + 1:020d}" in log2._log_entries()
+    # commit 1 persisted the folded floor: the legacy file is now inert
+    assert log2.meta_store.read()["seq_floor"] >= floor + 1

@@ -34,6 +34,10 @@ _op = st.one_of(
     st.tuples(st.just("append"), st.integers(0, 5), st.integers(0, 9)),
     # rewrite: retire the whole current entry set, add one rebuilt entry
     st.tuples(st.just("rewrite"), st.integers(0, 9)),
+    # bare commit: floor bump with NO file actions (a legacy-style
+    # writer) — varies the actions_seen fold, which would otherwise be
+    # True from the first op in every program
+    st.tuples(st.just("bare"), st.integers(0, 5)),
     # retention prune with headroom 0..3
     st.tuples(st.just("prune"), st.integers(0, 3)),
     # prune whose k-th os.remove crashes (then a recovering re-prune)
@@ -42,15 +46,19 @@ _op = st.one_of(
 
 
 class _Model:
-    """Pure-Python twin of the store's fold semantics."""
+    """Pure-Python twin of the store's fold semantics. ``legacy_floor``
+    models a surviving JsonFileMetaStore meta.json: it is the floor
+    while the commit log is EMPTY, and commit 1 folds it in (the
+    migration contract)."""
 
-    def __init__(self):
-        self.floor = 0
+    def __init__(self, legacy_floor: int = 0):
+        self.floor = legacy_floor
         self.generation = 0
         self.version = 0
         self.entries: set[str] = set()
         self.history: dict[int, list[str]] = {0: []}
         self.rewrite_versions: set[int] = set()
+        self.actions_seen = False
 
     def bump(self, floor_delta: int, rewrite: bool, adds, removes):
         self.floor = max(self.floor, self.floor + floor_delta)
@@ -58,6 +66,8 @@ class _Model:
         if rewrite:
             self.generation += 1
             self.rewrite_versions.add(self.version)
+        if adds or removes:  # store records keys only for truthy lists
+            self.actions_seen = True
         for r in removes or []:
             self.entries.discard(r)
         for a in adds or []:
@@ -66,11 +76,25 @@ class _Model:
 
 
 @settings(max_examples=fuzz_examples(6), deadline=None)
-@given(program=st.lists(_op, min_size=4, max_size=30))
-def test_commitlog_matches_model(tmp_path_factory, program):
+@given(
+    program=st.lists(_op, min_size=4, max_size=30),
+    legacy_floor=st.integers(0, 20),
+)
+def test_commitlog_matches_model(tmp_path_factory, program, legacy_floor):
     root = tmp_path_factory.mktemp("clogfuzz")
-    store = CommitLogMetaStore(str(root / "t"))
-    model = _Model()
+    tbl = root / "t"
+    if legacy_floor:
+        # a surviving JsonFileMetaStore meta.json (migration starting
+        # state): its floor IS the clock while the commit log is empty,
+        # and commit 1 must fold it in permanently
+        import json as _json
+
+        tbl.mkdir()
+        (tbl / "meta.json").write_text(
+            _json.dumps({"seq_floor": legacy_floor, "generation": 2})
+        )
+    store = CommitLogMetaStore(str(tbl))
+    model = _Model(legacy_floor)
     # watermarks some consumer might hold: every version ever seen
     floors_at: dict[int, int] = {0: 0}
 
@@ -80,6 +104,7 @@ def test_commitlog_matches_model(tmp_path_factory, program):
         assert m["seq_floor"] == model.floor
         assert m["generation"] == model.generation
         assert m["entries"] == sorted(model.entries)
+        assert m["actions_seen"] == model.actions_seen
         assert store.version() == model.version
         # entries_at: every historical version answers exactly or raises
         # the explicit errors — never a wrong list
@@ -138,6 +163,10 @@ def test_commitlog_matches_model(tmp_path_factory, program):
                 adds=[entry], removes=removes,
             )
             model.bump(0, True, [entry], removes)
+        elif kind == "bare":
+            _k, d = op
+            store.bump(seq_floor=model.floor + d)
+            model.bump(d, False, None, None)
         elif kind == "prune":
             store.prune(keep_commits=op[1])
         elif kind == "prune_crash":
