@@ -150,6 +150,28 @@ def fold_events(ev: DataFrame) -> DataFrame:
     )
 
 
+def state_as_events(state: DataFrame) -> DataFrame:
+    """Re-enter a materialized state frame ``(pk, last_seq, [last_ts,]
+    row)`` into an event fold as pseudo-Insert events at their
+    ``last_seq`` — shared by ``compact()`` (snapshot + tail rebuild) and
+    the streaming micro-batch merge (current state + micro-batch), so
+    batch and streaming reconstruction can never diverge on this shape
+    (review-found duplication). ``last_ts`` is optional for state files
+    that predate it."""
+    last_ts = (
+        F.col("last_ts")
+        if "last_ts" in state.columns
+        else F.lit(None).cast("timestamp")
+    )
+    return state.select(
+        F.col("last_seq").alias("sequence"),
+        last_ts.alias("ts"),
+        F.lit(INSERT).alias("event_type"),
+        "pk",
+        F.col("row").alias("payload"),
+    )
+
+
 class JsonFileMetaStore:
     """Default persisted-meta backend: one flock'd JSON file per table.
 
@@ -964,18 +986,7 @@ class EventLog:
                 os.path.join(self._snap_dir, f"seq={seq}")
             )
             tail = self._read_entries(entries).filter(F.col("sequence") > seq)
-            last_ts = (
-                F.col("last_ts")
-                if "last_ts" in snap.columns
-                else F.lit(None).cast("timestamp")
-            )
-            rebuilt = snap.select(
-                F.col("last_seq").alias("sequence"),
-                last_ts.alias("ts"),
-                F.lit(INSERT).alias("event_type"),
-                "pk",
-                F.col("row").alias("payload"),
-            ).unionByName(tail)
+            rebuilt = state_as_events(snap).unionByName(tail)
             self._swap_events_dir(rebuilt, entries)
 
     def purge(self, keys: DataFrame) -> int:

@@ -188,28 +188,34 @@ def write_zordered(
     small RECTANGLE in (a, b) space, so row-group min/max statistics
     prune scans filtered on EITHER column (or both).
 
-    Mechanics: each column maps to a ``bits``-bit bucket via ntile over
-    its own order (rank-based, so skew cannot collapse buckets), the two
-    bucket numbers bit-interleave into the Morton key, and the data is
-    range-partitioned + sorted on that key. The ntile windows are one
-    exchange each at write time — an offline layout job, exactly like
-    OPTIMIZE. The read side needs nothing: it's still plain parquet."""
+    Mechanics: each column maps to a ``bits``-bit bucket via a
+    range-repartition on that column with ``spark_partition_id`` as the
+    bucket number (rank-quantile buckets from the range partitioner's
+    distributed sampling — skew cannot collapse buckets, and any
+    orderable type works). Review-found: the previous ntile windows had
+    no PARTITION BY, so each funneled the ENTIRE dataset through one
+    task — the exact single-task shape this module's docstring forbids;
+    range-repartition keeps every pass partition-parallel. Three
+    exchanges total at write time (bucket a, bucket b, final range on
+    the Morton key) — an offline layout job, exactly like OPTIMIZE. The
+    read side needs nothing: it's still plain parquet."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
 
     n_buckets = 1 << bits
     a, b = zorder_by
-    qa = (F.ntile(n_buckets).over(W.orderBy(F.col(a), F.col(b))) - 1).alias("_qa")
-    qb = (F.ntile(n_buckets).over(W.orderBy(F.col(b), F.col(a))) - 1).alias("_qb")
+    staged = (
+        df.repartitionByRange(n_buckets, F.col(a), F.col(b))
+        .withColumn("_qa", F.spark_partition_id())
+        .repartitionByRange(n_buckets, F.col(b), F.col(a))
+        .withColumn("_qb", F.spark_partition_id())
+    )
     interleave = "+".join(
         f"(shiftleft(shiftright(_qa, {i}) & 1, {2 * i + 1}) + "
         f"shiftleft(shiftright(_qb, {i}) & 1, {2 * i}))"
         for i in range(bits)
     )
     (
-        df.withColumn("_qa", qa)
-        .withColumn("_qb", qb)
-        .withColumn("_z", F.expr(interleave).cast("long"))
+        staged.withColumn("_z", F.expr(interleave).cast("long"))
         .repartitionByRange(num_files, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_qa", "_qb", "_z")

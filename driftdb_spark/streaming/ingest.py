@@ -48,100 +48,237 @@ def read_event_stream(
     )
 
 
-def _merge_batch_into_state(state_path: str):
+def _heal_swaps(state_path: str, pending_path: str) -> None:
+    """Complete an interrupted state/pending swap (crash-safe merge,
+    review-found: the old rmtree-then-rename swap had a window that
+    destroyed the state table with no recovery path). The swap protocol
+    is rename-aside — ``target → target.old``, ``tmp → target``, remove
+    ``.old`` — mirroring ``events._swap_events_dir``; every crash shape
+    is healed here at the start of the next merge: a surviving ``.old``
+    with no target is the state from before the crashed swap (restore
+    it; the interrupted micro-batch is re-delivered and re-folds
+    idempotently), a ``.old`` beside a live target is post-swap debris,
+    and ``.b*`` staging dirs are dead scratch (merges are serialized by
+    the streaming query, so nothing live stages across calls)."""
+    import glob
+    import shutil
+
+    for target in (state_path, pending_path):
+        old = target + ".old"
+        if os.path.exists(old):
+            if not os.path.exists(target):
+                os.rename(old, target)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+        for stale in glob.glob(target + ".b*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+
+def _read_frontier(spark: SparkSession, state_path: str) -> int | None:
+    """The fold frontier: every event with ``sequence <= frontier`` has
+    been folded into the materialized state. Persisted as
+    ``_frontier.json`` INSIDE the state directory (underscore-hidden
+    from parquet readers), so it swaps atomically with the data it
+    describes — a sidecar file would need its own swap and a crash
+    between the two swaps would desynchronize them. Returns None when no
+    state exists yet (bootstrap). A pre-frontier state dir (upgrade
+    path) falls back to max(last_seq) — the best available floor (a
+    trailing SoftDelete above it is unknowable there; one-time only)."""
+    import json
+
+    fpath = os.path.join(state_path, "_frontier.json")
+    if os.path.exists(fpath):
+        with open(fpath) as fh:
+            return int(json.load(fh)["frontier"])
+    if os.path.exists(state_path):
+        row = spark.read.parquet(state_path).agg(F.max("last_seq")).first()
+        return int(row[0]) if row and row[0] is not None else 0
+    return None
+
+
+def _merge_batch_into_state(state_path: str, on_eligible=None):
     """Build the foreachBatch callback: incremental event fold into the
     materialized state table ``(pk, last_seq, last_ts, row)``.
 
-    The existing state re-enters the fold as pseudo-Insert events at their
-    ``last_seq``/``last_ts``, unioned with the micro-batch's real events,
-    and ``fold_events`` (shared with batch ``EventLog.state_at``) applies
-    full Insert/Patch/SoftDelete semantics — so a Patch arriving in a later
-    micro-batch merges field-by-field into state materialized batches ago,
-    exactly like the batch reconstruction. On a cluster this same shape is
-    a Delta ``MERGE INTO``; here the fold only ever touches current state
+    The existing state re-enters the fold as pseudo-Insert events at
+    their ``last_seq``/``last_ts`` (``state_as_events``, shared with
+    batch ``compact``), unioned with the eligible events, and
+    ``fold_events`` (shared with batch ``EventLog.state_at``) applies
+    full Insert/Patch/SoftDelete semantics. On a cluster this same shape
+    is a Delta ``MERGE INTO``; the fold only ever touches current state
     + the micro-batch, never the full log.
 
-    Out-of-order delivery: the file source orders by modification time, and
-    ``maxFilesPerTrigger`` can split a committed batch across triggers — so
-    a Patch/SoftDelete can be DELIVERED before the Insert it follows in
-    sequence order (mtime ties have 1s granularity on some filesystems).
-    ``fold_events`` would drop such an orphan, and in an incremental merge
-    "dropped" would mean "lost forever". Instead, non-Insert events whose
-    pk has no materialized state and no Insert in the current fold input
-    are parked in a ``.pending`` sidecar and re-enter every later
-    micro-batch's fold; when the Insert finally arrives, the parked events
-    fold in at their original sequences — order restored by sequence, not
-    by delivery. Pending state is bounded by the out-of-order window (one
-    committed batch): an orphan whose sequence falls ``pending_horizon``
-    behind the materialized high-water mark can no longer be a
-    delivery-order artifact (the file source never reorders that far) and
-    is dropped — the reference's own semantics for a patch to a missing
-    key (apply_event ignores it, table_storage.rs:369-389)."""
+    Out-of-order delivery — the CONTIGUOUS-FRONTIER rule (review-found:
+    the previous orphan-parking rule only rescued events whose Insert
+    was missing; a Patch or SoftDelete delivered AFTER a later-sequenced
+    event of the same pk folded against collapsed state and was silently
+    lost or mis-ordered, breaking stream ≡ batch parity). Appends assign
+    sequences contiguously (events._assign_and_publish), so the merge
+    folds exactly the contiguous prefix beyond the persisted frontier:
+    an event becomes ELIGIBLE only once every lower sequence has been
+    folded or is present in this fold input; later-sequenced events
+    above a delivery gap park in the ``.pending`` sidecar and fold the
+    moment the gap fills. State collapse is then harmless — nothing ever
+    folds below the frontier — and re-delivered events (at-least-once
+    replay) are ``<= frontier`` duplicates, dropped for free. A patch to
+    a never-inserted or deleted key folds and is ignored by
+    ``fold_events`` exactly like the reference's replay of a patch to a
+    missing key (apply_event, table_storage.rs:369-389).
+
+    Bootstrap (no state yet): the frontier starts just below the
+    smallest INSERT sequence delivered — a stream attached to a
+    compacted log starts at the snapshot pseudo-Inserts, while a
+    reordered first trigger (patch before its insert) still parks the
+    patch. If the first trigger carries no Insert at all, everything
+    parks until one arrives.
+
+    A gap that never fills cannot be a delivery artifact beyond
+    ``pending_horizon`` sequences (the file source never reorders that
+    far); the frontier then skips to the smallest surviving sequence —
+    reachable only under external history loss, and bounded so parked
+    state cannot grow forever. Rewrites (compact/purge) swap the whole
+    events directory out from under the file source: restart the stream
+    with a fresh checkpoint and state afterwards (a purge in particular
+    REQUIRES the state rebuild — the materialized view must forget the
+    purged keys, the same contract as the IMV full recompute on
+    rewrite).
+
+    ``on_eligible(eligible_df, prior_state_df, batch_id)`` runs before
+    the state advances, with exactly the events this merge folds — the
+    CDC feed hook (images derived from the same prior state the fold
+    consumes, parked events included the trigger they actually fold)."""
 
     pending_path = state_path + ".pending"
     pending_horizon = 100_000
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        inputs = [batch]
-        if os.path.exists(pending_path):
-            inputs.append(spark.read.schema(EVENT_SCHEMA).parquet(pending_path))
-        if os.path.exists(state_path):
-            state = spark.read.parquet(state_path)
-            last_ts = (
-                F.col("last_ts")
-                if "last_ts" in state.columns
-                else F.lit(None).cast("timestamp")
-            )
-            inputs.append(
-                state.select(
-                    F.col("last_seq").alias("sequence"),
-                    last_ts.alias("ts"),
-                    F.lit(INSERT).alias("event_type"),
-                    "pk",
-                    F.col("row").alias("payload"),
-                )
-            )
-        combined = inputs[0]
-        for extra in inputs[1:]:
-            combined = combined.unionByName(extra)
-        merged = fold_events(combined)
-        # Orphans: non-Insert events for pks with no Insert anywhere in the
-        # fold input — the Insert hasn't been delivered yet. Anti-join on
-        # the (small) distinct insert-pk set; everything else was either
-        # folded in or legitimately superseded.
-        insert_pks = (
-            combined.filter(F.col("event_type") == INSERT).select("pk").distinct()
-        )
-        orphans = combined.filter(F.col("event_type") != INSERT).join(
-            insert_pks, "pk", "anti"
-        )
-        hwm_row = merged.agg(F.max("last_seq").alias("s")).first()
-        hwm = int(hwm_row["s"]) if hwm_row and hwm_row["s"] is not None else 0
-        orphans = orphans.filter(F.col("sequence") > F.lit(hwm - pending_horizon))
-
+        import json
         import shutil
 
-        # Write BOTH outputs to temp while their lazy plans can still read
-        # the current state/pending files, then swap both in — swapping one
-        # before computing the other would pull the source out from under
-        # the second plan. The parquet write MATERIALIZES each plan, so the
-        # staged directory itself renames into place: no re-read/re-write
-        # (a second copy here was the measured 1.5× ingest-throughput tax —
-        # every micro-batch rewrites O(state), so write amplification is
-        # the whole cost model).
-        staged = []
-        for df, target, tag in (
-            (merged, state_path, "state"),
-            (orphans, pending_path, "pend"),
-        ):
-            tmp = target + f".b{batch_id}.{tag}"
-            df.write.mode("overwrite").parquet(tmp)
-            staged.append((tmp, target))
-        for tmp, target in staged:
-            if os.path.exists(target):
-                shutil.rmtree(target)
-            os.rename(tmp, target)
+        from pyspark.sql.window import Window as W
+
+        spark = batch.sparkSession
+        _heal_swaps(state_path, pending_path)
+        frontier = _read_frontier(spark, state_path)
+
+        combined = batch
+        if os.path.exists(pending_path):
+            combined = combined.unionByName(
+                spark.read.schema(EVENT_SCHEMA).parquet(pending_path)
+            )
+        combined = combined.persist()
+        try:
+            if frontier is None:
+                row = (
+                    combined.filter(F.col("event_type") == INSERT)
+                    .agg(F.min("sequence"))
+                    .first()
+                )
+                frontier = int(row[0]) - 1 if row and row[0] is not None else 0
+
+            fresh = combined.filter(F.col("sequence") > F.lit(frontier))
+            # Contiguity: over the DISTINCT fresh sequences ordered, a
+            # sequence s is in the foldable prefix iff s - row_number == F.
+            # The window is a single #distinct-sequences-row frame — the
+            # one single-task step, micro-batch-bounded by
+            # maxFilesPerTrigger (same shape as the offsets frame in
+            # events._assign_and_publish); the driver syncs SCALARS only.
+            seqs = fresh.select("sequence").distinct()
+            rn = F.row_number().over(W.orderBy("sequence"))
+            agg = (
+                seqs.withColumn("_rn", rn)
+                .agg(
+                    F.max(
+                        F.when(
+                            F.col("sequence") - F.col("_rn") == F.lit(frontier),
+                            F.col("sequence"),
+                        )
+                    ).alias("em"),
+                    F.max("sequence").alias("mx"),
+                    F.min("sequence").alias("mn"),
+                )
+                .first()
+            )
+            eligible_max = int(agg["em"]) if agg["em"] is not None else frontier
+            if (
+                agg["mx"] is not None
+                and eligible_max == frontier
+                and int(agg["mx"]) - frontier > pending_horizon
+            ):
+                # the blocking gap is beyond any possible delivery
+                # reorder: skip to the smallest surviving sequence
+                frontier = int(agg["mn"]) - 1
+                fresh = combined.filter(F.col("sequence") > F.lit(frontier))
+                seqs = fresh.select("sequence").distinct()
+                agg2 = (
+                    seqs.withColumn("_rn", rn)
+                    .agg(
+                        F.max(
+                            F.when(
+                                F.col("sequence") - F.col("_rn")
+                                == F.lit(frontier),
+                                F.col("sequence"),
+                            )
+                        ).alias("em")
+                    )
+                    .first()
+                )
+                eligible_max = (
+                    int(agg2["em"]) if agg2["em"] is not None else frontier
+                )
+
+            eligible = fresh.filter(F.col("sequence") <= F.lit(eligible_max))
+            park = fresh.filter(F.col("sequence") > F.lit(eligible_max))
+
+            state = None
+            if os.path.exists(state_path):
+                state = spark.read.parquet(state_path)
+            if on_eligible is not None:
+                prior = (
+                    state.select("pk", "row")
+                    if state is not None
+                    else spark.createDataFrame(
+                        [], "pk string, row map<string,string>"
+                    )
+                )
+                on_eligible(eligible, prior, batch_id)
+
+            fold_in = eligible
+            if state is not None:
+                from driftdb_spark.events import state_as_events
+
+                fold_in = fold_in.unionByName(state_as_events(state))
+            merged = fold_events(fold_in)
+
+            # Write BOTH outputs to temp while their lazy plans can still
+            # read the current state/pending files (swapping one before
+            # computing the other would pull the source out from under the
+            # second plan), stamp the new frontier INSIDE the staged state
+            # dir so data and frontier swap atomically, then rename-aside
+            # swap both (_heal_swaps completes any interrupted shape). The
+            # parquet write MATERIALIZES each plan, so the staged directory
+            # itself renames into place: no re-read/re-write (a second copy
+            # was the measured 1.5× ingest-throughput tax — every
+            # micro-batch rewrites O(state), so write amplification is the
+            # whole cost model).
+            staged = []
+            for df, target, tag in (
+                (merged, state_path, "state"),
+                (park, pending_path, "pend"),
+            ):
+                tmp = target + f".b{batch_id}.{tag}"
+                df.write.mode("overwrite").parquet(tmp)
+                staged.append((tmp, target))
+            with open(os.path.join(staged[0][0], "_frontier.json"), "w") as fh:
+                json.dump({"frontier": eligible_max}, fh)
+            for tmp, target in staged:
+                old = target + ".old"
+                if os.path.exists(target):
+                    os.rename(target, old)
+                os.rename(tmp, target)
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            combined.unpersist()
 
     return merge
 
@@ -307,12 +444,32 @@ def dedup_stream(
     forever). At scale, state shards across executors on the dedup key
     (RocksDB state store on a real cluster)."""
     if keys is None:
-        events = events.withColumn(
-            "content_key",
-            F.sha2(F.to_json(F.map_entries(F.col("payload"))), 256),
-        )
+        events = events.withColumn("content_key", content_key_col())
         keys = ["content_key"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def content_key_col():
+    """Canonical content key for payload-identity dedup (review-found):
+    ``map_entries`` order is NOT canonical — equal payloads built in
+    different entry order hash differently — so the entries are sorted
+    before hashing; and a NULL payload (every SOFT_DELETE) would hash to
+    NULL, and NULL keys compare EQUAL in dedup state, silently
+    collapsing DISTINCT deletes within one watermark window — those fall
+    back to a per-event key so only true re-sends (same pk + sequence)
+    collapse. Works identically on streaming and batch frames (the
+    parity test applies it to both)."""
+    return F.coalesce(
+        F.sha2(
+            F.to_json(F.array_sort(F.map_entries(F.col("payload")))), 256
+        ),
+        F.concat_ws(
+            ":",
+            F.lit("nullpayload"),
+            F.col("pk"),
+            F.col("sequence").cast("string"),
+        ),
+    )
 
 
 def idempotent_parquet_sink(out_dir: str):
@@ -473,6 +630,21 @@ def cdc_records(events: DataFrame, prior_state: DataFrame) -> DataFrame:
     )
 
 
+def _cdc_emitter(feed_path: str):
+    """The CDC feed's ``on_eligible`` hook: write each merge's change
+    records to a ``batch_id=N`` partition, skipping a partition that
+    already committed (its _SUCCESS marker) — replayed batches keep the
+    images computed against the TRUE prior state (see start_cdc_feed)."""
+
+    def emit(eligible: DataFrame, prior: DataFrame, batch_id: int) -> None:
+        out = os.path.join(feed_path, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return  # replay: the committed pre-merge images are correct
+        cdc_records(eligible, prior).write.mode("overwrite").parquet(out)
+
+    return emit
+
+
 def start_cdc_feed(
     spark: SparkSession,
     events_dir: str,
@@ -485,27 +657,24 @@ def start_cdc_feed(
     records (before/after images derived from the materialized prior
     state) to ``feed_path``, then advances the state exactly like
     ``start_state_materializer`` — so the feed and the state can never
-    disagree about the image an event saw. Feed appends are
-    batch-id-partitioned parquet (idempotent on replay: a recomputed
-    micro-batch overwrites its own partition, the exactly-once
-    foreachBatch discipline)."""
-    state_merge = _merge_batch_into_state(state_path)
-
-    def emit_and_merge(batch: DataFrame, batch_id: int) -> None:
-        sp = batch.sparkSession
-        if os.path.exists(state_path):
-            prior = sp.read.parquet(state_path).select("pk", "row")
-        else:
-            prior = sp.createDataFrame(
-                [], "pk string, row map<string,string>"
-            )
-        out = os.path.join(feed_path, f"batch_id={batch_id}")
-        cdc_records(batch, prior).write.mode("overwrite").parquet(out)
-        state_merge(batch, batch_id)
-
-    reader = read_event_stream(spark, events_dir)
+    disagree about the image an event saw. The feed is driven by the
+    merge's ``on_eligible`` hook (review-found: feeding the RAW batch
+    recorded parked out-of-order events as noop and their later fold
+    never emitted a record — feed and state diverged; the hook sees
+    exactly the events each merge folds, against the same prior state).
+    Feed appends are batch-id-partitioned parquet; a replayed batch_id
+    whose partition already committed (_SUCCESS) is SKIPPED, not
+    recomputed (review-found: after a crash between the state swap and
+    the checkpoint commit, recomputing against the already-advanced
+    state would overwrite the correct images with old_row == new_row
+    corruption — the idempotent_parquet_sink discipline)."""
+    reader = read_event_stream(
+        spark, events_dir, max_files_per_trigger=4096 if available_now else 16
+    )
     writer = (
-        reader.writeStream.foreachBatch(emit_and_merge)
+        reader.writeStream.foreachBatch(
+            _merge_batch_into_state(state_path, on_eligible=_cdc_emitter(feed_path))
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

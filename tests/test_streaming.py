@@ -3,6 +3,8 @@ watermarked windowed aggregation (batch/stream parity)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -184,13 +186,15 @@ def test_stream_dedup_within_watermark(spark, log, tmp_path):
     keys = [r.content_key for r in out]
     assert len(keys) == len(set(keys))
     # batch parity: the same transformation on the batch frame, deduped on
-    # the same content key, yields the same survivor multiset
+    # the SAME canonical content key (shared expression — entry-order
+    # canonicalized, NULL payloads keyed per-event so distinct deletes
+    # never collapse), yields the same survivor multiset
+    from driftdb_spark.streaming.ingest import content_key_col
+
     batch_keys = {
         r.content_key
         for r in log.events()
-        .withColumn(
-            "content_key", F.sha2(F.to_json(F.map_entries(F.col("payload"))), 256)
-        )
+        .withColumn("content_key", content_key_col())
         .dropDuplicates(["content_key"])
         .collect()
     }
@@ -674,3 +678,222 @@ def test_interval_full_outer_join_stream_equals_batch(spark, tmp_path):
     }
     assert got_orphan_purchases <= batch_orphans
     assert (batch_orphans & provable) <= got_orphan_purchases
+
+
+# -- round-13 review findings: contiguous-frontier merge, crash-safe swap,
+# CDC replay/pending correctness, canonical dedup key
+
+
+def _state_rows(spark, state_path):
+    return {
+        r.pk: (r.last_seq, dict(r.row))
+        for r in spark.read.parquet(state_path).collect()
+    }
+
+
+def _batch_oracle(spark, events):
+    from driftdb_spark.events import fold_events
+
+    return {
+        r.pk: (r.last_seq, dict(r.row))
+        for r in fold_events(_ev(spark, events)).collect()
+    }
+
+
+def test_merge_folds_patch_below_materialized_highwater(spark, tmp_path):
+    """Review-found parity break: a Patch delivered a trigger AFTER a
+    later-sequenced event of the same pk folded against collapsed state
+    and was silently LOST (its sequence fell below the pk's materialized
+    last_seq, so the fold's tail filter dropped it). The
+    contiguous-frontier rule parks the later event until the gap fills,
+    so the fold only ever sees complete history — stream ≡ batch
+    exactly."""
+    import datetime
+
+    from driftdb_spark.streaming.ingest import _merge_batch_into_state
+
+    t = datetime.datetime(2026, 1, 1)
+    state_path = str(tmp_path / "state")
+    merge = _merge_batch_into_state(state_path)
+    all_events = [
+        (1, t, "INSERT", "1", {"id": "1", "f": "x", "g": "y"}),
+        (2, t, "PATCH", "1", {"f": "a"}),
+        (3, t, "PATCH", "1", {"g": "b"}),
+    ]
+    # delivery order: seq 3 lands a trigger before seq 2 (mtime tie)
+    merge(_ev(spark, [all_events[0], all_events[2]]), 0)
+    merge(_ev(spark, [all_events[1]]), 1)
+    assert _state_rows(spark, state_path) == _batch_oracle(spark, all_events)
+    row = _state_rows(spark, state_path)["1"]
+    assert row[1]["f"] == "a" and row[1]["g"] == "b"  # seq 2 NOT lost
+    # pending drained once the gap filled
+    assert spark.read.parquet(state_path + ".pending").count() == 0
+
+
+def test_merge_applies_delete_below_materialized_highwater(spark, tmp_path):
+    """The SOFT_DELETE twin of the reordering break: delete seq 2
+    delivered after patch seq 3 used to fold as del_seq < ins_seq and
+    the key stayed live, while batch replay kills it (patch after delete
+    is ignored). Frontier parking restores exact batch semantics."""
+    import datetime
+
+    from driftdb_spark.streaming.ingest import _merge_batch_into_state
+
+    t = datetime.datetime(2026, 1, 1)
+    state_path = str(tmp_path / "state")
+    merge = _merge_batch_into_state(state_path)
+    all_events = [
+        (1, t, "INSERT", "1", {"id": "1", "f": "x"}),
+        (2, t, "SOFT_DELETE", "1", None),
+        (3, t, "PATCH", "1", {"f": "a"}),
+    ]
+    merge(_ev(spark, [all_events[0], all_events[2]]), 0)
+    merge(_ev(spark, [all_events[1]]), 1)
+    assert _state_rows(spark, state_path) == {}  # dead, exactly like batch
+    assert _batch_oracle(spark, all_events) == {}
+
+
+def test_merge_redelivery_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-delivering an already-folded micro-batch
+    (<= frontier duplicates) must leave state bit-identical."""
+    import datetime
+
+    from driftdb_spark.streaming.ingest import _merge_batch_into_state
+
+    t = datetime.datetime(2026, 1, 1)
+    state_path = str(tmp_path / "state")
+    merge = _merge_batch_into_state(state_path)
+    events = [
+        (1, t, "INSERT", "1", {"id": "1", "f": "x"}),
+        (2, t, "PATCH", "1", {"f": "a"}),
+    ]
+    merge(_ev(spark, events), 0)
+    before = _state_rows(spark, state_path)
+    merge(_ev(spark, events), 1)  # replay
+    assert _state_rows(spark, state_path) == before
+
+
+def test_merge_swap_crash_lattice_every_rename_step(spark, tmp_path):
+    """Review-found: the old rmtree-then-rename swap destroyed the state
+    table on a crash between the two calls, with no recovery path. The
+    rename-aside protocol + _heal_swaps must survive a crash at EVERY
+    rename of the swap sequence: after each injected crash, the
+    re-delivered micro-batch (streaming's at-least-once contract) heals
+    and converges to the exact batch fold."""
+    import datetime
+
+    from driftdb_spark.streaming import ingest as ing
+
+    t = datetime.datetime(2026, 1, 1)
+    base = [(1, t, "INSERT", "1", {"id": "1", "f": "x"})]
+    nxt = [
+        (2, t, "PATCH", "1", {"f": "a"}),
+        (3, t, "INSERT", "2", {"id": "2", "f": "y"}),
+    ]
+    oracle = _batch_oracle(spark, base + nxt)
+
+    real_rename = os.rename
+    for crash_at in range(4):  # state aside, state in, pend aside, pend in
+        state_path = str(tmp_path / f"state{crash_at}")
+        merge = ing._merge_batch_into_state(state_path)
+        merge(_ev(spark, base), 0)
+
+        calls = {"n": 0}
+
+        def dying_rename(src, dst, *, _c=calls, _k=crash_at, **kw):
+            # count only swap renames (paths inside this state family)
+            if ".b1." in src or src.endswith((".pending", f"state{_k}")):
+                if _c["n"] == _k:
+                    raise OSError(5, "injected crash mid-swap")
+                _c["n"] += 1
+            return real_rename(src, dst, **kw)
+
+        os.rename = dying_rename
+        try:
+            try:
+                merge(_ev(spark, nxt), 1)
+                crashed = False
+            except OSError:
+                crashed = True
+        finally:
+            os.rename = real_rename
+        # redelivery of the same batch heals whatever the crash left
+        merge(_ev(spark, nxt), 1)
+        assert _state_rows(spark, state_path) == oracle, (
+            f"crash at rename #{crash_at} (crashed={crashed}) diverged"
+        )
+        assert not os.path.exists(state_path + ".old")
+        assert not os.path.exists(state_path + ".pending.old")
+
+
+def test_cdc_feed_images_survive_replay_and_parked_events(spark, tmp_path):
+    """Two review-found CDC defects, pinned together: (a) a replayed
+    batch_id must NOT recompute its images against the already-advanced
+    state (old_row == new_row corruption) — the committed partition is
+    skipped; (b) a parked out-of-order event emits its change record the
+    trigger it actually FOLDS (with the true prior image), not a noop
+    the trigger it was delivered."""
+    import datetime
+
+    from driftdb_spark.streaming.ingest import _cdc_emitter, _merge_batch_into_state
+
+    t = datetime.datetime(2026, 1, 1)
+    state_path = str(tmp_path / "state")
+    feed_path = str(tmp_path / "feed")
+    merge = _merge_batch_into_state(
+        state_path, on_eligible=_cdc_emitter(feed_path)
+    )
+
+    # trigger 0: the patch (seq 2) arrives BEFORE its insert -> parked,
+    # and the feed's batch 0 partition holds no noop for it
+    merge(_ev(spark, [(2, t, "PATCH", "1", {"f": "a"})]), 0)
+    b0 = spark.read.parquet(os.path.join(feed_path, "batch_id=0"))
+    assert b0.count() == 0
+
+    # trigger 1: the insert arrives; BOTH events fold and BOTH records
+    # emit with exact images
+    merge(_ev(spark, [(1, t, "INSERT", "1", {"id": "1", "f": "x"})]), 1)
+    b1 = {
+        r.sequence: r
+        for r in spark.read.parquet(os.path.join(feed_path, "batch_id=1")).collect()
+    }
+    assert b1[1].change_type == "insert" and b1[1].old_row is None
+    assert b1[2].change_type == "update"
+    assert dict(b1[2].old_row) == {"id": "1", "f": "x"}
+    assert dict(b1[2].new_row) == {"id": "1", "f": "a"}
+
+    # replay of batch 1 AFTER the state advanced: the committed images
+    # must stand (recomputing would yield old_row == new_row garbage)
+    merge(_ev(spark, [(1, t, "INSERT", "1", {"id": "1", "f": "x"})]), 1)
+    b1_after = {
+        r.sequence: r
+        for r in spark.read.parquet(os.path.join(feed_path, "batch_id=1")).collect()
+    }
+    assert dict(b1_after[2].old_row) == {"id": "1", "f": "x"}
+    assert dict(b1_after[2].new_row) == {"id": "1", "f": "a"}
+
+
+def test_content_key_is_canonical_and_null_safe(spark):
+    """Review-found: the dedup content key hashed unsorted map entries
+    (equal payloads with different entry order got different keys) and
+    hashed NULL payloads to NULL (every soft-delete collapsed into one
+    dedup bucket). The canonical key sorts entries and keys NULL
+    payloads per-event."""
+    import datetime
+
+    from driftdb_spark.streaming.ingest import content_key_col
+
+    t = datetime.datetime(2026, 1, 1)
+    df = _ev(
+        spark,
+        [
+            (1, t, "INSERT", "1", {"a": "1", "b": "2"}),
+            (2, t, "INSERT", "2", {"b": "2", "a": "1"}),  # same content, other order
+            (3, t, "SOFT_DELETE", "1", None),
+            (4, t, "SOFT_DELETE", "2", None),  # distinct delete, NULL payload
+        ],
+    ).withColumn("k", content_key_col())
+    rows = {r.sequence: r.k for r in df.collect()}
+    assert rows[1] == rows[2], "entry order must not change the key"
+    assert rows[3] is not None and rows[4] is not None
+    assert rows[3] != rows[4], "distinct deletes must not collapse"
