@@ -656,27 +656,30 @@ def sample_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
        conservative prune (with 1e-6 slack); the exact check is integer.
     """
     d = load_tables(spark, sf_dir)["documents"]
+    # Per-doc token stats are ROW-LOCAL: token count = size of the split
+    # array, distinct count = size of array_distinct — JVM higher-order
+    # functions, zero shuffle (optimization guide §4.1: built-ins over
+    # anything that ships rows). The previous explode + groupBy +
+    # COUNT(DISTINCT) formulation paid a Generate over every token plus
+    # TWO token-level exchanges (the count-distinct two-phase aggregate);
+    # all of it vanished from the plan (plans/r13/sample_pareto_frontier
+    # _before/_after: stats subtree Generate+2×Exchange → Project only).
+    # size() yields INT, the old aggregates yielded BIGINT — cast to keep
+    # the driver-checked schema identical.
+    toks = F.split(F.col("text"), " ")
     stats = (
         d.select(
-            "doc_id", "n_chars", F.explode(F.split(F.col("text"), " ")).alias("token")
-        )
-        .groupBy("doc_id", "n_chars")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.countDistinct("token").alias("n_uniq"),
+            "doc_id",
+            "n_chars",
+            F.size(toks).cast("long").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
         )
         # Referenced by the range aggregate, the bin maxima, and the
-        # candidate filter — and Spark does NOT dedupe these subtrees
-        # (plan inspected: 8 parquet scans, 0 ReusedExchange), so without
-        # pinning, the explode over the raw corpus re-executes per
-        # reference. Measured A/B at sf0.1 (clearCache, median of 3):
-        # no-persist 1.77 s vs persist 2.64 s — locally the 8× re-scan of
-        # a 5 k-doc corpus is CHEAPER than the materialization barrier.
-        # Persist anyway: the pinned frame is doc-count-sized (not
-        # corpus-sized), and at 100 TB eight full-corpus explode+agg
-        # passes dwarf one doc-stats materialization. This is the inverse
-        # of the pagerank reuse decision (relational.py), where the
-        # subtrees DO hit ReuseExchange and persist loses at every scale.
+        # candidate filter — Spark does not dedupe those subtrees, so the
+        # pin keeps the (now map-only) stats pass from re-running per
+        # reference; the pinned frame is doc-count-sized. With the explode
+        # gone the materialization barrier that made persist a local loss
+        # (old A/B: 1.77 s no-persist vs 2.64 s persist) is gone too.
         .persist()
     )
     n_bins = 32

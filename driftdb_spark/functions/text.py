@@ -167,13 +167,20 @@ def text_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    # The corpus-size scalar joins AFTER the token aggregate: grouping on
+    # (token, n_docs) carried the constant through BOTH count-distinct
+    # exchanges as an extra 8-byte hash key on every token row (plan
+    # _before: hashpartitioning(token, n_docs, doc_id) then
+    # hashpartitioning(token, n_docs)); attached post-aggregate it rides
+    # a broadcast onto token-cardinality rows instead (guide §2.3:
+    # shuffle fewer bytes).
     return (
-        tok.crossJoin(F.broadcast(n_docs))
-        .groupBy("token", "n_docs")
+        tok.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("tf"),
             F.countDistinct("doc_id").alias("df"),
         )
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "token",
             "tf",

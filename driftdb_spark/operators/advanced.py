@@ -513,13 +513,21 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # condition): single-job reuse 1.31 s vs eager persist + extra
         # job 1.69 s.
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # Out-weights as a window over the (tiny, ≤|nations|²-row) edge
+    # aggregate instead of a separate groupBy + join: same ow per src,
+    # but each of the three iterations now embeds ONE edges subtree
+    # (edges + window) rather than TWO (edges, and edges→outw rejoined) —
+    # the unrolled lazy plan roughly halves, which is pure Catalyst
+    # planning/ReuseExchange load at bench scale and one less shuffle
+    # lineage per iteration at cluster scale (guide §2.4: two operations
+    # keyed the same way share one exchange — the window rides the
+    # src-keyed layout the join needed anyway).
+    norm = edges.withColumn("ow", F.sum("w").over(W.partitionBy("src")))
     nodes = t["nation"].select(F.col("n_nationkey").alias("node"))
     ranks = nodes.select("node", F.lit(0.04).cast("double").alias("r"))
     for _ in range(3):
         contrib = (
-            edges.join(outw, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            norm.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(

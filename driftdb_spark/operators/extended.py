@@ -210,8 +210,18 @@ def fulltext_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequencies broadcast to the scorer."""
     d = load_tables(spark, sf_dir)["documents"]
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).filter(
-        F.col("token").isin(*_SEARCH_TERMS)
+    # Filter INSIDE the array, then explode: the IN test runs on every
+    # token either way, but Generate now emits only query-term hits
+    # (a handful per doc) instead of materializing every token as a row
+    # and filtering after (guide §4.1 higher-order functions; plan diff:
+    # Generate's input moves from split(text) to filter(split(text))).
+    # filter() keeps duplicates (unlike array_intersect), so per-doc term
+    # frequencies are unchanged.
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x.isin(*_SEARCH_TERMS))
+        ).alias("token"),
     )
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     tfreq = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))

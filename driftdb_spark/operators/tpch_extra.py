@@ -457,7 +457,14 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("g_orderkey")
     return (
         per_supp.filter(F.col("n_late_lines") > 0)
-        .join(qualifying, F.col("l_orderkey") == F.col("g_orderkey"))
+        # shuffle_hash, not the default sort-merge: both sides arrive
+        # already hash-partitioned on orderkey (children of the reused
+        # per_supp exchange), so neither join needs an exchange — but SMJ
+        # was paying a SORT on each side (plan _before: Sort(13)+Sort(29)
+        # under SortMergeJoin(30)). SHJ consumes the same partitioning
+        # sort-free; build side is the filtered per-order aggregate,
+        # whose per-partition size AQE bounds.
+        .join(qualifying.hint("shuffle_hash"), F.col("l_orderkey") == F.col("g_orderkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
@@ -556,8 +563,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = t["supplier"].join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     p = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    # The part filter commutes below the association aggregation (partkey
+    # is a group key — dropping a part drops its whole group), so the
+    # broadcast semi-join prunes lineitem BEFORE the (part, supplier)
+    # exchange: the big shuffle carries only the selected parts' lines
+    # (~1/250 of the fact; q11/q16/q20 already use this shape — q2 was
+    # the one partsupp query still aggregating the full fact first).
+    # Catalyst cannot do this rewrite itself: it never pushes a join
+    # through an aggregate. The post-aggregate broadcast join with p is
+    # unchanged (it attaches p_partkey and re-applies the now-vacuous
+    # filter), so the output frame is bit-identical.
+    li_p = t["lineitem"].join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "semi",
+    )
     costs = (
-        _derived_partsupp(t)
+        _derived_partsupp(t, li_p)
         .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
     )

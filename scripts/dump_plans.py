@@ -1,0 +1,39 @@
+"""Dump .explain('formatted') for headline queries to plans/r13/<q>_<tag>.txt.
+
+Usage: python scripts/dump_plans.py <tag> [query ...]
+With no query names, dumps every headline query from bench.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from driftdb_spark.registry import query_map  # noqa: E402
+from driftdb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:] or HEADLINE
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="plan_dump")
+    qmap = query_map()
+    for name in names:
+        df = qmap[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as f:
+            f.write(plan)
+        print(f"wrote {name}_{tag}.txt ({plan.count('Exchange')} Exchange refs)")
+    spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
