@@ -313,30 +313,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_fold_expr(hash_sql: str, bits: int) -> F.Column:
+    """Row-local SimHash (r13): per-bit ±1 majority vote folded over the
+    token array in ONE pass, then the sign bits assembled — the
+    minhash_signatures all-minima-in-one-fold trick applied to the
+    majority vote. Replaces the token explode + per-doc aggregate with
+    ``bits`` conditional sums (and its exchange) with a narrow map
+    stage; values are identical (same ±1 per (token, bit), same
+    count>0 assembly). ``hash_sql`` maps token ``t`` to the BIGINT base
+    hash (xxhash64 for the performance twin, md5-derived for the
+    oracle-portable twin)."""
+    counts = (
+        f"aggregate(transform(split(text, ' '), t -> {hash_sql}), "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(c, b) -> c + IF((shiftright(h, b) & 1) = 1, 1, -1)))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({counts}, sequence(0, {bits - 1}), "
+        f"(c, b) -> IF(c > 0, shiftleft(1L, b), 0L)), 0L, (a, e) -> a + e)"
+    ).cast("long")
+
+
 @register("dedup_simhash", oracle=None, tags=("dedup", "no-oracle"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token hashes,
-    computed as 64 conditional aggregations after one token explode.
-    Deterministic xxhash64 → rows-only check (no DuckDB equivalent)."""
+    """SimHash per document: per-bit majority vote over token hashes,
+    folded row-locally (see _simhash_fold_expr — previously one token
+    explode + 64 conditional aggregations). Deterministic xxhash64 →
+    rows-only check (no DuckDB equivalent). Bit 63 kept clear to stay
+    positive — a 63-bit fingerprint is ample."""
     d = load_tables(spark, sf_dir)["documents"]
-    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
+    return d.select(
+        "doc_id", _simhash_fold_expr("xxhash64(t)", 63).alias("simhash")
     )
-    bit_sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
-    )
-    # Reassemble the sign bits into one BIGINT (bit 63 kept clear to stay
-    # positive — a 63-bit fingerprint is ample).
-    sim_expr = None
-    for b in range(63):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
-        sim_expr = term if sim_expr is None else sim_expr + term
-    return bit_sums.select("doc_id", sim_expr.alias("simhash"))
 
 
 from driftdb_spark.registry import QUERIES as _QUERIES  # noqa: E402
@@ -391,6 +400,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixpoint. One scalar aggregate per round both materializes the new
     # labels into the cache and detects convergence (the old
     # count-then-compare-join needed two actions and an extra join).
+    # NOTE (r13): batching two propagation rounds per driver probe (the
+    # recursive_cte batch= trick) was tried and measured SLOWER here
+    # (interleaved in-session A/B at sf0.1: 1.3-1.5 s single vs
+    # 1.7-2.2 s batched): near-dup graphs converge in 2-3 rounds, so the
+    # overshot extra rounds cost more than the one saved probe. Batching
+    # only pays on deep recursions (cte_recursive_walk's 26 steps).
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(20):
         propagated = (
@@ -662,9 +677,12 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounded to the doc_id<25 oracle slice; the unbounded scale path
     shares dedup_minhash_lsh's band-bucket candidate generation."""
     d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 25)
+    # no .distinct(): _shingles is array_distinct per doc, so the exploded
+    # (doc_id, shingle) pairs are already unique — the old distinct was a
+    # full no-op exchange (guide §2.4)
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

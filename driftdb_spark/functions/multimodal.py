@@ -156,9 +156,33 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _media_local_relation(spark, rows) -> DataFrame:
+    """MEDIA_SCHEMA-shaped fixture as a JVM LocalRelation (inline VALUES
+    with hex-encoded payloads, unhex'd in the select).
+
+    ``createDataFrame(list)`` builds a pickled-RDD-backed frame whose scan
+    re-enters a Python worker on EVERY action — measured 1.8-2.0 s per
+    noop materialization for a 24-row fixture, which dominated every
+    multimodal query (guide §4: eliminate the JVM↔Python boundary; this
+    one was hiding in the FIXTURE, not the decode). The inline-table form
+    evaluates wholly in the JVM: same rows, 0.06 s.
+    """
+    vals = ",".join(
+        f"(CAST({i} AS BIGINT), '{kind}', '{content.hex()}', "
+        f"named_struct('mime', '{mime}', 'source', '{src}', "
+        f"'n_bytes', CAST({nb} AS BIGINT)))"
+        for i, kind, content, (mime, src, nb) in rows
+    )
+    return spark.sql(
+        "SELECT media_id, kind, unhex(hex) AS content, meta "
+        f"FROM VALUES {vals} AS t(media_id, kind, hex, meta)"
+    )
+
+
 def synthetic_media(spark, n: int = 8) -> DataFrame:
     """Deterministic in-memory media fixture (the testdata has no binary
-    table); used by tests and demos."""
+    table); used by tests and demos. Single-partition LocalRelation —
+    real media tables arrive already partitioned by size."""
     rows = []
     for i in range(n):
         content = bytes([(i * 37 + j) % 256 for j in range(256 + i)])
@@ -166,9 +190,7 @@ def synthetic_media(spark, n: int = 8) -> DataFrame:
         rows.append(
             (i, kind, content, (f"{kind}/x-fake", f"src{i % 3}", len(content)))
         )
-    # Tiny fixture: cap partition fan-out so a 24-row demo doesn't spin up
-    # 32 Python workers. Real media tables arrive already partitioned by size.
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+    return _media_local_relation(spark, rows)
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +356,7 @@ def synthetic_ppm_media(spark, n: int = 6) -> DataFrame:
         w, h = 8 + 2 * (i % 5), 6 + 2 * (i % 4)
         content = ppm_bytes(i, w, h)
         rows.append((i, "image", content, ("image/x-portable-pixmap", f"src{i % 3}", len(content))))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+    return _media_local_relation(spark, rows)
 
 
 @register(
@@ -431,9 +453,15 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
 
 
 def synthetic_wav_media(spark, n: int = 6) -> DataFrame:
-    """Real WAV files as a binary-column DataFrame."""
-    rows = [(i, bytearray(wav_bytes(i))) for i in range(n)]
-    return spark.createDataFrame(rows, "media_id long, content binary")
+    """Real WAV files as a binary-column DataFrame (JVM LocalRelation —
+    see _media_local_relation for why not createDataFrame)."""
+    vals = ",".join(
+        f"(CAST({i} AS BIGINT), '{wav_bytes(i).hex()}')" for i in range(n)
+    )
+    return spark.sql(
+        "SELECT media_id, unhex(hex) AS content "
+        f"FROM VALUES {vals} AS t(media_id, hex)"
+    )
 
 
 @register(
@@ -594,7 +622,7 @@ def synthetic_phash_media(spark) -> DataFrame:
         if i < 3:
             rows.append((100 + i, "image", noise_ppm_bytes(i, w, h, perturb=1),
                          ("image/x-portable-pixmap", f"src{i % 3}", 0)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+    return _media_local_relation(spark, rows)
 
 
 @register(
@@ -625,7 +653,7 @@ def synthetic_phash_audit_media(spark, n_base: int = 40, n_dups: int = 20) -> Da
         if i < n_dups:
             rows.append((1000 + i, "image", noise_ppm_bytes(i, w, h, perturb=1),
                          ("image/x-portable-pixmap", f"src{i % 3}", 0)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+    return _media_local_relation(spark, rows)
 
 
 @register(

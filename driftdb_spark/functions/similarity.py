@@ -162,18 +162,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_sign_matrix(spark, sign_sql: str, n_planes: int) -> list:
+    """The deterministic ±1 hyperplane matrix, evaluated ONCE as a 1-row
+    job over literals and inlined into the bucketing expression as array
+    literals (r13). The planes are CONSTANTS — the previous form
+    re-derived each component's hash inside the per-row dot-product
+    lambda, i.e. |corpus| × n_planes × DIM hash calls of literal strings
+    that Catalyst cannot constant-fold through the lambda boundary.
+    ``sign_sql`` sees ``j`` (plane) and ``i`` (dimension) and must
+    reproduce the historical per-plane strings exactly so bucket ids are
+    unchanged."""
+    expr = (
+        f"transform(sequence(0, {n_planes - 1}), j -> "
+        f"transform(sequence(0, {DIM - 1}), i -> {sign_sql}))"
+    )
+    return spark.range(1).select(F.expr(expr).alias("m")).first()["m"]
+
+
+def _plane_dot(plane: list) -> F.Column:
+    vals = ",".join(f"{s}D" for s in plane)
+    return F.expr(
+        f"aggregate(zip_with(embedding, array({vals}), "
+        "(x, s) -> CAST(x AS DOUBLE) * s), "
+        "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
+    )
+
+
+_XX_SIGN_SQL = (
+    "CAST(pmod(xxhash64(concat('plane', CAST(j AS STRING), ':', "
+    "CAST(i AS STRING))), 2) * 2 - 1 AS DOUBLE)"
+)
+
+
 def lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """Random-hyperplane LSH: bucket id = sign bits of dot(v, r_j) for
-    deterministic pseudo-random ±1 planes r_j (xxhash64-derived). One narrow
-    map stage; at scale the corpus is written bucketed-by so probes touch one
+    deterministic pseudo-random ±1 planes r_j (xxhash64-derived; matrix
+    pre-evaluated once — see _plane_sign_matrix). One narrow map stage;
+    at scale the corpus is written bucketed-by so probes touch one
     bucket."""
+    mat = _plane_sign_matrix(emb.sparkSession, _XX_SIGN_SQL, n_planes)
     bits = []
     for j in range(n_planes):
-        dot_j = F.expr(
-            "aggregate(zip_with(embedding, sequence(0, {d}), "
-            "(x, i) -> CAST(x AS DOUBLE) * CAST(pmod(xxhash64(concat('plane{j}:', i)), 2) * 2 - 1 AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)".format(d=DIM - 1, j=j)
-        )
+        dot_j = _plane_dot(mat[j])
         bits.append(F.when(dot_j > 0, F.lit(1 << j)).otherwise(0))
     bucket = bits[0]
     for b in bits[1:]:
@@ -572,19 +602,14 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- portable (cross-engine bit-exact) LSH ANN twin ---------------------------
 
-def _md5_sign_spark(j: int) -> str:
-    """±1 pseudo-random plane component from md5 parity — Spark side."""
-    return (
-        "CAST(pmod(cast(conv(substr(md5(concat('plane{j}:', cast(i as string))), 1, 1), 16, 10) as bigint), 2) * 2 - 1 AS DOUBLE)"
-    ).format(j=j)
-
-
-def _md5_dot_spark(j: int) -> str:
-    return (
-        f"aggregate(zip_with(embedding, sequence(0, {DIM - 1}), "
-        f"(x, i) -> CAST(x AS DOUBLE) * {_md5_sign_spark(j)}), "
-        "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
-    )
+#: ±1 pseudo-random plane component from md5 parity — Spark side, in the
+#: (j, i)-parameterized form _plane_sign_matrix evaluates once (r13; the
+#: per-row re-derivation this replaces is documented there). The concat
+#: reproduces the historical 'plane{j}:{i}' strings byte-for-byte.
+_MD5_SIGN_SQL = (
+    "CAST(pmod(cast(conv(substr(md5(concat('plane', CAST(j AS STRING), ':', "
+    "CAST(i AS STRING))), 1, 1), 16, 10) as bigint), 2) * 2 - 1 AS DOUBLE)"
+)
 
 
 def _md5_dot_duck(j: int) -> str:
@@ -641,9 +666,10 @@ def sim_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing is one narrow map stage, probes broadcast, exact cosine only
     inside probed buckets."""
     emb = load_tables(spark, sf_dir)["embeddings"]
+    mat = _plane_sign_matrix(spark, _MD5_SIGN_SQL, N_PLANES)
     bits = []
     for j in range(N_PLANES):
-        dot_j = F.expr(_md5_dot_spark(j))
+        dot_j = _plane_dot(mat[j])
         bits.append(F.when(dot_j > 0, F.lit(1 << j)).otherwise(0))
     bucket = bits[0]
     for x in bits[1:]:
@@ -693,19 +719,27 @@ KM_SCALE = 10_000
 KM_ITERS = 2
 
 
-def _km_quantize(emb: DataFrame) -> DataFrame:
-    return emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT))"
-        ).alias("qx"),
+def _km_qx_expr() -> F.Column:
+    """The 1e4-scaled bigint quantization of ``embedding`` (see above)."""
+    return F.expr(
+        f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT))"
     )
 
 
-def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+def _km_quantize(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", _km_qx_expr().alias("qx"))
+
+
+def _km_assign(
+    q: DataFrame, cents: DataFrame, cols: tuple[str, ...] = ("vec_id", "qx")
+) -> DataFrame:
     """Nearest-centroid assignment: broadcast the K (cid, sums, count)
     rows, row-local bigint distance fold, argmin via struct array_min —
-    a narrow map stage, zero corpus shuffle (the IVF probe pattern)."""
+    a narrow map stage, zero corpus shuffle (the IVF probe pattern).
+    ``cols`` picks which input columns ride along with the assignment
+    (the distance fold always reads ``qx``); callers that need the raw
+    embedding downstream pass it here instead of re-joining the corpus
+    on vec_id afterwards."""
     cent_row = cents.groupBy().agg(
         F.collect_list(F.struct("cid", "s", "cnt")).alias("cents")
     )
@@ -715,7 +749,7 @@ def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
         "0L, (a, e) -> a + e) AS d, c.cid AS cid))).cid"
     )
     return q.crossJoin(F.broadcast(cent_row)).select(
-        "vec_id", "qx", best.alias("cluster")
+        *cols, best.alias("cluster")
     )
 
 
@@ -1033,20 +1067,40 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qx").alias("s"),
         F.lit(1).cast("long").alias("cnt"),
     )
-    assigned = None
-    for i in range(KM_ITERS):
-        assigned = _km_assign(q, cents)
-        if i < KM_ITERS - 1:
-            cents = _km_update(assigned)
+    for _ in range(KM_ITERS - 1):
+        cents = _km_update(_km_assign(q, cents))
+    # Final assignment carries the raw embedding through the map stage
+    # (cols=) instead of re-joining the corpus on vec_id afterwards —
+    # that join was a second full scan plus an exchange pair. The single
+    # repartition on the cluster key is then the ONE corpus exchange of
+    # the pairing stage: both self-join sides hang off the SAME Exchange
+    # subtree, so runtime ReuseExchange computes the assign pipeline once
+    # (before: each side recomputed scan→assign→join independently), and
+    # the float→double promotion happens after the exchange so it ships
+    # 4-byte floats, not 8-byte doubles (guide §2.3/§2.4).
+    qe = emb.select("vec_id", "embedding", _km_qx_expr().alias("qx"))
+    assigned = _km_assign(qe, cents, cols=("vec_id", "embedding"))
+    # Persisted EAGERLY: both self-join sides consume v, and at local
+    # scale AQE converts the pairing join to a broadcast — the two sides
+    # then cannot share an exchange, so a lazy v would run the whole
+    # scan→assign pipeline twice (the dedup_minhash_lsh persist
+    # rationale). The repartition stays: it is the one corpus exchange
+    # of the pairing stage, paid inside the persist job, and the cached
+    # frame keeps its cluster partitioning for the at-scale SMJ path.
     v = (
-        emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+        assigned.select(
+            "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "embedding"
+        )
+        .repartition("cluster")
         .select(
             "vec_id",
-            F.col("cluster").cast("bigint").alias("cluster"),
+            "cluster",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ev"),
         )
         .withColumn("nrm", F.sqrt(_dots("ev", "ev")))
+        .persist()
     )
+    v.count()
     a = v.select(
         "cluster",
         F.col("vec_id").alias("id_a"),

@@ -1431,13 +1431,19 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-novelty (<0.5) tail — the drop candidates."""
     from driftdb_spark.functions.dedup import _shingles
 
+    from pyspark.sql.window import Window as W
+
     d = load_tables(spark, sf_dir)["documents"]
-    sh = d.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    # No .distinct(): _shingles is array_distinct per doc, so the exploded
+    # (doc_id, shingle) pairs are already unique — the old distinct was a
+    # full no-op exchange (guide §2.4). first_doc as a window min over the
+    # shingle key instead of a separate aggregate joined back: one shingle
+    # exchange replaces agg + join + the duplicated sh subtree (the same
+    # window-beats-agg+rejoin A/B dedup_substring_spans documents inline).
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    first_doc = F.min("doc_id").over(W.partitionBy("shingle"))
     scored = (
-        sh.join(firsts, "shingle")
+        sh.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -252,10 +252,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_functions.py::test_approx_distinct_error_within_bound).
     """
     li = load_tables(spark, sf_dir)["lineitem"]
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    # Two-level aggregation instead of countDistinct + approx in one agg:
+    # mixing them forced an Expand that duplicated every fact row per
+    # aggregate family before the exchange. Level 1 reduces to distinct
+    # (flag, orderkey) pairs map-side (carrying per-pair row counts for
+    # n); level 2 computes exact = COUNT(*), n = SUM, and feeds the
+    # sketch the deduplicated keys — HLL insertion is idempotent, so the
+    # estimate is the very same sketch state as over the raw rows.
+    pairs = li.groupBy("l_returnflag", "l_orderkey").agg(
+        F.count(F.lit(1)).alias("_rows")
+    )
+    agg = pairs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_orders"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("_rows").alias("n"),
     )
     rel_err = (
         F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")
@@ -308,8 +318,12 @@ def agg_approx_distinct_error_audit(spark: SparkSession, sf_dir: str) -> DataFra
     distinct count (fixed-size partial state, map-side combinable), and
     this audit is the standing evidence it's trustworthy."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    # Same two-level shape as agg_approx_distinct (see note there): dedup
+    # to (flag, orderkey) map-side, then exact = COUNT(*) and the sketch
+    # over the deduplicated keys — identical HLL state, no Expand.
+    pairs = li.groupBy("l_returnflag", "l_orderkey").agg(F.lit(1).alias("_one"))
+    agg = pairs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", APPROX_RSD).alias("approx"),
     )
     rel_err = F.abs(F.col("approx") - F.col("exact_orders")) / F.col("exact_orders")

@@ -319,11 +319,20 @@ def fulltext_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-match (each side is pre-filtered to one term, so the join inputs
     are tiny relative to the corpus — the 100 TB-safe shape)."""
     d = load_tables(spark, sf_dir)["documents"]
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
-    a = tok.filter(F.col("token") == "fast").select("doc_id", F.col("pos").alias("pa"))
-    b = tok.filter(F.col("token") == "query").select("doc_id", F.col("pos").alias("pb"))
+
+    # r13 (guide §4.1): per-term positions via an INDEXED transform +
+    # filter inside the array, so each side's Generate emits only that
+    # term's occurrences — the old posexplode materialized every token of
+    # every document as a row, twice (once per join side). Positions stay
+    # 0-based exactly like posexplode; only differences are compared.
+    def _positions(term: str):
+        return F.expr(
+            "filter(transform(split(text, ' '), (t, i) -> "
+            f"IF(t = '{term}', i, -1)), p -> p >= 0)"
+        )
+
+    a = d.select("doc_id", F.explode(_positions("fast")).alias("pa"))
+    b = d.select("doc_id", F.explode(_positions("query")).alias("pb"))
     return (
         a.join(b, "doc_id")
         .filter(F.abs(F.col("pa") - F.col("pb")) <= 3)
@@ -391,11 +400,22 @@ def fulltext_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as the other four full-text operators."""
     d = load_tables(spark, sf_dir)["documents"]
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    scored_tok = tok.filter(F.col("token").isin(*_BOOL_SCORED))
+    # r13 (guide §4.1): the scored-token explode filters INSIDE the array
+    # so Generate emits only query-term hits, and the NOT-term exclusion
+    # is a row-local array_contains — the old form exploded the full
+    # corpus three subtree-copies deep (hits, dfreq, excluded) and paid a
+    # distinct exchange just to collapse the exclusion's duplicates.
+    scored_tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t.isin(*_BOOL_SCORED))
+        ).alias("token"),
+    )
     hits = scored_tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = scored_tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    excluded = tok.filter(F.col("token") == _BOOL_NOT).select("doc_id").distinct()
+    excluded = d.filter(
+        F.array_contains(F.split("text", " "), _BOOL_NOT)
+    ).select("doc_id")
     scored = (
         hits.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n_docs))
@@ -1657,19 +1677,27 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated user-day set (already ≪ events), then one distinct +
     count per day. Every exchange keys on (user, day) or day; no window
     rescans history."""
+    from pyspark.sql.window import Window as W
+
     e = load_tables(spark, sf_dir)["events"]
     ud = e.select(
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    cover = (
-        ud.select(
-            "user_id",
-            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
-            "day",
-        )
-        .select("user_id", F.date_add("day", F.col("i")).alias("day"))
-        .distinct()
+    # r13 (guide §2.3): interval-union coverage instead of explode ×7 +
+    # DISTINCT. Each active day covers [day, day+6]; per user the active
+    # days are sorted and the cover ends are monotone, so emitting
+    # [greatest(day, prev+7), day+6] yields every covered (user, wday)
+    # EXACTLY once — no 7× fan-out exchange, no distinct to collapse it;
+    # the per-user window replaces both. wau per day is then a plain
+    # count, identical to the old distinct-user count.
+    w = W.partitionBy("user_id").orderBy("day")
+    start = F.greatest(
+        F.col("day"), F.coalesce(F.date_add(F.lag("day").over(w), 7), F.col("day"))
+    )
+    cover = ud.withColumn("start", start).select(
+        "user_id",
+        F.explode(F.sequence(F.col("start"), F.date_add("day", 6))).alias("day"),
     )
     wau = cover.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
     return (

@@ -76,6 +76,48 @@ def test_recursive_cte_union_distinct_semantics(spark):
     out = recursive_cte(anchor, step, distinct=True, max_iterations=50)
     assert sorted(r.n for r in out.collect()) == [0, 1, 2]
 
+
+def test_recursive_cte_batched_matches_unbatched(spark):
+    """batch>1 (fewer driver probes, r13) must be row-identical to
+    batch=1 for UNION ALL arms — including when the fixpoint lands
+    mid-batch and the tail steps run on empty frontiers."""
+    anchor = spark.createDataFrame([(0, 1)], "n int, v int")
+
+    def step(frontier):
+        # terminates after 7 steps (n=7 filtered out) — not a multiple
+        # of any batch size used below, so every batch overshoots
+        return frontier.filter(F.col("n") < 7).select(
+            (F.col("n") + 1).alias("n"), (F.col("v") * 2).alias("v")
+        )
+
+    expected = sorted(
+        (r.n, r.v) for r in recursive_cte(anchor, step).collect()
+    )
+    assert len(expected) == 8  # anchor + 7 steps
+    # batch stays single-digit by design: the overshot tail is lazy, so a
+    # huge batch builds a deep unexecuted plan whose constant folding can
+    # even overflow (v*2 folded batch times) — bounded overshoot is part
+    # of the contract, not just a perf preference.
+    for batch in (2, 3, 5, 8):
+        got = sorted(
+            (r.n, r.v)
+            for r in recursive_cte(anchor, step, batch=batch).collect()
+        )
+        assert got == expected, f"batch={batch} diverged"
+    # the distinct path silently degrades to batch=1 (needs materialized
+    # accumulator every step) — same cycle fixture as the test above
+    def cycle(frontier):
+        return frontier.select((F.col("n") + 1) % 3, "v").toDF("n", "v")
+
+    out = recursive_cte(
+        spark.createDataFrame([(0, 1)], "n int, v int"),
+        cycle,
+        distinct=True,
+        max_iterations=50,
+        batch=4,
+    )
+    assert sorted(r.n for r in out.collect()) == [0, 1, 2]
+
 def test_ivf_probe_recall_vs_exact(spark):
     """IVF with nprobe=4 of 16 lists must recover most of the exact top-10
     (structural recall check: the probed lists are the ones nearest the
