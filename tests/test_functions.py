@@ -30,6 +30,33 @@ def test_minhash_detects_near_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_fold_matches_python_model(spark):
+    """The unrolled-step signature fold (r13: permutation constants
+    pre-folded into a flat array constructor) must equal a direct Python
+    fold with the ORIGINAL per-permutation formula
+    min_h pmod(h·(1000003·j+12345) + (999983·j+7919), p). The shingle
+    hashes come from the same Spark pipeline, so this isolates exactly
+    the fold that changed."""
+    from driftdb_spark.functions.dedup import N_PERMS, hashed_shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    rows = hashed_shingles(docs).select("doc_id", "hshingles").collect()
+    p = 2_147_483_647
+    expected = {}
+    for r in rows:
+        sig = [p] * N_PERMS
+        for h in r.hshingles:
+            for j in range(N_PERMS):
+                v = (h * (1000003 * j + 12345) + (999983 * j + 7919)) % p
+                if v < sig[j]:
+                    sig[j] = v
+        expected[r.doc_id] = sig
+    actual = {
+        r.doc_id: list(r.sig) for r in minhash_signatures(docs).collect()
+    }
+    assert actual == expected
+
+
 def test_minhash_signature_is_deterministic(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
     a = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}

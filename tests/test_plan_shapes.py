@@ -113,6 +113,31 @@ def test_hash_sample_is_narrow(spark):
     assert not re.search(r"^\(\d+\) Exchange", plan, re.MULTILINE), plan
 
 
+def test_portable_bands_flat_aggregation(spark):
+    """The md5-keyed MinHash band builder (r13 flat rewrite) must stay ONE
+    hash-aggregated exchange per evaluation: 32 flat min columns over the
+    shingle rows, band keys derived row-locally. No ObjectHashAggregate
+    (the old collect_list regroup) and no explode-by-32 Generate may
+    reappear, and the md5 shingle hash must be computed in a projection
+    BELOW the aggregate (once per row), not inlined into the 32 aggregate
+    expressions."""
+    import re
+
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.functions.dedup import _portable_bands, _shingles
+
+    d = load_tables(spark, SF)["documents"]
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    plan = explain_plan(_portable_bands(sh))
+    assert "ObjectHashAggregate" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1, plan
+    # md5 appears in the 8 row-local band keys and ONCE for h32 — never 32×
+    # inside the min() aggregate expressions (CollapseProject must not have
+    # inlined the non-cheap h32 alias into the aggregate).
+    agg_lines = [l for l in plan.splitlines() if "Functions [32]" in l]
+    assert agg_lines and all("md5" not in l for l in agg_lines), plan
+
+
 def test_above_group_mean_broadcasts_means(spark):
     """Aggregate-then-rejoin quality gate: the tiny per-group means must
     broadcast back to the corpus scan, not trigger a sort-merge self-join."""
