@@ -806,7 +806,15 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
-    bands = _portable_bands(sh)
+    # Persisted EAGERLY: the candidate self-join consumes bands twice, and
+    # after the r13 flat-aggregation rewrite each evaluation carries a
+    # constant plan/compile overhead that the tiny audit slice cannot
+    # amortize — building the ~(60 docs × 8 bands) frame once removes the
+    # doubled build that made the audit regress 0.69→1.06 s (batch 4's
+    # accepted local price, now refunded). The frame is audit-slice-sized,
+    # so the cache is trivially small at any corpus scale.
+    bands = _portable_bands(sh).persist()
+    bands.count()
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(

@@ -1200,10 +1200,10 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Principal component of the embedding corpus via two unrolled power
     iterations v ← Gᵀ(G v), G = quantized embedding matrix — the whitening
     / drift-detection primitive. The Gram matrix is never materialized:
-    each iteration is one row-keyed reduce (s = G v, co-partitioned on
-    vec_id) and one dim-keyed reduce (v' = Gᵀ s, 64 groups), so the
-    exchanges carry n + d rows, never n·d², and the only broadcast is the
-    64-row direction vector. Arithmetic is integer-exact end-to-end
+    s = G v is a ROW-LOCAL dot product against the broadcast 64-element
+    direction array (no shuffle at all), and v' = Gᵀ s is one dim-keyed
+    reduce (64 groups) whose map-side partials mean the exchange carries
+    64 rows per partition — never n·d², never even n. Arithmetic is integer-exact end-to-end
     (round(x·100) quantization; magnitudes bounded ≤ ~2e18 at these SFs)
     so the DuckDB oracle reproduces the trajectory bit-for-bit — the same
     exactness discipline as sim_kmeans_lloyd. Output normalized by the
@@ -1227,14 +1227,29 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("qv").alias("pos", "qc"),
     ).select("vec_id", (F.col("pos") + 1).alias("dim"), "qc", "s1")
     v1 = e.groupBy("dim").agg(F.sum(F.col("qc") * F.col("s1")).alias("v1"))
-    s2 = (
-        e.join(F.broadcast(v1), "dim")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("qc") * F.col("v1")).alias("s2"))
+    # v1 collapsed to ONE 64-element array row (dim-ordered), so s2 = G·v1
+    # is a row-local dot product against the broadcast array — the explode →
+    # broadcast-join → groupBy(vec_id) reduction this replaces shuffled n
+    # rows and, worse, fed the v2 pass through an e⋈s2 join whose e side
+    # re-exploded the corpus into an n·64-row exchange (guide §2.3/§2.4).
+    # Integer sums are order-independent, so s2/v2 are bit-identical.
+    v1row = v1.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "v1"))),
+            lambda s: s["v1"],
+        ).alias("v1a")
+    )
+    qs = q.crossJoin(F.broadcast(v1row)).withColumn(
+        "s2",
+        F.aggregate(
+            F.zip_with("qv", "v1a", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
     v2 = (
-        e.join(s2, "vec_id")
-        .groupBy("dim")
+        qs.select(F.posexplode("qv").alias("pos", "qc"), "s2")
+        .groupBy((F.col("pos") + 1).alias("dim"))
         .agg(F.sum(F.col("qc") * F.col("s2")).alias("v2"))
     )
     mx = v2.agg(F.max(F.abs(F.col("v2").cast("double"))).alias("_mx"))

@@ -615,6 +615,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # Deliberately NOT persisted (r13 A/B: eager persist+count of the edge
+    # list measured 3.86x SLOWER at sf0.1 — the re-derived consumers are
+    # pruned sub-second scans while the persist adds a blocking job and
+    # cache pressure; the same lazy-beats-persist result as pagerank's
+    # committed A/B). Runtime exchange reuse dedupes the identical
+    # distinct exchange; only the cheap post-distinct joins re-run.
     pairs = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
@@ -695,6 +701,10 @@ def graph_common_neighbor_similarity(spark: SparkSession, sf_dir: str) -> DataFr
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # Deliberately NOT persisted — same measured result as
+    # graph_triangle_count: the r13 eager-persist attempt read 2.71x
+    # SLOWER at sf0.1 (pruned recomputes are cheaper than the blocking
+    # cache build at this scale; pagerank's committed A/B, again).
     pairs = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))

@@ -278,3 +278,59 @@ def test_bloom_decontaminate_matches_exact_overlap_flags(spark):
         for r in QUERIES["decontaminate_ngram_overlap"].fn(spark, SF).collect()
     }
     assert bloom == exact
+
+
+def test_pca_rowlocal_s2_matches_explode_join_reduction(spark):
+    """r13 rewrite pin: sim_pca_power_iteration computes s2 = G·v1 as a
+    ROW-LOCAL zip_with/aggregate fold against the collapsed 64-element v1
+    array (no vec_id-keyed exchange). This must equal the shape it
+    replaced — posexplode → broadcast-join v1 on dim → groupBy(vec_id)
+    SUM — exactly, not approximately: both are integer sums, which are
+    order-independent, so any divergence is a construction bug (wrong
+    dim ordering in the collapsed array being the likely one)."""
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    emb = load_tables(spark, SF)["embeddings"]
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 100).cast("long")
+        ).alias("qv"),
+    ).withColumn(
+        "s1", F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x)
+    )
+    e = q.select(
+        "vec_id", "s1", F.posexplode("qv").alias("pos", "qc")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "qc", "s1")
+    v1 = e.groupBy("dim").agg(F.sum(F.col("qc") * F.col("s1")).alias("v1"))
+    # reference: the replaced explode → join → groupBy reduction
+    ref = {
+        r.vec_id: r.s2
+        for r in e.join(F.broadcast(v1), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qc") * F.col("v1")).alias("s2"))
+        .collect()
+    }
+    # shipped: row-local fold against the collapsed dim-ordered v1 array
+    v1row = v1.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "v1"))),
+            lambda s: s["v1"],
+        ).alias("v1a")
+    )
+    got = {
+        r.vec_id: r.s2
+        for r in q.crossJoin(F.broadcast(v1row))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qv", "v1a", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("s2"),
+        )
+        .collect()
+    }
+    assert got == ref and len(got) > 0
