@@ -90,14 +90,37 @@ N_REPEATS = 3
 # rounds' totals by their drift factors before comparing them.
 # DO NOT EDIT the control queries; bump control_rev and re-pin CONTROL_REF
 # if they ever must change.
-CONTROL_REV = 1
-CONTROL_REF_ROUND = 13  # machine state the reference medians were pinned at
+#
+# r14 (judge asks #2/#3, additions only — the control queries themselves are
+# byte-unchanged): the suite is now BRACKETED by the control arm — one pass
+# BEFORE the suite and one AFTER — because r13's single post-suite reading
+# could not separate "machine was slow all run" from "machine degraded
+# during the run" (the ITERATIVE block runs last and absorbed monotone
+# end-of-run degradation). Each arm gets its own pinned reference medians
+# (a pre-suite control runs on a colder JVM than a post-suite one, so the
+# two arms are pinned separately and never compared to each other's ref).
+# control_rev bumped 1 -> 2 for the re-pin; the r13 post-suite pins are kept
+# below for the historical record.
+CONTROL_REV = 2
+CONTROL_REF_ROUND = 14  # machine state the reference medians were pinned at
 CONTROL_REF_SF = "0.1"  # data scale the medians were pinned at
-CONTROL_REF = {  # pinned r13: midpoint of two back-to-back runs
-    "ctl_scan_agg": 0.1371,
-    "ctl_join_agg": 0.1316,
-    "ctl_window_topk": 0.2743,
+# pinned r14: per-arm medians of three full bench runs on the r14 round's
+# VM (interleaved with two round-start-HEAD runs of the r13 harness whose
+# post-suite controls read drift 1.08/1.23 vs the r13 pin — i.e. this VM
+# sits within ~20% of the r13 pin machine). The PRE arm runs on a colder
+# JVM, hence its systematically higher pins.
+CONTROL_REF_PRE = {
+    "ctl_scan_agg": 0.263,
+    "ctl_join_agg": 0.2819,
+    "ctl_window_topk": 0.4398,
 }
+CONTROL_REF_POST = {
+    "ctl_scan_agg": 0.1556,
+    "ctl_join_agg": 0.1581,
+    "ctl_window_topk": 0.3192,
+}
+# historical (control_rev=1, post-suite only, pinned r13):
+#   {"ctl_scan_agg": 0.1371, "ctl_join_agg": 0.1316, "ctl_window_topk": 0.2743}
 CONTROL_WARMUP = 1
 CONTROL_REPEATS = 5
 
@@ -137,7 +160,8 @@ def _control_queries(spark, sf_dir: str) -> dict:
     }
 
 
-def _run_control(spark, sf_dir: str, sf: str) -> dict:
+def _run_control(spark, sf_dir: str, sf: str, ref: dict) -> dict:
+    """One control-arm pass (warm + timed) against its own pinned ref."""
     dfs = _control_queries(spark, sf_dir)
     runs: dict[str, list[float]] = {name: [] for name in dfs}
     for pass_no in range(CONTROL_WARMUP + CONTROL_REPEATS):
@@ -151,7 +175,7 @@ def _run_control(spark, sf_dir: str, sf: str) -> dict:
         "control_rev": CONTROL_REV,
         "ref_round": CONTROL_REF_ROUND,
         "queries": medians,
-        "ref": CONTROL_REF,
+        "ref": ref,
         "runs": runs,
     }
     # the pinned medians are only meaningful at the pinned data scale
@@ -165,9 +189,9 @@ def _run_control(spark, sf_dir: str, sf: str) -> dict:
         out["note"] = f"sf {sf} != pinned sf {CONTROL_REF_SF}: drift not comparable"
         return out
     ratios = [
-        medians[n] / CONTROL_REF[n]
-        for n in CONTROL_REF
-        if n in medians and CONTROL_REF[n] > 0
+        medians[n] / ref[n]
+        for n in ref
+        if n in medians and ref[n] > 0
     ]
     # >1.0: this machine is SLOWER than at pin time; divide the suite
     # total by this before comparing across rounds
@@ -199,6 +223,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="driftdb_spark_bench")
 
+    # drift-control arm, pass 1 of 2 (r14, judge ask #3): machine state at
+    # suite START. Runs on a colder JVM than the post-suite pass, which is
+    # why it has its own pinned reference (CONTROL_REF_PRE). The suite's
+    # own N_WARMUP passes still follow, so the timed region's warm-up
+    # protocol is unchanged; the ~18 tiny control materializations ahead of
+    # it only make the suite's first warm-up marginally warmer.
+    control_pre = _run_control(spark, sf_dir, sf, CONTROL_REF_PRE)
+    spark.catalog.clearCache()
+
     qmap = query_map()
     static = [n for n in HEADLINE if n not in ITERATIVE]
     iterative = [n for n in HEADLINE if n in ITERATIVE]
@@ -224,11 +257,22 @@ def main() -> None:
             if pass_no >= N_WARMUP:
                 runs[name].append(round(time.perf_counter() - t0, 4))
     spark.catalog.clearCache()
-    # drift-control arm LAST: its numbers must not absorb the suite's
-    # JVM warm-up, and the suite must not inherit its cache state
-    control = _run_control(spark, sf_dir, sf)
+    # drift-control arm, pass 2 of 2: machine state at suite END. Bracketing
+    # lets a consumer see within-run degradation (pre ~1.0 but post 2.0 ⇒
+    # the machine decayed during the run and the late ITERATIVE block should
+    # be normalized against the POST reading, not the run-wide one).
+    control_post = _run_control(spark, sf_dir, sf, CONTROL_REF_POST)
 
     times = {name: round(statistics.median(ts), 4) for name, ts in runs.items()}
+    # r14 (judge ask #2): the stdout contract line carries MEDIANS ONLY —
+    # BENCH_r12's line was truncated mid-capture because per-pass raw runs
+    # made it grow every round, which zeroed PERF_r13's entire
+    # round-over-round comparison. Raw per-pass runs (suite + both control
+    # arms) now go to a sidecar file next to this script; the one-line JSON
+    # keeps only what the driver's comparison needs.
+    def _slim(control: dict) -> dict:
+        return {k: v for k, v in control.items() if k != "runs"}
+
     out = {
         "metric": "headline_suite_warm_sec",
         "value": round(sum(times.values()), 4),
@@ -236,21 +280,44 @@ def main() -> None:
         # Suite composition changes between rounds (r2: 16 queries best-of-3,
         # r3+: median-of-3 over a grown list). Longitudinal consumers must
         # key totals on (suite_rev, n_queries) or compare per-query entries,
-        # never raw totals across revs (ADVICE r3).
-        "suite_rev": 6,
+        # never raw totals across revs (ADVICE r3). suite_rev 7 = r14: same
+        # queries, same timed region; control arm bracketed (pre+post) and
+        # raw runs moved to the sidecar.
+        "suite_rev": 7,
         "n_queries": len(times),
         "aggregation": "median",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": N_REPEATS,
-        "runs": runs,
-        "control": control,
+        "control_pre": _slim(control_pre),
+        "control_post": _slim(control_post),
+        # kept for longitudinal consumers of the r13 field name: the
+        # post-suite arm is the same position r13's single reading had
+        "machine_drift_pre": control_pre["machine_drift"],
+        "machine_drift_post": control_post["machine_drift"],
     }
-    if control["machine_drift"]:
+    if control_post["machine_drift"]:
         out["value_drift_normalized"] = round(
-            out["value"] / control["machine_drift"], 4
+            out["value"] / control_post["machine_drift"], 4
         )
+    sidecar = {
+        "suite_rev": out["suite_rev"],
+        "sf": out["sf"],
+        "runs": runs,
+        "control_pre_runs": control_pre["runs"],
+        "control_post_runs": control_post["runs"],
+    }
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_runs_latest.json"),
+    )
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f)
+    except OSError:
+        pass  # a read-only checkout must never break the stdout contract
     print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -1,7 +1,8 @@
-"""Dump .explain('formatted') for headline queries to plans/r13/<q>_<tag>.txt.
+"""Dump .explain('formatted') for headline queries to plans/<round>/<q>_<tag>.txt.
 
 Usage: python scripts/dump_plans.py <tag> [query ...]
 With no query names, dumps every headline query from bench.py.
+The round subdirectory defaults to r14; override with SPARK_GRAFT_PLANS_ROUND.
 """
 
 from __future__ import annotations
@@ -20,7 +21,8 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan_dump")
     qmap = query_map()
