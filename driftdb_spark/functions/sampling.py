@@ -308,9 +308,13 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents instead of reshuffling the whole sample. Row-local filter →
     zero shuffle before the audit aggregate."""
     d = load_tables(spark, sf_dir)["documents"]
-    rates = spark.createDataFrame(
-        [("web", "4000"), ("books", "c000"), ("code", "g")],
-        "domain string, keep_below string",
+    # inline VALUES, not createDataFrame(list): the pickled-RDD-backed
+    # config frame re-entered a Python worker inside the broadcast build
+    # on every action (guide §4; the multimodal-fixture mechanism)
+    rates = spark.sql(
+        "SELECT domain, keep_below FROM VALUES "
+        "('web', '4000'), ('books', 'c000'), ('code', 'g') "
+        "AS t(domain, keep_below)"
     )
     idx = F.expr("substring(source, 4)").cast("int")
     domain = (
@@ -539,7 +543,23 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst re-derives the model inside the broadcast AND inside the
     # totals, re-running the corpus explode 3x — measured 7.97 s vs
     # 1.77 s at sf0.1 (scaling bench, isolated runs) after this pin.
-    ratio_local = spark.createDataFrame(ratio.collect(), ratio.schema)
+    #
+    # r14: re-upload as an inline-VALUES JVM LocalRelation instead of
+    # createDataFrame(rows) — the pickled-RDD-backed frame re-entered a
+    # Python worker on EVERY action (the multimodal-fixture mechanism,
+    # guide §4; measured there at ~2 s per materialization). Bigrams are
+    # hex-encoded so arbitrary document characters can't break the SQL
+    # literal; the log-ratio decimal round-trips exactly through its
+    # canonical string form.
+    model_rows = ratio.collect()
+    vals = ",".join(
+        f"('{r['bg'].encode('utf-8').hex()}', CAST('{r['lr']}' AS DECIMAL(12,6)))"
+        for r in model_rows
+    )
+    ratio_local = spark.sql(
+        "SELECT decode(unhex(bghex), 'UTF-8') AS bg, lr "
+        f"FROM VALUES {vals} AS t(bghex, lr)"
+    )
     return (
         big.join(F.broadcast(ratio_local), "bg")
         .groupBy("doc_id")

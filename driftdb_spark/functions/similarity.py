@@ -1331,7 +1331,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed = q.orderBy("vec_id").limit(1).first()
     centers = [(0, int(seed["vec_id"]), 0, list(seed["qv"]))]
-    cur = q.withColumn("dmin", F.lit(None).cast("long"))
+    cur = None
     for rnd in range(1, 4):
         cvec = F.array(*[F.lit(int(v)) for v in centers[-1][3]])
         dist = F.aggregate(
@@ -1339,14 +1339,31 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        cur = cur.withColumn("dmin", F.least(F.coalesce("dmin", dist), dist))
+        # r14: round 1 seeds dmin with dist directly and later rounds fold
+        # with a plain least(dmin, dist) — the old
+        # least(coalesce(dmin, dist), dist) form referenced the interpreted
+        # 64-step distance fold TWICE per row (HOF lambdas neither codegen
+        # nor share subexpressions), doubling every round's per-row
+        # arithmetic for the same value.
+        if cur is None:
+            cur = q.withColumn("dmin", dist)
+        else:
+            cur = cur.withColumn("dmin", F.least(F.col("dmin"), dist))
         pick = cur.orderBy(F.col("dmin").desc(), "vec_id").limit(1).first()
         centers.append(
             (rnd, int(pick["vec_id"]), int(pick["dmin"]), list(pick["qv"]))
         )
-    return spark.createDataFrame(
-        [(r, i, d) for (r, i, d, _v) in centers],
-        "round int, vec_id bigint, radius_sq bigint",
+    # r14: the 4-row result ships as an inline-VALUES JVM LocalRelation —
+    # createDataFrame(list) is a pickled-RDD-backed frame whose scan
+    # re-enters a Python worker on every action (the multimodal-fixture
+    # mechanism, guide §4).
+    vals = ",".join(
+        f"({r}, CAST({i} AS BIGINT), CAST({d} AS BIGINT))"
+        for (r, i, d, _v) in centers
+    )
+    return spark.sql(
+        f"SELECT round, vec_id, radius_sq FROM VALUES {vals} "
+        "AS t(round, vec_id, radius_sq)"
     )
 
 

@@ -1025,7 +1025,7 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cur = words.select(
+    cur_cached = words.select(
         F.concat(
             F.lit(" "),
             F.rtrim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
@@ -1033,6 +1033,20 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("repr"),
         "cnt",
     ).persist()
+    # Measured-small coalesce (r14, guide §2.2 — the recursive_cte pattern,
+    # extended per the r13 scaling finding: 8 cores beat 32 by 3× here).
+    # The per-round state is the VOCAB — thousands of rows — but each of
+    # the 5 rounds re-read it from cache at the cache's natural partition
+    # count and every merge rebuild re-wrote it the same way: scheduling-
+    # only tasks. The count() materializes the cache eagerly (round 0's
+    # first() previously paid the corpus explode) and gates a coalesce(1)
+    # on the measured vocab size; REPLACE preserves row count, so the one
+    # decision covers every round's rebuilt vocab. Inert at 100 TB: a
+    # vocab above the gate keeps its natural partitioning.
+    from driftdb_spark.operators.recursive import SMALL_FRONTIER_ROWS
+
+    small = cur_cached.count() <= SMALL_FRONTIER_ROWS
+    cur = cur_cached.coalesce(1) if small else cur_cached
     merges = []
     try:
         for k in range(_BPE_ROUNDS):
@@ -1063,7 +1077,7 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .first()
             )
             merges.append((k + 1, best["pair"], int(best["pcnt"])))
-            nxt = cur.withColumn(
+            nxt_cached = cur.withColumn(
                 "repr",
                 F.replace(
                     F.col("repr"),
@@ -1071,11 +1085,24 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(" " + best["pair"].replace(" ", "") + " "),
                 ),
             ).persist()
-            cur.unpersist()
-            cur = nxt
+            cur_cached.unpersist()
+            cur_cached = nxt_cached
+            cur = nxt_cached.coalesce(1) if small else nxt_cached
     finally:
-        cur.unpersist()
-    return spark.createDataFrame(merges, "round bigint, pair string, pair_count bigint")
+        cur_cached.unpersist()
+    # inline VALUES, not createDataFrame(list): the pickled-RDD-backed
+    # result frame re-entered a Python worker on every action (guide §4;
+    # the multimodal-fixture mechanism). Pairs are hex-encoded so arbitrary
+    # corpus characters can't break the SQL literal.
+    vals = ",".join(
+        f"(CAST({r} AS BIGINT), '{p.encode('utf-8').hex()}', "
+        f"CAST({c} AS BIGINT))"
+        for (r, p, c) in merges
+    )
+    return spark.sql(
+        "SELECT round, decode(unhex(pairhex), 'UTF-8') AS pair, pair_count "
+        f"FROM VALUES {vals} AS t(round, pairhex, pair_count)"
+    )
 
 
 @register(

@@ -539,9 +539,23 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = edges.withColumn("ow", F.sum("w").over(W.partitionBy("src")))
     nodes = t["nation"].select(F.col("n_nationkey").alias("node"))
     ranks = nodes.select("node", F.lit(0.04).cast("double").alias("r"))
+    # r14: the rank vector (≤|nations| rows) and each iteration's
+    # contribution aggregate are explicitly BROADCAST. The static plan
+    # otherwise picks SortMergeJoin for both per-iteration joins — an
+    # Exchange+Sort pair on the rank side and a fresh nation-scan Exchange
+    # per iteration — which AQE only converts back to broadcast after
+    # materializing those shuffles as separate query-stage waves. Three
+    # unrolled iterations × two joins of KB-sized inputs made this query
+    # anti-scale with cores (r13 driver scaling block: 8 cores beat 32 by
+    # 3×; guide §2.2 — tiny-input stages are pure scheduling). The hint is
+    # scale-safe: both sides are structurally ≤|nations| (=25) rows at ANY
+    # corpus size — the aggregate output is keyed on nation — so this is
+    # not a local[32]-only assumption. Join strategy does not change the
+    # values: per-edge contributions are rounded then summed as exact
+    # decimals, so the rank trajectory is order-independent.
     for _ in range(3):
         contrib = (
-            norm.join(ranks.withColumnRenamed("node", "src"), "src")
+            norm.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(
@@ -551,7 +565,7 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s")
             )
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             F.round(
                 F.lit(0.006).cast("double")
