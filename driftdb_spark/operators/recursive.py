@@ -77,8 +77,17 @@ def recursive_cte(
     null-padded side of an outer join). When the fixpoint lands inside
     a batch, the overshot tail steps run on empty frontiers and union
     zero rows — the accumulated result is row-identical to batch=1.
-    The generic SQL WITH RECURSIVE path keeps batch=1 because an
-    arbitrary recursive arm isn't analyzed for the empty-step property.
+
+    The SQL ``WITH RECURSIVE`` surface does not route through this
+    helper at all (r14 audit, VERDICT item #6): Spark 4.1 executes
+    recursive CTEs natively (SPARK-24497's UnionLoop operator), so a
+    ``WITH RECURSIVE`` statement through the SQL frontend iterates
+    entirely inside the JVM with ZERO per-step driver probes — already
+    strictly better than any batch=k driver loop. Native support is
+    UNION ALL arms only (UNION-distinct raises
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, pinned by a test); this
+    helper remains for Python-built fixpoints — distinct working-set
+    semantics, measured-count gates, per-round collected state.
 
     At scale the coalesce heuristic is inert: frontiers above
     SMALL_FRONTIER_ROWS keep their natural partitioning."""

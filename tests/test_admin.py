@@ -9,6 +9,8 @@ import json
 import os
 import shutil
 
+import pytest
+
 from driftdb_spark import admin
 from driftdb_spark.cli import main
 from driftdb_spark.sql_frontend import DriftSession
@@ -412,6 +414,7 @@ def _chaos_purge(spark, tmp_path, monkeypatch, crash_at: int) -> None:
     assert log.last_sequence() > pre_last
 
 
+@pytest.mark.deepfuzz
 def test_purge_crash_injection_every_rename_step(spark, tmp_path, monkeypatch):
     """Walk the crash point through every os.rename in the purge
     protocol (log-swap staging rename, dir-aside, dir-into-place,

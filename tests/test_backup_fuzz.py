@@ -56,6 +56,7 @@ _op = st.one_of(
 # fixed the same model in r11 (purged.discard on re-insert), this suite
 # and replication fuzz had kept the stale model.
 @example(program=[("purge", 5), ("ins", 5, 0), ("del", 5)])
+@pytest.mark.deepfuzz
 def test_restored_chain_matches_primary(spark, tmp_path_factory, program):
     root = tmp_path_factory.mktemp("bkfuzz")
     sess = DriftSession(spark, str(root / "primary"))

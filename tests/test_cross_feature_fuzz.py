@@ -52,6 +52,7 @@ def _rows(sess):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(program=st.lists(_op, min_size=4, max_size=9))
+@pytest.mark.deepfuzz
 def test_replication_rbac_cache_chaos(spark, tmp_path_factory, program):
     root = tmp_path_factory.mktemp("xfuzz")
     sess = DriftSession(spark, str(root / "primary"))

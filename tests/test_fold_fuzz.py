@@ -68,6 +68,7 @@ def spark_fold(spark, events):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(event_st, min_size=1, max_size=25), st.data())
+@pytest.mark.deepfuzz
 def test_fold_matches_sequential_replay(spark, ops, data):
     events = [
         (i + 1, etype, pk, payload) for i, (etype, pk, payload) in enumerate(ops)

@@ -145,6 +145,39 @@ def test_recursive_cte_batched_matches_unbatched(spark):
     )
     assert sorted(r.n for r in out.collect()) == [0, 1, 2]
 
+
+def test_sql_with_recursive_is_spark_native(spark):
+    """The SQL WITH RECURSIVE surface (r14 audit, VERDICT item #6)
+    executes through Spark 4.1's native UnionLoop — one JVM-internal
+    fixpoint, zero per-step driver probes — not through the Python
+    recursive_cte helper, so no batch=k driver-loop work applies there.
+    Pins the plan shape, the values, and the boundary: native support is
+    UNION ALL only; the UNION-distinct form raises a clear
+    AnalysisException (cycle-terminating distinct recursion remains the
+    Python helper's distinct=True mode)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    df = spark.sql(
+        "WITH RECURSIVE t(n, acc) AS ("
+        "  SELECT 1, CAST(10 AS BIGINT)"
+        "  UNION ALL SELECT n + 1, acc * 2 FROM t WHERE n < 6"
+        ") SELECT * FROM t"
+    )
+    assert "UnionLoop" in df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert sorted((r.n, r.acc) for r in df.collect()) == [
+        (1, 10), (2, 20), (3, 40), (4, 80), (5, 160), (6, 320)
+    ]
+    with pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            "WITH RECURSIVE c(n) AS ("
+            "  SELECT 0 UNION SELECT (n + 1) % 3 FROM c"
+            ") SELECT * FROM c"
+        ).collect()
+
+
 def test_ivf_probe_recall_vs_exact(spark):
     """IVF with nprobe=4 of 16 lists must recover most of the exact top-10
     (structural recall check: the probed lists are the ones nearest the
@@ -289,7 +322,7 @@ def test_pca_rowlocal_s2_matches_explode_join_reduction(spark):
     order-independent, so any divergence is a construction bug (wrong
     dim ordering in the collapsed array being the likely one)."""
     from driftdb_spark.catalog import load_tables
-    from driftdb_spark.registry import QUERIES, _ensure_loaded
+    from driftdb_spark.registry import _ensure_loaded
 
     _ensure_loaded()
     emb = load_tables(spark, SF)["embeddings"]

@@ -49,6 +49,7 @@ def _lit(v):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.deepfuzz
 @given(programs=st.lists(_program, min_size=1, max_size=3))
 def test_incremental_refresh_equals_full_recompute(
     spark, tmp_path_factory, programs

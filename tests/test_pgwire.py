@@ -951,6 +951,7 @@ def test_bind_binary_result_format_rejected(server):
     c.close()
 
 
+@pytest.mark.deepfuzz
 def test_wire_concurrency_chaos(server):
     """8 concurrent clients mixing DML, prepared statements, cursors and
     CancelRequests (the wire-level statement-timeout mechanism): every

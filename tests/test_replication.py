@@ -294,6 +294,7 @@ def test_replication_metrics_and_lag_alerts(rig):
         srv.stop()
 
 
+@pytest.mark.deepfuzz
 def test_ship_races_concurrent_appends_without_loss(rig):
     """Chaos: a writer thread appends batches while ship()/apply() loop
     concurrently. The pinned-entry-set protocol means every ship is a

@@ -83,6 +83,7 @@ def _run_with_crash(sess, action, crash_at: int) -> None:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(program=st.lists(_op, min_size=3, max_size=9))
+@pytest.mark.deepfuzz
 def test_replica_converges_to_primary(spark, tmp_path_factory, program):
     root = tmp_path_factory.mktemp("replfuzz")
     sess = DriftSession(spark, str(root / "primary"))

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from driftdb_spark.sql_frontend import DriftSession
 
 
@@ -181,6 +183,7 @@ def test_empty_result_roundtrip(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == ["id", "v"]
 
 
+@pytest.mark.deepfuzz
 def test_cache_model_fuzz_random_dml_interleavings(spark, tmp_path):
     """Randomized invalidation soak: interleave INSERT/UPDATE/DELETE with
     SELECTs from a fixed pool, comparing every cached result against an

@@ -773,6 +773,7 @@ def test_merge_redelivery_is_idempotent(spark, tmp_path):
     assert _state_rows(spark, state_path) == before
 
 
+@pytest.mark.deepfuzz
 def test_merge_swap_crash_lattice_every_rename_step(spark, tmp_path):
     """Review-found: the old rmtree-then-rename swap destroyed the state
     table on a crash between the two calls, with no recovery path. The

@@ -59,6 +59,7 @@ _op = st.one_of(
              ("ins", 1, 0), ("ins", 1, 0), ("ins", 1, 0), ("ins", 4, 0),
              ("compact",)]
 )
+@pytest.mark.deepfuzz
 def test_asof_matches_model_across_maintenance(spark, tmp_path_factory, program):
     root = tmp_path_factory.mktemp("temporalfuzz")
     sess = DriftSession(spark, str(root / "db"))

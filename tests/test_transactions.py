@@ -175,6 +175,7 @@ def test_txn_update_delete_where_read_your_writes(spark, log):
     assert state["2"]["qty"] == 21  # buffered insert was visible to UPDATE
 
 
+@pytest.mark.deepfuzz
 def test_txn_commit_equals_sequential_appends_fuzz(spark, tmp_path):
     """Property: committing a random statement list as ONE transaction
     produces the same final state as applying the same statements as
