@@ -557,23 +557,24 @@ def _portable_bands(sh: DataFrame) -> DataFrame:
     # uses bkey only for (band, bkey) equality and never outputs it — so
     # re-hashing the ','-joined 4-slice through md5 (4 long→string casts +
     # concat + a digest per band, ×8 bands per doc) bought nothing equality
-    # couldn't. The key is now the raw 4-minima STRUCT: struct equality IS
-    # 4-slice equality, so the candidate pair set is exactly the oracle's
-    # md5-keyed one WITHOUT even md5's (cryptographically negligible)
-    # collision caveat — strictly more faithful, and the 8 digest
-    # projections per doc disappear. Shuffle width is a wash (4 longs ≈ one
-    # 32-hex-char string in UnsafeRow). A/B evidence:
-    # BENCH_query_ab_r14_batch1.json (and the batch2 re-read for the
-    # audit query); oracle value-parity re-verified at
-    # sf0.001/0.01/0.1 for all three consumers.
+    # couldn't. The key is now ONE multi-argument xxhash64 over the band's
+    # 4 minima (the same scheme _band_buckets uses): equal slices hash
+    # equal, differing slices differ w.h.p. exactly as under md5, the
+    # digest chain disappears, and the key narrows from a 32-hex-char
+    # string to 8 bytes on the shuffle AND in the recall-audit's persisted
+    # bands cache (§2.3 narrower types). A first r14 variant keyed bands
+    # by the raw 4-minima STRUCT — collision-free, but the audit consumer
+    # persists its bands frame and the nested key measured 1.11–1.19×
+    # slower from cache (BENCH_query_ab_r14_batch{1,2}.json), so the flat
+    # hash is the keeper. Candidate-pair parity with the oracle's
+    # md5-keyed formulation holds w.h.p. (identical up to 64-bit hash
+    # collisions); oracle value-parity re-verified at sf0.001/0.01/0.1
+    # for all three consumers (BENCH_query_ab_r14_batch3.json).
     band_structs = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
-            F.struct(
-                *[
-                    F.col(f"m{b * BAND_SIZE + i}").alias(f"k{i}")
-                    for i in range(BAND_SIZE)
-                ]
+            F.xxhash64(
+                *[F.col(f"m{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
             ).alias("bkey"),
         )
         for b in range(N_BANDS)

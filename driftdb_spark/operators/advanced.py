@@ -539,23 +539,25 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = edges.withColumn("ow", F.sum("w").over(W.partitionBy("src")))
     nodes = t["nation"].select(F.col("n_nationkey").alias("node"))
     ranks = nodes.select("node", F.lit(0.04).cast("double").alias("r"))
-    # r14: the rank vector (≤|nations| rows) and each iteration's
-    # contribution aggregate are explicitly BROADCAST. The static plan
-    # otherwise picks SortMergeJoin for both per-iteration joins — an
-    # Exchange+Sort pair on the rank side and a fresh nation-scan Exchange
-    # per iteration — which AQE only converts back to broadcast after
-    # materializing those shuffles as separate query-stage waves. Three
-    # unrolled iterations × two joins of KB-sized inputs made this query
-    # anti-scale with cores (r13 driver scaling block: 8 cores beat 32 by
-    # 3×; guide §2.2 — tiny-input stages are pure scheduling). The hint is
-    # scale-safe: both sides are structurally ≤|nations| (=25) rows at ANY
-    # corpus size — the aggregate output is keyed on nation — so this is
-    # not a local[32]-only assumption. Join strategy does not change the
-    # values: per-edge contributions are rounded then summed as exact
-    # decimals, so the rank trajectory is order-independent.
+    # r14 dead end (kept as the record, code unchanged): explicit
+    # F.broadcast() on the per-iteration rank and contribution sides —
+    # motivated by the r13 driver scaling block reading 8 cores beating
+    # 32 by 3× here — was implemented, A/B'd, measured a consistent
+    # 1.20–1.35× REGRESSION at local[32] (BENCH_query_ab_r14_batch2.json;
+    # interleaved arms, plus an isolated 8-vs-32-core four-way check),
+    # and reverted. Two findings: (1) the r13 anti-scaling did not
+    # reproduce on a clean machine (base medians 1.35 s at 8 cores vs
+    # 1.33 s at 32 — flat, scheduling-floor-bound; the r13 ratio was the
+    # degraded-machine artifact its own control arm flagged at 2.1×);
+    # (2) static broadcast hints force each iteration's contribution
+    # aggregate through a driver-coordinated BroadcastExchange build,
+    # which costs MORE than the AQE-managed tiny shuffles they replace —
+    # AQE already coalesces/converts these KB-sized exchanges at
+    # runtime. SortMergeJoin in the STATIC plan here is not what
+    # executes; judge the executed plan, not explain() (guide §7.2).
     for _ in range(3):
         contrib = (
-            norm.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            norm.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(
@@ -565,7 +567,7 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s")
             )
         )
-        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
+        ranks = nodes.join(contrib, "node", "left").select(
             "node",
             F.round(
                 F.lit(0.006).cast("double")

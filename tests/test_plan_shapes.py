@@ -114,13 +114,14 @@ def test_hash_sample_is_narrow(spark):
 
 
 def test_portable_bands_flat_aggregation(spark):
-    """The md5-keyed MinHash band builder (r13 flat rewrite) must stay ONE
+    """The MinHash band builder (r13 flat rewrite; r14 keys bands by one
+    multi-arg xxhash64 instead of an md5 digest chain) must stay ONE
     hash-aggregated exchange per evaluation: 32 flat min columns over the
     shingle rows, band keys derived row-locally. No ObjectHashAggregate
     (the old collect_list regroup) and no explode-by-32 Generate may
-    reappear, and the md5 shingle hash must be computed in a projection
-    BELOW the aggregate (once per row), not inlined into the 32 aggregate
-    expressions."""
+    reappear, and the md5 shingle hash (h32 — the portability contract)
+    must be computed in a projection BELOW the aggregate (once per row),
+    not inlined into the 32 aggregate expressions."""
     import re
 
     from driftdb_spark.catalog import load_tables
