@@ -179,4 +179,20 @@ def cte_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which WAS the whole runtime of this query (measured same-session:
     # batch=1 4.33 s, batch=5 3.22 s, batch=9 2.46 s; single digits keep
     # the lazy overshoot tail shallow — see the batch contract note).
+    #
+    # r14 dead ends (code unchanged, kept as the record):
+    # - NATIVE rewrite — issuing this walk as a WITH RECURSIVE statement
+    #   over a temp view of the checkpointed cnt (UnionLoop, zero driver
+    #   probes; output proven row-identical and oracle-verified at three
+    #   SFs) measured NEUTRAL-TO-WORSE in the interleaved cross-checkout
+    #   A/B at sf0.1 (1.07×, second run machine-drift-polluted with clean
+    #   arms ~0.9× — no consistent direction). Mechanism: UnionLoop
+    #   materializes EVERY step as its own JVM job (26 jobs) where
+    #   batch=9 composes 9 lazy steps into ONE probe job (~3 jobs total);
+    #   the 3 saved driver round-trips don't cover the 23 extra jobs at
+    #   this frontier size. Native wins only where per-probe driver
+    #   latency dominates per-job cost — not the case at local[32].
+    # - batch re-tuning: batch=13 (2 probes) 0.91× = noise; batch=26
+    #   (1 probe) 1.42× WORSE — the un-checkpointed within-batch chains
+    #   re-execute on final materialization, O(batch²) step evaluations.
     return recursive_cte(anchor, step, batch=9)
