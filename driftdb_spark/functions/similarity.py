@@ -38,9 +38,18 @@ def _dots(v: str, q: str) -> F.Column:
 def cosine_topk(
     emb: DataFrame, query_vec_id: int = 0, k: int = 20
 ) -> DataFrame:
-    """Exact top-k by cosine similarity against one stored vector."""
+    """Exact top-k by cosine similarity against one stored vector.
+
+    The query norm is folded ONCE inside the broadcast block (r14): the
+    interpreted 64-term norm fold neither codegens nor shares
+    subexpressions (the r13 executed-plan audits), so an inline
+    sqrt(_dots(qe, qe)) in the scoring projection re-ran the identical
+    fold for EVERY corpus row. Same expression, same double, same
+    ROUND — bit-identical output; per-row folds drop 3 → 2 (the corpus
+    row's own norm is per-row work either way)."""
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qe")
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dots("embedding", "embedding")).alias("qn"),
     )
     scored = (
         emb.filter(F.col("vec_id") != query_vec_id)
@@ -50,7 +59,7 @@ def cosine_topk(
             "label",
             F.round(
                 _dots("embedding", "qe")
-                / (F.sqrt(_dots("embedding", "embedding")) * F.sqrt(_dots("qe", "qe"))),
+                / (F.sqrt(_dots("embedding", "embedding")) * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1505,21 +1514,32 @@ def sim_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     from pyspark.sql import Window
 
+    # Norms folded BEFORE the Q-fold fan-out (r14): the interpreted
+    # 64-term folds neither codegen nor share subexpressions (r13
+    # audits), so inlining both norms in the scoring projection paid
+    # 3 folds per (row × query) PAIR — 24 folds per corpus row at Q=8.
+    # Precomputing the corpus norm as a column pre-crossJoin and the
+    # query norms inside the broadcast block leaves 1 fold per pair
+    # (the dot) + 1 per row. Same expressions evaluated on the same
+    # inputs — bit-identical doubles, same ROUND, oracle-verified.
     q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dots("embedding", "embedding")).alias("qn"),
     )
     scored = (
         emb.filter(F.col("vec_id") >= 8)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dots("embedding", "embedding")).alias("en"),
+        )
         .crossJoin(F.broadcast(q))
         .select(
             "q_id",
             "vec_id",
             F.round(
-                _dots("embedding", "qe")
-                / (
-                    F.sqrt(_dots("embedding", "embedding"))
-                    * F.sqrt(_dots("qe", "qe"))
-                ),
+                _dots("embedding", "qe") / (F.col("en") * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )

@@ -146,6 +146,66 @@ def test_recursive_cte_batched_matches_unbatched(spark):
     assert sorted(r.n for r in out.collect()) == [0, 1, 2]
 
 
+def test_cosine_norms_folded_outside_pair_projection(spark):
+    """r14 hoist pin: sim_cosine_topk_batch folds the corpus norm ONCE
+    per row (pre-crossJoin column) and the query norms ONCE per query
+    (inside the broadcast block) — the scoring projection that runs per
+    (row × query) PAIR carries only the dot fold. The interpreted
+    64-term folds neither codegen nor share subexpressions, so inline
+    norms cost 3 folds per pair (24 per corpus row at Q=8) for
+    bit-identical values. Pins (a) the plan shape — no SQRT(aggregate
+    on the round(...) scoring line — and (b) value equality against the
+    inline-norms formulation it replaced."""
+    from driftdb_spark.catalog import load_tables
+    from driftdb_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    df = QUERIES["sim_cosine_topk_batch"].fn(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scoring = [l for l in plan.splitlines() if "round((aggregate" in l]
+    assert scoring, "scoring projection (round of a dot fold) not found"
+    assert all("SQRT(aggregate" not in l for l in scoring), (
+        "a norm fold is back inside the per-pair scoring projection"
+    )
+
+    def dots(v, q):
+        return F.aggregate(
+            F.zip_with(v, q, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    emb = load_tables(spark, SF)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    ref = (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dots(F.col("embedding"), F.col("qe"))
+                / (
+                    F.sqrt(dots(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dots(F.col("qe"), F.col("qe")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    got = {(r.q_id, r.vec_id): r.cos_sim for r in df.collect()}
+    ref_all = {
+        (r.q_id, r.vec_id): r.cos_sim for r in ref.collect()
+    }
+    assert all(ref_all[k] == v for k, v in got.items()), (
+        "hoisted-norm cosine diverges from the inline-norms formulation"
+    )
+
+
 def test_sql_with_recursive_is_spark_native(spark):
     """The SQL WITH RECURSIVE surface (r14 audit, VERDICT item #6)
     executes through Spark 4.1's native UnionLoop — one JVM-internal
